@@ -1,0 +1,31 @@
+"""transformers_tpu — a TPU-native model framework (JAX/XLA/Pallas/pjit).
+
+Brand-new implementation of the huggingface/transformers capability surface,
+designed TPU-first: functional param-pytree models, static-shape jitted
+generation, Pallas kernels for the hot ops, and declarative sharding plans
+compiled to jax.sharding PartitionSpecs. See SURVEY.md for the blueprint.
+"""
+
+__version__ = "0.1.0"
+
+from .cache_utils import StaticKVCache, cache_from_config, init_static_cache
+from .configuration_utils import PretrainedConfig
+from .generation import GenerationConfig, GenerationMixin
+from .modeling_utils import PreTrainedModel
+from .models.auto import (
+    AutoConfig,
+    AutoModel,
+    AutoModelForCausalLM,
+    AutoModelForImageClassification,
+    AutoModelForImageTextToText,
+    AutoModelForMaskedLM,
+    AutoModelForQuestionAnswering,
+    AutoModelForSeq2SeqLM,
+    AutoModelForSequenceClassification,
+    AutoModelForSpeechSeq2Seq,
+    AutoModelForTokenClassification,
+    AutoModelForVision2Seq,
+    AutoModelForZeroShotImageClassification,
+)
+from .models.llama import LlamaConfig, LlamaForCausalLM
+from .utils import logging

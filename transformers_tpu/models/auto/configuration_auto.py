@@ -1,0 +1,66 @@
+"""AutoConfig + model_type registry.
+
+TPU-native analog of reference src/transformers/models/auto/configuration_auto.py.
+Mappings are lazy (module path + class name strings) so importing
+``transformers_tpu`` stays cheap with hundreds of families registered
+(reference _LazyModule analog at the registry level).
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Optional
+
+from ...configuration_utils import PretrainedConfig
+from ...utils.hub import CONFIG_NAME, cached_file
+
+# model_type -> (module under transformers_tpu.models, config class name)
+CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llama": ("llama", "LlamaConfig"),
+}
+
+
+def register_config(model_type: str, module: str, class_name: str) -> None:
+    CONFIG_MAPPING_NAMES[model_type] = (module, class_name)
+
+
+def get_config_class(model_type: str) -> type[PretrainedConfig]:
+    if model_type not in CONFIG_MAPPING_NAMES:
+        raise KeyError(
+            f"Unknown model_type {model_type!r}. Known: {sorted(CONFIG_MAPPING_NAMES)}"
+        )
+    module_name, class_name = CONFIG_MAPPING_NAMES[model_type]
+    module = importlib.import_module(f"transformers_tpu.models.{module_name}")
+    return getattr(module, class_name)
+
+
+class AutoConfig:
+    """reference models/auto/configuration_auto.py AutoConfig."""
+
+    def __init__(self):
+        raise OSError("AutoConfig is instantiated via from_pretrained / for_model_type.")
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path, **kwargs) -> PretrainedConfig:
+        import json
+
+        resolved = cached_file(str(pretrained_model_name_or_path), kwargs.pop("config_file", CONFIG_NAME))
+        with open(resolved, encoding="utf-8") as f:
+            config_dict = json.load(f)
+        model_type = config_dict.get("model_type")
+        if model_type is None:
+            raise ValueError(f"config.json at {pretrained_model_name_or_path} has no model_type.")
+        config_cls = get_config_class(model_type)
+        config = config_cls.from_dict({**config_dict, "_name_or_path": str(pretrained_model_name_or_path)}, **kwargs)
+        return config
+
+    @classmethod
+    def for_model_type(cls, model_type: Optional[str], **kwargs) -> PretrainedConfig:
+        if model_type is None:
+            raise ValueError("model_type is required")
+        return get_config_class(model_type)(**kwargs)
+
+    @staticmethod
+    def register(model_type: str, config_cls: type[PretrainedConfig]) -> None:
+        module = config_cls.__module__.split(".")[-2] if "." in config_cls.__module__ else config_cls.__module__
+        CONFIG_MAPPING_NAMES[model_type] = (module, config_cls.__name__)

@@ -1,0 +1,114 @@
+"""Auto model classes (reference src/transformers/models/auto/modeling_auto.py,
+auto_factory.py:194 ``_BaseAutoModelClass``).
+
+Task mappings are lazy: model_type -> (module, class name). ``register``
+lets user code add architectures (reference auto_factory.py:411).
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from .configuration_auto import AutoConfig
+
+# task mapping tables: model_type -> (module under transformers_tpu.models, class name)
+MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llama": ("llama", "LlamaModelStandalone"),
+}
+MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llama": ("llama", "LlamaForCausalLM"),
+}
+MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+
+
+def _resolve(mapping: dict, model_type: str):
+    if model_type not in mapping:
+        raise KeyError(
+            f"model_type {model_type!r} not registered for this auto class. "
+            f"Known: {sorted(mapping)}"
+        )
+    module_name, class_name = mapping[model_type]
+    module = importlib.import_module(f"transformers_tpu.models.{module_name}")
+    return getattr(module, class_name)
+
+
+class _BaseAutoModelClass:
+    _model_mapping: dict[str, tuple[str, str]] = {}
+
+    def __init__(self):
+        raise OSError("Use from_pretrained / from_config on auto classes.")
+
+    @classmethod
+    def from_config(cls, config, **kwargs):
+        model_cls = _resolve(cls._model_mapping, config.model_type)
+        return model_cls(config, **kwargs)
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path, **kwargs):
+        config = kwargs.pop("config", None)
+        if config is None:
+            config = AutoConfig.from_pretrained(pretrained_model_name_or_path)
+        model_cls = _resolve(cls._model_mapping, config.model_type)
+        return model_cls.from_pretrained(pretrained_model_name_or_path, config=config, **kwargs)
+
+    @classmethod
+    def register(cls, model_type: str, model_cls) -> None:
+        module = model_cls.__module__.rsplit(".", 2)[-2]
+        cls._model_mapping[model_type] = (module, model_cls.__name__)
+
+
+class AutoModel(_BaseAutoModelClass):
+    _model_mapping = MODEL_MAPPING_NAMES
+
+
+class AutoModelForCausalLM(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_CAUSAL_LM_MAPPING_NAMES
+
+
+class AutoModelForSequenceClassification(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForTokenClassification(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForQuestionAnswering(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES
+
+
+class AutoModelForMaskedLM(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_MASKED_LM_MAPPING_NAMES
+
+
+class AutoModelForImageClassification(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForSeq2SeqLM(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES
+
+
+class AutoModelForSpeechSeq2Seq(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES
+
+
+class AutoModelForVision2Seq(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES
+
+
+class AutoModelForImageTextToText(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES
+
+
+class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES

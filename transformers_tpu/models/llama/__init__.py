@@ -1,0 +1,10 @@
+from .configuration_llama import LlamaConfig
+from .modeling_llama import (
+    LlamaAttention,
+    LlamaDecoderLayer,
+    LlamaForCausalLM,
+    LlamaMLP,
+    LlamaModel,
+    LlamaModelStandalone,
+    LlamaPreTrainedModel,
+)

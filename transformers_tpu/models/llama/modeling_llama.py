@@ -1,0 +1,279 @@
+"""Llama decoder, TPU-native.
+
+Semantics match reference src/transformers/models/llama/modeling_llama.py
+(RMSNorm :53, rotary :73/:138, gated MLP :163, GQA attention :217-283,
+DecoderLayer :284, Model :347, ForCausalLM :421) but the implementation is a
+pure-function JAX module tree: BSHD attention layout, masks as data, static
+KV cache updated functionally, float32 softmax/norms for numerical parity.
+
+This file is also the **decoder skeleton** other families parameterize
+(SURVEY §A.3: 173 causal-LM architectures share this structure).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...cache_utils import StaticKVCache, cache_from_config
+from ...core.module import Embedding, Linear, Module, RMSNorm, normal_init
+from ...generation.utils import GenerationMixin
+from ...modeling_outputs import BaseModelOutputWithPast, CausalLMOutputWithPast
+from ...modeling_utils import PreTrainedModel
+from ...ops.attention import get_attention_fn
+from ...ops.activations import get_activation
+from ...ops.masks import make_causal_bias, position_ids_from_mask
+from ...ops.rope import apply_rotary_pos_emb, compute_cos_sin, rope_inv_freq
+from .configuration_llama import LlamaConfig
+
+
+class LlamaMLP(Module):
+    """Gated SwiGLU MLP (reference modeling_llama.py:163)."""
+
+    def __init__(self, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        bias = getattr(config, "mlp_bias", False)
+        kw = dict(dtype=dtype, param_dtype=param_dtype,
+                  kernel_init=normal_init(config.initializer_range))
+        self.gate_proj = Linear(config.hidden_size, config.intermediate_size, bias, **kw)
+        self.up_proj = Linear(config.hidden_size, config.intermediate_size, bias, **kw)
+        self.down_proj = Linear(config.intermediate_size, config.hidden_size, bias, **kw)
+        self.act_fn = get_activation(config.hidden_act)
+
+    def __call__(self, params, x):
+        return self.down_proj(
+            params["down_proj"],
+            self.act_fn(self.gate_proj(params["gate_proj"], x)) * self.up_proj(params["up_proj"], x),
+        )
+
+
+class LlamaAttention(Module):
+    """GQA attention with registry dispatch (reference modeling_llama.py:217-283)."""
+
+    def __init__(self, config, layer_idx: int, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.config = config
+        self.layer_idx = layer_idx
+        self.num_heads = config.num_attention_heads
+        self.num_kv_heads = getattr(config, "num_key_value_heads", None) or config.num_attention_heads
+        self.head_dim = getattr(config, "head_dim", None) or config.hidden_size // config.num_attention_heads
+        self.scale = self.head_dim**-0.5
+        bias = getattr(config, "attention_bias", False)
+        kw = dict(dtype=dtype, param_dtype=param_dtype,
+                  kernel_init=normal_init(config.initializer_range))
+        self.q_proj = Linear(config.hidden_size, self.num_heads * self.head_dim, bias, **kw)
+        self.k_proj = Linear(config.hidden_size, self.num_kv_heads * self.head_dim, bias, **kw)
+        self.v_proj = Linear(config.hidden_size, self.num_kv_heads * self.head_dim, bias, **kw)
+        self.o_proj = Linear(self.num_heads * self.head_dim, config.hidden_size, bias, **kw)
+
+    def __call__(
+        self,
+        params,
+        hidden: jnp.ndarray,  # [B, S, E]
+        cos: jnp.ndarray,
+        sin: jnp.ndarray,
+        attn_args: dict[str, Any],
+        cache: Optional[StaticKVCache],
+        cache_position,
+    ) -> tuple[jnp.ndarray, Optional[StaticKVCache]]:
+        b, s, _ = hidden.shape
+        q = self.q_proj(params["q_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+        k = self.k_proj(params["k_proj"], hidden).reshape(b, s, self.num_kv_heads, self.head_dim)
+        v = self.v_proj(params["v_proj"], hidden).reshape(b, s, self.num_kv_heads, self.head_dim)
+        q, k = apply_rotary_pos_emb(q, k, cos, sin)
+
+        if cache is not None:
+            cache = cache.update(self.layer_idx, k, v, cache_position)
+            k_full, v_full = cache.layer(self.layer_idx)
+            k_full = k_full.astype(self.dtype)
+            v_full = v_full.astype(self.dtype)
+        else:
+            k_full, v_full = k, v
+
+        attn_fn = get_attention_fn(self.config.attn_implementation)
+        out = attn_fn(q, k_full, v_full, attn_args.get("bias"), scale=self.scale,
+                      q_positions=attn_args.get("q_positions"), kv_valid=attn_args.get("kv_valid"),
+                      sliding_window=attn_args.get("sliding_window"))
+        out = out.reshape(b, s, self.num_heads * self.head_dim)
+        return self.o_proj(params["o_proj"], out), cache
+
+
+class LlamaDecoderLayer(Module):
+    """Pre-norm residual block (reference modeling_llama.py:284)."""
+
+    def __init__(self, config, layer_idx: int, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, dtype=dtype, param_dtype=param_dtype)
+        self.self_attn = LlamaAttention(config, layer_idx, dtype=dtype, param_dtype=param_dtype)
+        self.post_attention_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, dtype=dtype,
+                                                param_dtype=param_dtype)
+        self.mlp = LlamaMLP(config, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, params, hidden, cos, sin, attn_args, cache, cache_position):
+        residual = hidden
+        h = self.input_layernorm(params["input_layernorm"], hidden)
+        h, cache = self.self_attn(params["self_attn"], h, cos, sin, attn_args, cache, cache_position)
+        hidden = residual + h
+        residual = hidden
+        h = self.post_attention_layernorm(params["post_attention_layernorm"], hidden)
+        h = self.mlp(params["mlp"], h)
+        hidden = residual + h
+        return hidden, cache
+
+
+class LlamaModel(Module):
+    """Bare transformer (reference modeling_llama.py:347)."""
+
+    def __init__(self, config: LlamaConfig, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.config = config
+        self.embed_tokens = Embedding(config.vocab_size, config.hidden_size, dtype=dtype, param_dtype=param_dtype,
+                                      embedding_init=normal_init(config.initializer_range))
+        self.layers = [
+            LlamaDecoderLayer(config, i, dtype=dtype, param_dtype=param_dtype)
+            for i in range(config.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(config.hidden_size, config.rms_norm_eps, dtype=dtype, param_dtype=param_dtype)
+        self.inv_freq, self.attention_scaling = rope_inv_freq(config)
+
+    def __call__(
+        self,
+        params,
+        input_ids: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        past_key_values: Optional[StaticKVCache] = None,
+        cache_position=0,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        output_hidden_states: bool = False,
+    ) -> BaseModelOutputWithPast:
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(params["embed_tokens"], input_ids)
+        hidden = inputs_embeds
+        b, s, _ = hidden.shape
+
+        if position_ids is None:
+            if attention_mask is not None and past_key_values is None:
+                position_ids = position_ids_from_mask(attention_mask[:, :s])
+            else:
+                position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
+                position_ids = jnp.broadcast_to(position_ids, (b, s))
+        cos, sin = compute_cos_sin(position_ids, self.inv_freq, self.attention_scaling, dtype=self.dtype)
+
+        kv_len = past_key_values.max_len if past_key_values is not None else s
+        bias = make_causal_bias(
+            attention_mask if attention_mask is not None else None,
+            q_len=s, kv_len=kv_len, q_start=cache_position, dtype=jnp.float32, batch=b,
+        )
+        q_positions = jnp.asarray(cache_position, jnp.int32) + jnp.arange(s, dtype=jnp.int32)[None, :]
+        q_positions = jnp.broadcast_to(q_positions, (b, s))
+        kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
+        attn_args = {"bias": bias, "q_positions": q_positions, "kv_valid": kv_valid, "sliding_window": None}
+
+        all_hidden = [] if output_hidden_states else None
+        cache = past_key_values
+        for i, layer in enumerate(self.layers):
+            if output_hidden_states:
+                all_hidden.append(hidden)
+            hidden, cache = layer(params["layers"][str(i)], hidden, cos, sin, attn_args, cache, cache_position)
+        hidden = self.norm(params["norm"], hidden)
+        if output_hidden_states:
+            all_hidden.append(hidden)
+        return BaseModelOutputWithPast(
+            last_hidden_state=hidden,
+            past_key_values=cache,
+            hidden_states=tuple(all_hidden) if all_hidden is not None else None,
+        )
+
+
+class LlamaPreTrainedModel(PreTrainedModel):
+    config_class = LlamaConfig
+    base_model_prefix = "model"
+
+
+class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
+    """Reference modeling_llama.py:421. ``_tp_plan`` mirrors :424-426."""
+
+    _tp_plan = {
+        r"model\.embed_tokens\.weight": "embed",
+        r".*\.self_attn\.(q|k|v)_proj\.weight": "colwise",
+        r".*\.self_attn\.o_proj\.weight": "rowwise",
+        r".*\.mlp\.(gate|up)_proj\.weight": "colwise",
+        r".*\.mlp\.down_proj\.weight": "rowwise",
+        r"lm_head\.weight": "colwise",
+    }
+
+    def __init__(self, config: LlamaConfig, *, dtype=jnp.float32, param_dtype=None):
+        super().__init__(config, dtype=dtype, param_dtype=param_dtype)
+        self.model = LlamaModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        # When word embeddings are tied, logits come from embed_tokens.attend —
+        # no lm_head param exists at all (zero extra HBM vs. the reference's
+        # pointer-tied tensors, modeling_utils.py:2607).
+        if not config.tie_word_embeddings:
+            self.lm_head = Linear(config.hidden_size, config.vocab_size, False, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  kernel_init=normal_init(config.initializer_range))
+
+    def get_input_embedding_path(self):
+        return "model.embed_tokens.weight"
+
+    @property
+    def tied_weights_keys(self):
+        return ()
+
+    def tie_weights(self, params):
+        return params
+
+    def compute_logits(self, params, hidden):
+        if self.config.tie_word_embeddings:
+            return self.model.embed_tokens.attend(params["model"]["embed_tokens"], hidden)
+        return self.lm_head(params["lm_head"], hidden)
+
+    def __call__(
+        self,
+        params,
+        input_ids: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        past_key_values: Optional[StaticKVCache] = None,
+        cache_position=0,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        labels: Optional[jnp.ndarray] = None,
+        logits_to_keep: int = 0,
+        output_hidden_states: bool = False,
+    ) -> CausalLMOutputWithPast:
+        outputs = self.model(
+            params["model"], input_ids, attention_mask, position_ids,
+            past_key_values, cache_position, inputs_embeds, output_hidden_states,
+        )
+        hidden = outputs.last_hidden_state
+        if logits_to_keep:
+            hidden = hidden[:, -logits_to_keep:, :]
+        logits = self.compute_logits(params, hidden)
+        loss = None
+        if labels is not None:
+            from ...loss import for_causal_lm_loss
+
+            loss = for_causal_lm_loss(logits, labels, self.config.vocab_size)
+        return CausalLMOutputWithPast(
+            loss=loss,
+            logits=logits,
+            past_key_values=outputs.past_key_values,
+            hidden_states=outputs.hidden_states,
+        )
+
+    def init_cache(self, batch_size: int, max_len: int, dtype=None) -> StaticKVCache:
+        return cache_from_config(self.config, batch_size, max_len, dtype or self.dtype)
+
+
+class LlamaModelStandalone(LlamaPreTrainedModel):
+    """Bare LlamaModel exposed as a loadable checkpoint target (AutoModel)."""
+
+    def __init__(self, config: LlamaConfig, *, dtype=jnp.float32, param_dtype=None):
+        super().__init__(config, dtype=dtype, param_dtype=param_dtype)
+        self.model = LlamaModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(self, params, *args, **kwargs):
+        return self.model(params["model"], *args, **kwargs)

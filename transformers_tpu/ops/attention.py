@@ -1,0 +1,96 @@
+"""Attention kernel registry + reference (eager) implementation.
+
+TPU-native analog of reference ``AttentionInterface``/``ALL_ATTENTION_FUNCTIONS``
+(src/transformers/modeling_utils.py:5093-5131) and the eager/sdpa kernels
+(src/transformers/integrations/sdpa_attention.py:82).
+
+All kernels use the **BSHD** layout (batch, seq, heads, head_dim) — the native
+layout for TPU flash kernels — and take GQA k/v with fewer heads directly.
+
+Keys (reference A.5 analog):
+- ``eager``: pure-jnp dot-product softmax; the parity/debug path. XLA fuses
+  this well enough for short sequences; long-seq hot path is ``flash``.
+- ``flash``: Pallas flash attention (ops/pallas/flash_attention.py).
+- ``default``: alias that picks ``flash`` on TPU when shapes allow, else eager.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.generic import GeneralInterface
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B, S, KVH, D] -> [B, S, KVH*n_rep, D] (reference modeling_llama.py repeat_kv)."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d))
+    return x.reshape(b, s, h * n_rep, d)
+
+
+def eager_attention(
+    q: jnp.ndarray,  # [B, Q, H, D]
+    k: jnp.ndarray,  # [B, KV, KVH, D]
+    v: jnp.ndarray,  # [B, KV, KVH, D]
+    bias: Optional[jnp.ndarray] = None,  # [B, 1, Q, KV] additive
+    *,
+    scale: Optional[float] = None,
+    logit_cap: Optional[float] = None,
+    **kwargs,
+) -> jnp.ndarray:
+    """Reference dot-product attention; float32 softmax for numerics."""
+    h, kvh = q.shape[2], k.shape[2]
+    if kvh != h:
+        k = repeat_kv(k, h // kvh)
+        v = repeat_kv(v, h // kvh)
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    # [B, H, Q, KV]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if logit_cap is not None and logit_cap > 0:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def flash_attention_dispatch(q, k, v, bias=None, *, scale=None, logit_cap=None, is_causal=False,
+                             q_positions=None, kv_valid=None, sliding_window=None, **kwargs):
+    """Pallas flash attention with eager fallback for unsupported shapes."""
+    from .pallas.flash_attention import flash_attention, flash_supported
+
+    if flash_supported(q, k, v):
+        return flash_attention(
+            q, k, v,
+            q_positions=q_positions, kv_valid=kv_valid,
+            scale=scale, logit_cap=logit_cap, is_causal=is_causal,
+            sliding_window=sliding_window, bias=bias,
+        )
+    return eager_attention(q, k, v, bias, scale=scale, logit_cap=logit_cap)
+
+
+class AttentionInterface(GeneralInterface):
+    _global_mapping = {
+        "eager": eager_attention,
+        "sdpa": eager_attention,  # alias: XLA *is* our fused sdpa
+        "default": eager_attention,
+    }
+
+
+ALL_ATTENTION_FUNCTIONS = AttentionInterface()
+
+
+def get_attention_fn(implementation: Optional[str]):
+    key = implementation or "default"
+    if key not in ALL_ATTENTION_FUNCTIONS:
+        raise KeyError(
+            f"Unknown attention implementation {key!r}; valid: {ALL_ATTENTION_FUNCTIONS.valid_keys()}"
+        )
+    return ALL_ATTENTION_FUNCTIONS[key]

@@ -1,0 +1,3 @@
+from . import logging
+from .generic import GeneralInterface, ModelOutput, flatten_dict, unflatten_dict
+from .hub import cached_file, cached_files, has_file
