@@ -28,4 +28,5 @@ from .models.auto import (
     AutoModelForZeroShotImageClassification,
 )
 from .models.llama import LlamaConfig, LlamaForCausalLM
+from .tokenization import AutoTokenizer, BatchEncoding, PreTrainedTokenizer
 from .utils import logging

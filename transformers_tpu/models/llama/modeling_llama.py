@@ -24,7 +24,7 @@ from ...modeling_outputs import BaseModelOutputWithPast, CausalLMOutputWithPast
 from ...modeling_utils import PreTrainedModel
 from ...ops.attention import get_attention_fn
 from ...ops.activations import get_activation
-from ...ops.masks import make_causal_bias, position_ids_from_mask
+from ...ops.masks import position_ids_from_mask
 from ...ops.rope import apply_rotary_pos_emb, compute_cos_sin, rope_inv_freq
 from .configuration_llama import LlamaConfig
 
@@ -93,9 +93,7 @@ class LlamaAttention(Module):
             k_full, v_full = k, v
 
         attn_fn = get_attention_fn(self.config.attn_implementation)
-        out = attn_fn(q, k_full, v_full, attn_args.get("bias"), scale=self.scale,
-                      q_positions=attn_args.get("q_positions"), kv_valid=attn_args.get("kv_valid"),
-                      sliding_window=attn_args.get("sliding_window"))
+        out = attn_fn(q, k_full, v_full, scale=self.scale, **attn_args)
         out = out.reshape(b, s, self.num_heads * self.head_dim)
         return self.o_proj(params["o_proj"], out), cache
 
@@ -163,14 +161,11 @@ class LlamaModel(Module):
         cos, sin = compute_cos_sin(position_ids, self.inv_freq, self.attention_scaling, dtype=self.dtype)
 
         kv_len = past_key_values.max_len if past_key_values is not None else s
-        bias = make_causal_bias(
-            attention_mask if attention_mask is not None else None,
-            q_len=s, kv_len=kv_len, q_start=cache_position, dtype=jnp.float32, batch=b,
-        )
         q_positions = jnp.asarray(cache_position, jnp.int32) + jnp.arange(s, dtype=jnp.int32)[None, :]
         q_positions = jnp.broadcast_to(q_positions, (b, s))
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
-        attn_args = {"bias": bias, "q_positions": q_positions, "kv_valid": kv_valid, "sliding_window": None}
+        attn_args = {"q_positions": q_positions, "kv_valid": kv_valid,
+                     "is_causal": True, "sliding_window": None}
 
         all_hidden = [] if output_hidden_states else None
         cache = past_key_values

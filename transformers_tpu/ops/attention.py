@@ -5,13 +5,16 @@ TPU-native analog of reference ``AttentionInterface``/``ALL_ATTENTION_FUNCTIONS`
 (src/transformers/integrations/sdpa_attention.py:82).
 
 All kernels use the **BSHD** layout (batch, seq, heads, head_dim) — the native
-layout for TPU flash kernels — and take GQA k/v with fewer heads directly.
+layout for TPU flash kernels — take GQA k/v with fewer heads directly, and
+receive the mask **as data** (q_positions + kv_valid + flags), not as a
+materialized bias; only the eager path renders a bias tensor.
 
 Keys (reference A.5 analog):
-- ``eager``: pure-jnp dot-product softmax; the parity/debug path. XLA fuses
-  this well enough for short sequences; long-seq hot path is ``flash``.
-- ``flash``: Pallas flash attention (ops/pallas/flash_attention.py).
-- ``default``: alias that picks ``flash`` on TPU when shapes allow, else eager.
+- ``eager``: pure-jnp dot-product softmax; the parity/debug path.
+- ``sdpa``: alias of eager — XLA *is* our fused sdpa.
+- ``flash``/``flash_attention_2``: Pallas flash kernel with eager fallback
+  for unsupported shapes (ops/pallas/flash_attention.py).
+- ``default``: flash on TPU when shapes allow, else eager.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.generic import GeneralInterface
+from .masks import bidirectional_mask_bool, causal_mask_bool, to_additive
 
 
 def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
@@ -33,12 +37,30 @@ def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     return x.reshape(b, s, h * n_rep, d)
 
 
+def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window):
+    b, sq = q.shape[0], q.shape[1]
+    skv = k.shape[1]
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(jnp.arange(sq, dtype=jnp.int32)[None, :], (b, sq))
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, skv), jnp.int32)
+    if is_causal:
+        mask = causal_mask_bool(q_positions, kv_valid, sliding_window=sliding_window)
+    else:
+        mask = jnp.broadcast_to(kv_valid.astype(bool)[:, None, None, :], (b, 1, sq, skv))
+    return to_additive(mask, jnp.float32)
+
+
 def eager_attention(
     q: jnp.ndarray,  # [B, Q, H, D]
     k: jnp.ndarray,  # [B, KV, KVH, D]
     v: jnp.ndarray,  # [B, KV, KVH, D]
-    bias: Optional[jnp.ndarray] = None,  # [B, 1, Q, KV] additive
-    *,
+    bias: Optional[jnp.ndarray] = None,  # [B, 1, Q, KV] additive; built from
+    *,                                   # mask data when absent
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
+    is_causal: bool = True,
+    sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
     logit_cap: Optional[float] = None,
     **kwargs,
@@ -48,39 +70,47 @@ def eager_attention(
     if kvh != h:
         k = repeat_kv(k, h // kvh)
         v = repeat_kv(v, h // kvh)
+    if bias is None:
+        bias = _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window)
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    # [B, H, Q, KV]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
     if logit_cap is not None and logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
-    if bias is not None:
-        scores = scores + bias.astype(jnp.float32)
+    scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     return out
 
 
-def flash_attention_dispatch(q, k, v, bias=None, *, scale=None, logit_cap=None, is_causal=False,
-                             q_positions=None, kv_valid=None, sliding_window=None, **kwargs):
+def flash_attention_dispatch(
+    q, k, v, bias=None, *,
+    q_positions=None, kv_valid=None, is_causal=True, sliding_window=None,
+    scale=None, logit_cap=None, **kwargs,
+):
     """Pallas flash attention with eager fallback for unsupported shapes."""
     from .pallas.flash_attention import flash_attention, flash_supported
 
-    if flash_supported(q, k, v):
+    if bias is None and flash_supported(q, k, v):
         return flash_attention(
             q, k, v,
             q_positions=q_positions, kv_valid=kv_valid,
             scale=scale, logit_cap=logit_cap, is_causal=is_causal,
-            sliding_window=sliding_window, bias=bias,
+            sliding_window=sliding_window,
         )
-    return eager_attention(q, k, v, bias, scale=scale, logit_cap=logit_cap)
+    return eager_attention(q, k, v, bias, q_positions=q_positions, kv_valid=kv_valid,
+                           is_causal=is_causal, sliding_window=sliding_window,
+                           scale=scale, logit_cap=logit_cap)
 
 
 class AttentionInterface(GeneralInterface):
     _global_mapping = {
         "eager": eager_attention,
         "sdpa": eager_attention,  # alias: XLA *is* our fused sdpa
-        "default": eager_attention,
+        "flash": flash_attention_dispatch,
+        "flash_attention_2": flash_attention_dispatch,
+        "flash_attention_3": flash_attention_dispatch,
+        "default": flash_attention_dispatch,
     }
 
 

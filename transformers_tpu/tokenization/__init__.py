@@ -1,0 +1,3 @@
+from .auto import AutoTokenizer
+from .base import BatchEncoding, PreTrainedTokenizer
+from .engine import TokenizerEngine
