@@ -1,0 +1,138 @@
+"""Decoder-family parity suite — the tester-mixin analog (reference
+tests/causal_lm_tester.py): each family declares a tiny config; a shared
+battery checks logit parity vs torch transformers, cached decode consistency,
+and greedy-generate parity.
+"""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from parity_utils import max_abs_diff, torch_logits  # noqa: E402
+
+import transformers_tpu as ttpu  # noqa: E402
+
+TINY = dict(
+    vocab_size=99,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=256,
+)
+
+# family -> (hf config class name, tiny-config overrides)
+FAMILIES = {
+    "mistral": ("MistralConfig", dict(sliding_window=4)),
+    "mistral-nowindow": ("MistralConfig", dict(sliding_window=None)),
+    "qwen2": ("Qwen2Config", dict(use_sliding_window=False)),
+    "qwen2-sliding": ("Qwen2Config", dict(use_sliding_window=True, sliding_window=4, max_window_layers=1)),
+    "qwen3": ("Qwen3Config", dict(head_dim=8)),
+    "gemma": ("GemmaConfig", dict(head_dim=8, num_key_value_heads=4)),
+    "gemma2": ("Gemma2Config", dict(
+        head_dim=8, query_pre_attn_scalar=8, sliding_window=4,
+        final_logit_softcapping=30.0, attn_logit_softcapping=50.0,
+    )),
+    "phi3": ("Phi3Config", dict(num_key_value_heads=2, pad_token_id=0, eos_token_id=2, bos_token_id=1)),
+    "llama-tied": ("LlamaConfig", dict(tie_word_embeddings=True)),
+    "llama-tied2": ("LlamaConfig", dict(tie_word_embeddings=True)),
+    "mixtral": ("MixtralConfig", dict(num_local_experts=4, num_experts_per_tok=2, sliding_window=None)),
+}
+
+# Families whose configs use different field names: full config dicts, no TINY merge.
+FAMILIES_RAW = {
+    "gpt2": ("GPT2Config", dict(vocab_size=99, n_embd=32, n_layer=3, n_head=4, n_positions=256)),
+    "gpt_neox": ("GPTNeoXConfig", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=128, rotary_pct=0.5, use_parallel_residual=True, max_position_embeddings=256)),
+    "gpt_neox-seq": ("GPTNeoXConfig", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=128, rotary_pct=0.25, use_parallel_residual=False, max_position_embeddings=256)),
+}
+
+
+def make_tiny(tmp_dir: str, hf_config_name: str, cfg: dict, seed=0):
+    import torch
+    import transformers
+
+    torch.manual_seed(seed)
+    config_cls = getattr(transformers, hf_config_name)
+    config = config_cls(**cfg, attn_implementation="eager")
+    arch = transformers.AutoModelForCausalLM._model_mapping[type(config)]
+    model = arch(config)
+    model.eval()
+    model.save_pretrained(tmp_dir, safe_serialization=True)
+    return model
+
+
+def family_config(family: str) -> tuple[str, dict]:
+    if family in FAMILIES_RAW:
+        return FAMILIES_RAW[family]
+    name, overrides = FAMILIES[family]
+    return name, {**TINY, **overrides}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES) + sorted(FAMILIES_RAW))
+def test_logit_parity(family, tmp_path):
+    name, cfg = family_config(family)
+    d = str(tmp_path / family)
+    torch_model = make_tiny(d, name, cfg)
+
+    model = ttpu.AutoModelForCausalLM.from_pretrained(d, dtype="float32")
+    assert not model.load_report.missing_keys, model.load_report.missing_keys
+    assert not model.load_report.unexpected_keys, model.load_report.unexpected_keys
+
+    ids = np.array([[1, 5, 9, 3, 22, 7, 14, 2]], dtype=np.int64)
+    ref = torch_logits(torch_model, ids)
+    out = model(model.params, input_ids=jnp.asarray(ids))
+    diff = max_abs_diff(out.logits, ref)
+    assert diff < 3e-5, f"{family}: logit diff {diff}"
+
+
+@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "mixtral"])
+def test_cached_decode_matches_full(family, tmp_path):
+    """Incremental decode with the static cache == one-shot forward — this is
+    what exercises sliding windows and softcapping under cache geometry."""
+    name, cfg = family_config(family)
+    d = str(tmp_path / family)
+    make_tiny(d, name, cfg)
+    model = ttpu.AutoModelForCausalLM.from_pretrained(d, dtype="float32")
+    params = model.params
+    ids = np.array([[1, 5, 9, 3, 22, 7, 14, 2]], dtype=np.int32)
+    full = model(params, input_ids=jnp.asarray(ids))
+    cache = model.init_cache(1, 8, dtype=jnp.float32)
+    mask = np.zeros((1, 8), np.int32)
+    mask[:, :4] = 1
+    out = model(params, input_ids=jnp.asarray(ids[:, :4]), attention_mask=jnp.asarray(mask),
+                past_key_values=cache, cache_position=0)
+    assert max_abs_diff(out.logits, full.logits[:, :4]) < 1e-4
+    cache = out.past_key_values
+    for t in range(4, 8):
+        mask[:, t] = 1
+        step = model(params, input_ids=jnp.asarray(ids[:, t : t + 1]),
+                     attention_mask=jnp.asarray(mask), position_ids=jnp.asarray([[t]]),
+                     past_key_values=cache, cache_position=t)
+        cache = step.past_key_values
+        assert max_abs_diff(step.logits[:, 0], full.logits[:, t]) < 1e-4, f"{family} step {t}"
+
+
+@pytest.mark.parametrize("family", ["mistral", "gemma", "gpt2"])
+def test_greedy_generate_matches_torch(family, tmp_path):
+    import torch
+
+    name, cfg = family_config(family)
+    d = str(tmp_path / family)
+    torch_model = make_tiny(d, name, cfg)
+    model = ttpu.AutoModelForCausalLM.from_pretrained(d, dtype="float32")
+    ids = np.array([[1, 5, 9, 3]], dtype=np.int64)
+    with torch.no_grad():
+        ref = torch_model.generate(torch.tensor(ids), max_new_tokens=8, do_sample=False,
+                                   pad_token_id=0).numpy()
+    out = np.asarray(model.generate(model.params, input_ids=jnp.asarray(ids),
+                                    max_new_tokens=8, prompt_pad_multiple=4))
+    np.testing.assert_array_equal(out[0], ref[0])

@@ -86,6 +86,30 @@ def init_static_cache(
                          layer_windows=tuple(layer_windows), max_len=max_len)
 
 
+def layer_sliding_window(config, layer_idx: int) -> Optional[int]:
+    """Per-layer effective sliding window (reference cache_utils.py:1694
+    ``get_layer_types_and_kwargs`` + per-model attention wiring):
+
+    - ``layer_types`` list: "sliding_attention" entries get the window.
+    - Qwen2-style ``use_sliding_window``+``max_window_layers``: sliding only
+      for layers >= max_window_layers.
+    - plain ``sliding_window``: every layer (Mistral).
+    """
+    window = getattr(config, "sliding_window", None)
+    if window is None:
+        return None
+    layer_types = getattr(config, "layer_types", None)
+    if layer_types is not None:
+        return window if layer_types[layer_idx] == "sliding_attention" else None
+    use_sliding = getattr(config, "use_sliding_window", True)
+    if not use_sliding:
+        return None
+    max_window_layers = getattr(config, "max_window_layers", None)
+    if max_window_layers is not None and layer_idx < max_window_layers:
+        return None
+    return window
+
+
 def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16) -> StaticKVCache:
     """Derive cache geometry from a decoder config (hybrid layer_types aware,
     reference cache_utils.py:1694 ``get_layer_types_and_kwargs``)."""
@@ -95,14 +119,7 @@ def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16)
     head_dim = getattr(text_config, "head_dim", None) or (
         text_config.hidden_size // text_config.num_attention_heads
     )
-    layer_types = getattr(text_config, "layer_types", None)
-    window = getattr(text_config, "sliding_window", None)
-    if layer_types is not None and window is not None:
-        layer_windows = tuple(window if t == "sliding_attention" else None for t in layer_types)
-    elif window is not None and getattr(text_config, "use_sliding_window", True):
-        layer_windows = (window,) * num_layers
-    else:
-        layer_windows = (None,) * num_layers
+    layer_windows = tuple(layer_sliding_window(text_config, i) for i in range(num_layers))
     return init_static_cache(
         num_layers=num_layers,
         batch_size=batch_size,

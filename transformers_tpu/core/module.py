@@ -158,7 +158,12 @@ def kaiming_uniform_init(fan_in: int):
 
 class Linear(Module):
     """Dense layer. Param key "weight" (hub parity) stored as [in, out] kernel;
-    torch checkpoints store [out, in] — transposed at load/save."""
+    torch checkpoints store [out, in] — transposed at load/save.
+
+    ``transpose_at_load=False`` handles GPT-2-style ``Conv1D`` checkpoints
+    (reference src/transformers/pytorch_utils.py Conv1D) whose weights are
+    already ``[in, out]``.
+    """
 
     def __init__(
         self,
@@ -169,12 +174,14 @@ class Linear(Module):
         dtype=jnp.float32,
         param_dtype=jnp.float32,
         kernel_init: Optional[Callable] = None,
+        transpose_at_load: bool = True,
     ):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.in_features = in_features
         self.out_features = out_features
         self.use_bias = use_bias
         self.kernel_init = kernel_init or normal_init(0.02)
+        self.transpose_at_load = transpose_at_load
 
     def init(self, rng):
         kw, kb = jax.random.split(rng)
@@ -184,12 +191,12 @@ class Linear(Module):
         return params
 
     def param_load_transform(self, name, arr):
-        if name == "weight":
+        if name == "weight" and self.transpose_at_load:
             return np.ascontiguousarray(arr.transpose())
         return arr
 
     def param_save_transform(self, name, arr):
-        if name == "weight":
+        if name == "weight" and self.transpose_at_load:
             return arr.T
         return arr
 

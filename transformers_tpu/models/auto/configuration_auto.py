@@ -17,6 +17,15 @@ from ...utils.hub import CONFIG_NAME, cached_file
 # model_type -> (module under transformers_tpu.models, config class name)
 CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaConfig"),
+    "mistral": ("mistral", "MistralConfig"),
+    "qwen2": ("qwen2", "Qwen2Config"),
+    "qwen3": ("qwen3", "Qwen3Config"),
+    "gemma": ("gemma", "GemmaConfig"),
+    "gemma2": ("gemma2", "Gemma2Config"),
+    "phi3": ("phi3", "Phi3Config"),
+    "gpt2": ("gpt2", "GPT2Config"),
+    "gpt_neox": ("gpt_neox", "GPTNeoXConfig"),
+    "mixtral": ("mixtral", "MixtralConfig"),
 }
 
 

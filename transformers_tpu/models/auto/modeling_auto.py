@@ -14,9 +14,27 @@ from .configuration_auto import AutoConfig
 # task mapping tables: model_type -> (module under transformers_tpu.models, class name)
 MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaModelStandalone"),
+    "mistral": ("mistral", "MistralModelStandalone"),
+    "qwen2": ("qwen2", "Qwen2ModelStandalone"),
+    "qwen3": ("qwen3", "Qwen3ModelStandalone"),
+    "gemma": ("gemma", "GemmaModelStandalone"),
+    "gemma2": ("gemma2", "Gemma2ModelStandalone"),
+    "phi3": ("phi3", "Phi3ModelStandalone"),
+    "gpt2": ("gpt2", "GPT2ModelStandalone"),
+    "gpt_neox": ("gpt_neox", "GPTNeoXModelStandalone"),
+    "mixtral": ("mixtral", "MixtralModelStandalone"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
+    "mistral": ("mistral", "MistralForCausalLM"),
+    "qwen2": ("qwen2", "Qwen2ForCausalLM"),
+    "qwen3": ("qwen3", "Qwen3ForCausalLM"),
+    "gemma": ("gemma", "GemmaForCausalLM"),
+    "gemma2": ("gemma2", "Gemma2ForCausalLM"),
+    "phi3": ("phi3", "Phi3ForCausalLM"),
+    "gpt2": ("gpt2", "GPT2LMHeadModel"),
+    "gpt_neox": ("gpt_neox", "GPTNeoXForCausalLM"),
+    "mixtral": ("mixtral", "MixtralForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}

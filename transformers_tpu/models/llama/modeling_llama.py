@@ -6,8 +6,12 @@ DecoderLayer :284, Model :347, ForCausalLM :421) but the implementation is a
 pure-function JAX module tree: BSHD attention layout, masks as data, static
 KV cache updated functionally, float32 softmax/norms for numerical parity.
 
-This file is also the **decoder skeleton** other families parameterize
-(SURVEY §A.3: 173 causal-LM architectures share this structure).
+This file is the **decoder skeleton** other families parameterize (SURVEY
+§A.3: 173 causal-LM architectures share this structure). Where the reference
+uses its modular system (modular_*.py expanded by AST tooling), we use plain
+class inheritance: subclasses swap ``attention_cls``/``mlp_cls``/
+``decoder_layer_cls`` class attributes or override the config-driven knobs
+(sliding windows, qk-norm, softcapping, biases) that this skeleton reads.
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ...cache_utils import StaticKVCache, cache_from_config
+from ...cache_utils import StaticKVCache, cache_from_config, layer_sliding_window
 from ...core.module import Embedding, Linear, Module, RMSNorm, normal_init
 from ...generation.utils import GenerationMixin
 from ...modeling_outputs import BaseModelOutputWithPast, CausalLMOutputWithPast
@@ -40,7 +44,9 @@ class LlamaMLP(Module):
         self.gate_proj = Linear(config.hidden_size, config.intermediate_size, bias, **kw)
         self.up_proj = Linear(config.hidden_size, config.intermediate_size, bias, **kw)
         self.down_proj = Linear(config.intermediate_size, config.hidden_size, bias, **kw)
-        self.act_fn = get_activation(config.hidden_act)
+        self.act_fn = get_activation(
+            getattr(config, "hidden_activation", None) or config.hidden_act
+        )
 
     def __call__(self, params, x):
         return self.down_proj(
@@ -50,7 +56,17 @@ class LlamaMLP(Module):
 
 
 class LlamaAttention(Module):
-    """GQA attention with registry dispatch (reference modeling_llama.py:217-283)."""
+    """GQA attention with registry dispatch (reference modeling_llama.py:217-283).
+
+    Config-driven knobs subclasses rely on:
+    - ``attention_qkv_bias`` / ``attention_o_bias`` (fall back to
+      ``attention_bias``): Qwen2-style asymmetric biases.
+    - per-layer sliding window via ``layer_sliding_window`` (layer_types /
+      sliding_window / use_sliding_window / max_window_layers).
+    - ``attn_logit_softcapping``: Gemma2 tanh capping.
+    - ``query_pre_attn_scalar``: Gemma2 scale override.
+    - ``self.q_norm``/``self.k_norm`` hooks (Qwen3/Gemma3 per-head RMSNorm).
+    """
 
     def __init__(self, config, layer_idx: int, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
@@ -59,14 +75,38 @@ class LlamaAttention(Module):
         self.num_heads = config.num_attention_heads
         self.num_kv_heads = getattr(config, "num_key_value_heads", None) or config.num_attention_heads
         self.head_dim = getattr(config, "head_dim", None) or config.hidden_size // config.num_attention_heads
-        self.scale = self.head_dim**-0.5
+        scalar = getattr(config, "query_pre_attn_scalar", None)
+        self.scale = (scalar**-0.5) if scalar else self.head_dim**-0.5
+        self.sliding_window = layer_sliding_window(config, layer_idx)
+        self.logit_cap = getattr(config, "attn_logit_softcapping", None)
         bias = getattr(config, "attention_bias", False)
+        qkv_bias = getattr(config, "attention_qkv_bias", None)
+        o_bias = getattr(config, "attention_o_bias", None)
+        qkv_bias = bias if qkv_bias is None else qkv_bias
+        o_bias = bias if o_bias is None else o_bias
         kw = dict(dtype=dtype, param_dtype=param_dtype,
                   kernel_init=normal_init(config.initializer_range))
-        self.q_proj = Linear(config.hidden_size, self.num_heads * self.head_dim, bias, **kw)
-        self.k_proj = Linear(config.hidden_size, self.num_kv_heads * self.head_dim, bias, **kw)
-        self.v_proj = Linear(config.hidden_size, self.num_kv_heads * self.head_dim, bias, **kw)
-        self.o_proj = Linear(self.num_heads * self.head_dim, config.hidden_size, bias, **kw)
+        self.build_projections(config, qkv_bias, o_bias, kw)
+        self.q_norm: Optional[Module] = None
+        self.k_norm: Optional[Module] = None
+
+    def build_projections(self, config, qkv_bias, o_bias, kw):
+        """Separate q/k/v/o projections; fused-checkpoint families override."""
+        self.q_proj = Linear(config.hidden_size, self.num_heads * self.head_dim, qkv_bias, **kw)
+        self.k_proj = Linear(config.hidden_size, self.num_kv_heads * self.head_dim, qkv_bias, **kw)
+        self.v_proj = Linear(config.hidden_size, self.num_kv_heads * self.head_dim, qkv_bias, **kw)
+        self.o_proj = Linear(self.num_heads * self.head_dim, config.hidden_size, o_bias, **kw)
+
+    def project_qkv(self, params, hidden):
+        """Split projections; subclasses with fused checkpoints override."""
+        b, s, _ = hidden.shape
+        q = self.q_proj(params["q_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+        k = self.k_proj(params["k_proj"], hidden).reshape(b, s, self.num_kv_heads, self.head_dim)
+        v = self.v_proj(params["v_proj"], hidden).reshape(b, s, self.num_kv_heads, self.head_dim)
+        return q, k, v
+
+    def project_out(self, params, out):
+        return self.o_proj(params["o_proj"], out)
 
     def __call__(
         self,
@@ -79,10 +119,13 @@ class LlamaAttention(Module):
         cache_position,
     ) -> tuple[jnp.ndarray, Optional[StaticKVCache]]:
         b, s, _ = hidden.shape
-        q = self.q_proj(params["q_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
-        k = self.k_proj(params["k_proj"], hidden).reshape(b, s, self.num_kv_heads, self.head_dim)
-        v = self.v_proj(params["v_proj"], hidden).reshape(b, s, self.num_kv_heads, self.head_dim)
-        q, k = apply_rotary_pos_emb(q, k, cos, sin)
+        q, k, v = self.project_qkv(params, hidden)
+        if self.q_norm is not None:
+            q = self.q_norm(params["q_norm"], q)
+        if self.k_norm is not None:
+            k = self.k_norm(params["k_norm"], k)
+        if cos is not None:
+            q, k = apply_rotary_pos_emb(q, k, cos, sin)
 
         if cache is not None:
             cache = cache.update(self.layer_idx, k, v, cache_position)
@@ -93,21 +136,31 @@ class LlamaAttention(Module):
             k_full, v_full = k, v
 
         attn_fn = get_attention_fn(self.config.attn_implementation)
-        out = attn_fn(q, k_full, v_full, scale=self.scale, **attn_args)
+        kwargs = dict(attn_args)
+        kwargs["sliding_window"] = self.sliding_window
+        kwargs["logit_cap"] = self.logit_cap
+        out = attn_fn(q, k_full, v_full, scale=self.scale, **kwargs)
         out = out.reshape(b, s, self.num_heads * self.head_dim)
-        return self.o_proj(params["o_proj"], out), cache
+        return self.project_out(params, out), cache
 
 
 class LlamaDecoderLayer(Module):
     """Pre-norm residual block (reference modeling_llama.py:284)."""
 
+    attention_cls = LlamaAttention
+    mlp_cls = LlamaMLP
+
     def __init__(self, config, layer_idx: int, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
-        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, dtype=dtype, param_dtype=param_dtype)
-        self.self_attn = LlamaAttention(config, layer_idx, dtype=dtype, param_dtype=param_dtype)
-        self.post_attention_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, dtype=dtype,
-                                                param_dtype=param_dtype)
-        self.mlp = LlamaMLP(config, dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        self.input_layernorm = self.make_norm(config, **kw)
+        self.self_attn = self.attention_cls(config, layer_idx, **kw)
+        self.post_attention_layernorm = self.make_norm(config, **kw)
+        self.mlp = self.mlp_cls(config, **kw)
+
+    @staticmethod
+    def make_norm(config, **kw):
+        return RMSNorm(config.hidden_size, config.rms_norm_eps, **kw)
 
     def __call__(self, params, hidden, cos, sin, attn_args, cache, cache_position):
         residual = hidden
@@ -124,17 +177,34 @@ class LlamaDecoderLayer(Module):
 class LlamaModel(Module):
     """Bare transformer (reference modeling_llama.py:347)."""
 
+    decoder_layer_cls = LlamaDecoderLayer
+    # scale inputs_embeds by sqrt(hidden) (Gemma family)
+    scale_embeddings: bool = False
+
     def __init__(self, config: LlamaConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         self.embed_tokens = Embedding(config.vocab_size, config.hidden_size, dtype=dtype, param_dtype=param_dtype,
                                       embedding_init=normal_init(config.initializer_range))
         self.layers = [
-            LlamaDecoderLayer(config, i, dtype=dtype, param_dtype=param_dtype)
+            self.decoder_layer_cls(config, i, dtype=dtype, param_dtype=param_dtype)
             for i in range(config.num_hidden_layers)
         ]
-        self.norm = RMSNorm(config.hidden_size, config.rms_norm_eps, dtype=dtype, param_dtype=param_dtype)
+        self.norm = self.decoder_layer_cls.make_norm(config, dtype=dtype, param_dtype=param_dtype)
         self.inv_freq, self.attention_scaling = rope_inv_freq(config)
+
+    def compute_rope(self, position_ids):
+        """(cos, sin) tables for every layer; Gemma3 overrides with a
+        (global, local) pair selected per layer type."""
+        return compute_cos_sin(position_ids, self.inv_freq, self.attention_scaling, dtype=self.dtype)
+
+    def rope_for_layer(self, rope, layer_idx):
+        return rope
+
+    def embed_scale(self):
+        # Gemma multiplies embeddings by sqrt(hidden) *rounded to the compute
+        # dtype* (reference models/gemma/modeling_gemma.py normalizer).
+        return jnp.asarray(self.config.hidden_size**0.5, self.dtype)
 
     def __call__(
         self,
@@ -149,6 +219,8 @@ class LlamaModel(Module):
     ) -> BaseModelOutputWithPast:
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(params["embed_tokens"], input_ids)
+            if self.scale_embeddings:
+                inputs_embeds = inputs_embeds * self.embed_scale()
         hidden = inputs_embeds
         b, s, _ = hidden.shape
 
@@ -158,7 +230,7 @@ class LlamaModel(Module):
             else:
                 position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
                 position_ids = jnp.broadcast_to(position_ids, (b, s))
-        cos, sin = compute_cos_sin(position_ids, self.inv_freq, self.attention_scaling, dtype=self.dtype)
+        rope = self.compute_rope(position_ids)
 
         kv_len = past_key_values.max_len if past_key_values is not None else s
         q_positions = jnp.asarray(cache_position, jnp.int32) + jnp.arange(s, dtype=jnp.int32)[None, :]
@@ -172,6 +244,7 @@ class LlamaModel(Module):
         for i, layer in enumerate(self.layers):
             if output_hidden_states:
                 all_hidden.append(hidden)
+            cos, sin = self.rope_for_layer(rope, i)
             hidden, cache = layer(params["layers"][str(i)], hidden, cos, sin, attn_args, cache, cache_position)
         hidden = self.norm(params["norm"], hidden)
         if output_hidden_states:
@@ -188,21 +261,29 @@ class LlamaPreTrainedModel(PreTrainedModel):
     base_model_prefix = "model"
 
 
+# Default decoder tp plan (reference modeling_llama.py:424-426); shared by
+# every Llama-skeleton family.
+DECODER_TP_PLAN = {
+    r"model\.embed_tokens\.weight": "embed",
+    r".*\.self_attn\.(q|k|v)_proj\.(weight|bias)": "colwise",
+    r".*\.self_attn\.qkv_proj\.(weight|bias)": "colwise",
+    r".*\.self_attn\.o_proj\.weight": "rowwise",
+    r".*\.mlp\.(gate|up)_proj\.weight": "colwise",
+    r".*\.mlp\.gate_up_proj\.weight": "colwise",
+    r".*\.mlp\.down_proj\.weight": "rowwise",
+    r"lm_head\.weight": "colwise",
+}
+
+
 class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
     """Reference modeling_llama.py:421. ``_tp_plan`` mirrors :424-426."""
 
-    _tp_plan = {
-        r"model\.embed_tokens\.weight": "embed",
-        r".*\.self_attn\.(q|k|v)_proj\.weight": "colwise",
-        r".*\.self_attn\.o_proj\.weight": "rowwise",
-        r".*\.mlp\.(gate|up)_proj\.weight": "colwise",
-        r".*\.mlp\.down_proj\.weight": "rowwise",
-        r"lm_head\.weight": "colwise",
-    }
+    model_cls = LlamaModel
+    _tp_plan = DECODER_TP_PLAN
 
     def __init__(self, config: LlamaConfig, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.model = LlamaModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype)
         # When word embeddings are tied, logits come from embed_tokens.attend —
         # no lm_head param exists at all (zero extra HBM vs. the reference's
         # pointer-tied tensors, modeling_utils.py:2607).
@@ -223,8 +304,13 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
 
     def compute_logits(self, params, hidden):
         if self.config.tie_word_embeddings:
-            return self.model.embed_tokens.attend(params["model"]["embed_tokens"], hidden)
-        return self.lm_head(params["lm_head"], hidden)
+            logits = self.model.embed_tokens.attend(params["model"]["embed_tokens"], hidden)
+        else:
+            logits = self.lm_head(params["lm_head"], hidden)
+        cap = getattr(self.config, "final_logit_softcapping", None)
+        if cap:
+            logits = jnp.tanh(logits / cap) * cap
+        return logits
 
     def __call__(
         self,
@@ -266,9 +352,11 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
 class LlamaModelStandalone(LlamaPreTrainedModel):
     """Bare LlamaModel exposed as a loadable checkpoint target (AutoModel)."""
 
+    model_cls = LlamaModel
+
     def __init__(self, config: LlamaConfig, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.model = LlamaModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, params, *args, **kwargs):
         return self.model(params["model"], *args, **kwargs)

@@ -1,0 +1,9 @@
+from .configuration_mistral import MistralConfig
+from .modeling_mistral import (
+    MistralAttention,
+    MistralDecoderLayer,
+    MistralForCausalLM,
+    MistralMLP,
+    MistralModel,
+    MistralModelStandalone,
+)

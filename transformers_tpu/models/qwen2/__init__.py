@@ -1,0 +1,9 @@
+from .configuration_qwen2 import Qwen2Config
+from .modeling_qwen2 import (
+    Qwen2Attention,
+    Qwen2DecoderLayer,
+    Qwen2ForCausalLM,
+    Qwen2MLP,
+    Qwen2Model,
+    Qwen2ModelStandalone,
+)
