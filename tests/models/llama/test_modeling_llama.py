@@ -33,12 +33,15 @@ def test_forward_logit_parity(tiny_ckpt):
 
 
 def test_padded_batch_parity(tiny_ckpt):
-    """Left-padded batch rows must match per-row unpadded logits."""
+    """Left-padded batch rows must match per-row unpadded logits (explicit
+    position_ids, as the reference's generate() provides them)."""
     d, torch_model = tiny_ckpt
     model = ttpu.AutoModelForCausalLM.from_pretrained(d, dtype="float32")
     ids = np.array([[0, 0, 4, 8, 15, 16], [23, 42, 11, 7, 2, 9]], dtype=np.int64)
     mask = np.array([[0, 0, 1, 1, 1, 1], [1, 1, 1, 1, 1, 1]], dtype=np.int64)
-    out = model(model.params, input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    pos = np.maximum(np.cumsum(mask, axis=-1) - 1, 0)
+    out = model(model.params, input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+                position_ids=jnp.asarray(pos))
     # row 0 unpadded
     ref0 = torch_logits(torch_model, ids[:1, 2:])
     diff0 = max_abs_diff(out.logits[0, 2:], ref0[0])

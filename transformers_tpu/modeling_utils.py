@@ -70,6 +70,10 @@ class PreTrainedModel(Module):
     main_input_name: str = "input_ids"
     _tied_weights_keys: tuple[str, ...] = ()
     _weight_rules: tuple = ()
+    # Checkpoint keys that are expected to be absent from the param tree
+    # (e.g. tied decoder duplicates) — regexes filtered from the load report
+    # (reference modeling_utils.py _keys_to_ignore_on_load_unexpected).
+    _keys_to_ignore_on_load_unexpected: tuple[str, ...] = ()
     # Declarative parallelism plan (regex -> PartitionSpec-vocabulary string),
     # the reference's per-model ``_tp_plan`` (models/llama/modeling_llama.py:424).
     _tp_plan: dict[str, str] = {}
@@ -174,6 +178,13 @@ class PreTrainedModel(Module):
             device=device,
             keep_in_fp32_patterns=getattr(cls, "_keep_in_fp32_patterns", ()),
         )
+        if cls._keys_to_ignore_on_load_unexpected:
+            import re
+
+            report.unexpected_keys = [
+                k for k in report.unexpected_keys
+                if not any(re.search(p, k) for p in cls._keys_to_ignore_on_load_unexpected)
+            ]
         # Tied weights resolve missing keys before random materialization.
         params = model.tie_weights(params)
         still_missing = [k for k in report.missing_keys if k not in flatten_dict(params)]

@@ -26,6 +26,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt2": ("gpt2", "GPT2Config"),
     "gpt_neox": ("gpt_neox", "GPTNeoXConfig"),
     "mixtral": ("mixtral", "MixtralConfig"),
+    "bert": ("bert", "BertConfig"),
+    "roberta": ("roberta", "RobertaConfig"),
 }
 
 

@@ -23,6 +23,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt2": ("gpt2", "GPT2ModelStandalone"),
     "gpt_neox": ("gpt_neox", "GPTNeoXModelStandalone"),
     "mixtral": ("mixtral", "MixtralModelStandalone"),
+    "bert": ("bert", "BertModelStandalone"),
+    "roberta": ("roberta", "RobertaModelStandalone"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
@@ -36,10 +38,31 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_neox": ("gpt_neox", "GPTNeoXForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
 }
-MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
-MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
-MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
-MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llama": ("llama", "LlamaForSequenceClassification"),
+    "mistral": ("mistral", "MistralForSequenceClassification"),
+    "qwen2": ("qwen2", "Qwen2ForSequenceClassification"),
+    "bert": ("bert", "BertForSequenceClassification"),
+    "roberta": ("roberta", "RobertaForSequenceClassification"),
+}
+MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llama": ("llama", "LlamaForTokenClassification"),
+    "mistral": ("mistral", "MistralForTokenClassification"),
+    "qwen2": ("qwen2", "Qwen2ForTokenClassification"),
+    "bert": ("bert", "BertForTokenClassification"),
+    "roberta": ("roberta", "RobertaForTokenClassification"),
+}
+MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llama": ("llama", "LlamaForQuestionAnswering"),
+    "mistral": ("mistral", "MistralForQuestionAnswering"),
+    "qwen2": ("qwen2", "Qwen2ForQuestionAnswering"),
+    "bert": ("bert", "BertForQuestionAnswering"),
+    "roberta": ("roberta", "RobertaForQuestionAnswering"),
+}
+MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "bert": ("bert", "BertForMaskedLM"),
+    "roberta": ("roberta", "RobertaForMaskedLM"),
+}
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {}

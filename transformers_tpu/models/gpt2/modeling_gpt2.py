@@ -18,7 +18,6 @@ from ...modeling_outputs import BaseModelOutputWithPast, CausalLMOutputWithPast
 from ...modeling_utils import PreTrainedModel
 from ...ops.activations import get_activation
 from ...ops.attention import get_attention_fn
-from ...ops.masks import position_ids_from_mask
 from .configuration_gpt2 import GPT2Config
 
 
@@ -118,11 +117,11 @@ class GPT2Model(Module):
             inputs_embeds = self.wte(params["wte"], input_ids)
         b, s, _ = inputs_embeds.shape
         if position_ids is None:
-            if attention_mask is not None and past_key_values is None:
-                position_ids = position_ids_from_mask(attention_mask[:, :s])
-            else:
-                position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
-                position_ids = jnp.broadcast_to(position_ids, (b, s))
+            # Reference default: positions from cache_position (arange), NOT
+            # mask-derived — callers with padded batches pass explicit
+            # position_ids, exactly as the reference's generate() does.
+            position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
+            position_ids = jnp.broadcast_to(position_ids, (b, s))
         hidden = inputs_embeds + self.wpe(params["wpe"], position_ids)
 
         kv_len = past_key_values.max_len if past_key_values is not None else s

@@ -19,7 +19,6 @@ from ...modeling_outputs import BaseModelOutputWithPast, CausalLMOutputWithPast
 from ...modeling_utils import PreTrainedModel
 from ...ops.activations import get_activation
 from ...ops.attention import get_attention_fn
-from ...ops.masks import position_ids_from_mask
 from ...ops.rope import apply_rotary_pos_emb, compute_cos_sin, rope_inv_freq
 from .configuration_gpt_neox import GPTNeoXConfig
 
@@ -124,11 +123,11 @@ class GPTNeoXModel(Module):
         hidden = inputs_embeds
         b, s, _ = hidden.shape
         if position_ids is None:
-            if attention_mask is not None and past_key_values is None:
-                position_ids = position_ids_from_mask(attention_mask[:, :s])
-            else:
-                position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
-                position_ids = jnp.broadcast_to(position_ids, (b, s))
+            # Reference default: positions from cache_position (arange), NOT
+            # mask-derived — callers with padded batches pass explicit
+            # position_ids, exactly as the reference's generate() does.
+            position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
+            position_ids = jnp.broadcast_to(position_ids, (b, s))
         cos, sin = compute_cos_sin(position_ids, self.inv_freq, self.attention_scaling, dtype=self.dtype)
 
         kv_len = past_key_values.max_len if past_key_values is not None else s

@@ -8,3 +8,8 @@ from .modeling_llama import (
     LlamaModelStandalone,
     LlamaPreTrainedModel,
 )
+from .modeling_llama import (
+    LlamaForQuestionAnswering,
+    LlamaForSequenceClassification,
+    LlamaForTokenClassification,
+)

@@ -28,7 +28,6 @@ from ...modeling_outputs import BaseModelOutputWithPast, CausalLMOutputWithPast
 from ...modeling_utils import PreTrainedModel
 from ...ops.attention import get_attention_fn
 from ...ops.activations import get_activation
-from ...ops.masks import position_ids_from_mask
 from ...ops.rope import apply_rotary_pos_emb, compute_cos_sin, rope_inv_freq
 from .configuration_llama import LlamaConfig
 
@@ -225,11 +224,11 @@ class LlamaModel(Module):
         b, s, _ = hidden.shape
 
         if position_ids is None:
-            if attention_mask is not None and past_key_values is None:
-                position_ids = position_ids_from_mask(attention_mask[:, :s])
-            else:
-                position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
-                position_ids = jnp.broadcast_to(position_ids, (b, s))
+            # Reference default: positions from cache_position (arange), NOT
+            # mask-derived — callers with padded batches pass explicit
+            # position_ids, exactly as the reference's generate() does.
+            position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
+            position_ids = jnp.broadcast_to(position_ids, (b, s))
         rope = self.compute_rope(position_ids)
 
         kv_len = past_key_values.max_len if past_key_values is not None else s
@@ -360,3 +359,30 @@ class LlamaModelStandalone(LlamaPreTrainedModel):
 
     def __call__(self, params, *args, **kwargs):
         return self.model(params["model"], *args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Task heads (reference modeling_llama.py LlamaForSequenceClassification /
+# LlamaForTokenClassification / LlamaForQuestionAnswering via the generic
+# heads, modeling_layers.py:118-254)
+# ---------------------------------------------------------------------------
+from ...modeling_layers import (  # noqa: E402
+    GenericForQuestionAnswering,
+    GenericForSequenceClassification,
+    GenericForTokenClassification,
+)
+
+
+class LlamaForSequenceClassification(GenericForSequenceClassification):
+    config_class = LlamaConfig
+    model_cls = LlamaModel
+
+
+class LlamaForTokenClassification(GenericForTokenClassification):
+    config_class = LlamaConfig
+    model_cls = LlamaModel
+
+
+class LlamaForQuestionAnswering(GenericForQuestionAnswering):
+    config_class = LlamaConfig
+    model_cls = LlamaModel

@@ -7,3 +7,8 @@ from .modeling_mistral import (
     MistralModel,
     MistralModelStandalone,
 )
+from .modeling_mistral import (
+    MistralForQuestionAnswering,
+    MistralForSequenceClassification,
+    MistralForTokenClassification,
+)

@@ -44,3 +44,25 @@ class MistralForCausalLM(LlamaForCausalLM):
 class MistralModelStandalone(LlamaModelStandalone):
     config_class = MistralConfig
     model_cls = MistralModel
+
+
+from ...modeling_layers import (  # noqa: E402
+    GenericForQuestionAnswering,
+    GenericForSequenceClassification,
+    GenericForTokenClassification,
+)
+
+
+class MistralForSequenceClassification(GenericForSequenceClassification):
+    config_class = MistralConfig
+    model_cls = MistralModel
+
+
+class MistralForTokenClassification(GenericForTokenClassification):
+    config_class = MistralConfig
+    model_cls = MistralModel
+
+
+class MistralForQuestionAnswering(GenericForQuestionAnswering):
+    config_class = MistralConfig
+    model_cls = MistralModel

@@ -7,3 +7,8 @@ from .modeling_qwen2 import (
     Qwen2Model,
     Qwen2ModelStandalone,
 )
+from .modeling_qwen2 import (
+    Qwen2ForQuestionAnswering,
+    Qwen2ForSequenceClassification,
+    Qwen2ForTokenClassification,
+)

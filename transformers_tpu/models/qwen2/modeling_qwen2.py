@@ -42,3 +42,25 @@ class Qwen2ForCausalLM(LlamaForCausalLM):
 class Qwen2ModelStandalone(LlamaModelStandalone):
     config_class = Qwen2Config
     model_cls = Qwen2Model
+
+
+from ...modeling_layers import (  # noqa: E402
+    GenericForQuestionAnswering,
+    GenericForSequenceClassification,
+    GenericForTokenClassification,
+)
+
+
+class Qwen2ForSequenceClassification(GenericForSequenceClassification):
+    config_class = Qwen2Config
+    model_cls = Qwen2Model
+
+
+class Qwen2ForTokenClassification(GenericForTokenClassification):
+    config_class = Qwen2Config
+    model_cls = Qwen2Model
+
+
+class Qwen2ForQuestionAnswering(GenericForQuestionAnswering):
+    config_class = Qwen2Config
+    model_cls = Qwen2Model
