@@ -12,8 +12,10 @@ from .cache_utils import StaticKVCache, cache_from_config, init_static_cache
 from .configuration_utils import PretrainedConfig
 from .generation import GenerationConfig, GenerationMixin
 from .modeling_utils import PreTrainedModel
+from .image_processing_utils import BaseImageProcessor, BatchFeature
 from .models.auto import (
     AutoConfig,
+    AutoImageProcessor,
     AutoModel,
     AutoModelForCausalLM,
     AutoModelForImageClassification,

@@ -13,3 +13,4 @@ from .modeling_auto import (
     AutoModelForVision2Seq,
     AutoModelForZeroShotImageClassification,
 )
+from .image_processing_auto import AutoImageProcessor

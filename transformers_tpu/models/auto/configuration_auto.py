@@ -28,6 +28,13 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mixtral": ("mixtral", "MixtralConfig"),
     "bert": ("bert", "BertConfig"),
     "roberta": ("roberta", "RobertaConfig"),
+    "vit": ("vit", "ViTConfig"),
+    "clip": ("clip", "CLIPConfig"),
+    "clip_text_model": ("clip", "CLIPTextConfig"),
+    "clip_vision_model": ("clip", "CLIPVisionConfig"),
+    "siglip": ("siglip", "SiglipConfig"),
+    "siglip_text_model": ("siglip", "SiglipTextConfig"),
+    "siglip_vision_model": ("siglip", "SiglipVisionConfig"),
 }
 
 

@@ -25,6 +25,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mixtral": ("mixtral", "MixtralModelStandalone"),
     "bert": ("bert", "BertModelStandalone"),
     "roberta": ("roberta", "RobertaModelStandalone"),
+    "vit": ("vit", "ViTModelStandalone"),
+    "clip": ("clip", "CLIPModel"),
+    "siglip": ("siglip", "SiglipModel"),
+    "siglip_vision_model": ("siglip", "SiglipVisionModel"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
@@ -63,12 +67,17 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
 }
-MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "vit": ("vit", "ViTForImageClassification"),
+}
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
-MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "clip": ("clip", "CLIPModel"),
+    "siglip": ("siglip", "SiglipModel"),
+}
 
 
 def _resolve(mapping: dict, model_type: str):

@@ -1,0 +1,9 @@
+from .configuration_clip import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
+from .modeling_clip import (
+    CLIPModel,
+    CLIPOutput,
+    CLIPPreTrainedModel,
+    CLIPTextTransformer,
+    CLIPVisionTransformer,
+)
+from .image_processing_clip import CLIPImageProcessor

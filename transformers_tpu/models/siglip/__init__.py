@@ -1,0 +1,10 @@
+from .configuration_siglip import SiglipConfig, SiglipTextConfig, SiglipVisionConfig
+from .image_processing_siglip import SiglipImageProcessor
+from .modeling_siglip import (
+    SiglipModel,
+    SiglipOutput,
+    SiglipPreTrainedModel,
+    SiglipTextTransformer,
+    SiglipVisionModel,
+    SiglipVisionTransformer,
+)

@@ -1,0 +1,20 @@
+"""ViT image processor (reference models/vit/image_processing_vit.py:20,
+``ViTImageProcessor(TorchvisionBackend)``): resize to 224x224 bilinear,
+rescale 1/255, normalize mean/std 0.5."""
+
+from __future__ import annotations
+
+from ...image_processing_utils import (
+    IMAGENET_STANDARD_MEAN,
+    IMAGENET_STANDARD_STD,
+    BaseImageProcessor,
+)
+
+
+class ViTImageProcessor(BaseImageProcessor):
+    def __init__(self, **kwargs):
+        kwargs.setdefault("size", {"height": 224, "width": 224})
+        kwargs.setdefault("resample", "bilinear")
+        kwargs.setdefault("image_mean", IMAGENET_STANDARD_MEAN)
+        kwargs.setdefault("image_std", IMAGENET_STANDARD_STD)
+        super().__init__(**kwargs)
