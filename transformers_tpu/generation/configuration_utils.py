@@ -39,6 +39,7 @@ class GenerationConfig:
         self.begin_suppress_tokens = kwargs.pop("begin_suppress_tokens", None)
         self.forced_bos_token_id = kwargs.pop("forced_bos_token_id", None)
         self.forced_eos_token_id = kwargs.pop("forced_eos_token_id", None)
+        self.forced_decoder_ids = kwargs.pop("forced_decoder_ids", None)
         # Special tokens
         self.pad_token_id = kwargs.pop("pad_token_id", None)
         self.bos_token_id = kwargs.pop("bos_token_id", None)

@@ -35,6 +35,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip": ("siglip", "SiglipConfig"),
     "siglip_text_model": ("siglip", "SiglipTextConfig"),
     "siglip_vision_model": ("siglip", "SiglipVisionConfig"),
+    "whisper": ("whisper", "WhisperConfig"),
 }
 
 
