@@ -99,9 +99,12 @@ class GenerationMixin:
             raise ValueError("No params: pass `params=` or load via from_pretrained().")
 
         gen = (generation_config or getattr(self, "generation_config", None) or GenerationConfig()).copy()
+        prefill_names = getattr(self, "_prefill_input_names", ())
+        kwargs_model = {k: kwargs.pop(k) for k in list(kwargs) if k in prefill_names}
         unused = gen.update(**kwargs)
         if unused:
             logger.warning(f"generate() ignoring unknown kwargs: {sorted(unused)}")
+        kwargs = kwargs_model
 
         input_ids = jnp.asarray(input_ids)
         if input_ids.ndim == 1:
@@ -144,8 +147,14 @@ class GenerationMixin:
         proc_sig = tuple(repr(vars(p)) + type(p).__name__ for p in processors)
         cache_dtype = cache_dtype or self.dtype
 
+        # Extra model inputs consumed only by the prefill forward (multimodal:
+        # pixel_values etc. — reference passes them on the first generate step
+        # only, generation/utils.py prepare_inputs_for_generation).
+        prefill_kwargs = {k: jnp.asarray(v) for k, v in kwargs.items()
+                          if k in getattr(self, "_prefill_input_names", ())}
+
         sig = (b, bucket, total_len, max_new, do_sample, eos_ids, pad_id, proc_sig,
-               str(jnp.dtype(cache_dtype)))
+               str(jnp.dtype(cache_dtype)), tuple(sorted(prefill_kwargs)))
         cache_store = getattr(self, "_generate_fn_cache", None)
         if cache_store is None:
             cache_store = {}
@@ -154,13 +163,15 @@ class GenerationMixin:
             cache_store[sig] = self._build_generate_fn(
                 bucket=bucket, total_len=total_len, max_new=max_new, do_sample=do_sample,
                 eos_ids=eos_ids, pad_id=pad_id, processors=processors, cache_dtype=cache_dtype,
+                prefill_input_names=tuple(sorted(prefill_kwargs)),
             )
         fn = cache_store[sig]
-        return fn(params, input_ids, attention_mask, prng_key)
+        return fn(params, input_ids, attention_mask, prng_key,
+                  *[prefill_kwargs[k] for k in sorted(prefill_kwargs)])
 
     def _build_generate_fn(self, *, bucket: int, total_len: int, max_new: int, do_sample: bool,
                            eos_ids: tuple[int, ...], pad_id: int, processors: LogitsProcessorList,
-                           cache_dtype):
+                           cache_dtype, prefill_input_names: tuple[str, ...] = ()):
         model = self
 
         def is_eos(tok):  # [B]
@@ -176,7 +187,8 @@ class GenerationMixin:
                 return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        def generate_fn(params, prompt_ids, prompt_mask, key):
+        def generate_fn(params, prompt_ids, prompt_mask, key, *prefill_extras):
+            extra = dict(zip(prefill_input_names, prefill_extras))
             b = prompt_ids.shape[0]
             cache = model.init_cache(b, total_len, dtype=cache_dtype)
 
@@ -197,6 +209,7 @@ class GenerationMixin:
                 past_key_values=cache,
                 cache_position=0,
                 logits_to_keep=1,
+                **extra,
             )
             cache = out.past_key_values
             key, k0 = jax.random.split(key)

@@ -36,6 +36,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip_text_model": ("siglip", "SiglipTextConfig"),
     "siglip_vision_model": ("siglip", "SiglipVisionConfig"),
     "whisper": ("whisper", "WhisperConfig"),
+    "llava": ("llava", "LlavaConfig"),
 }
 
 

@@ -75,8 +75,12 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperForConditionalGeneration"),
 }
-MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
-MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llava": ("llava", "LlavaForConditionalGeneration"),
+}
+MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llava": ("llava", "LlavaForConditionalGeneration"),
+}
 MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),

@@ -1,5 +1,6 @@
 from .configuration_clip import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
 from .modeling_clip import (
+    CLIPVisionModel,
     CLIPModel,
     CLIPOutput,
     CLIPPreTrainedModel,

@@ -267,3 +267,19 @@ class CLIPModel(CLIPPreTrainedModel):
             text_embeds=text_embeds, image_embeds=image_embeds,
             text_model_output=text_out, vision_model_output=vision_out,
         )
+
+
+class CLIPVisionModel(CLIPPreTrainedModel):
+    """Standalone vision tower (reference modeling_clip.py CLIPVisionModel) —
+    the LLaVA-family building block."""
+
+    config_class = CLIPVisionConfig
+    base_model_prefix = "vision_model"
+    main_input_name = "pixel_values"
+
+    def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
+        super().__init__(config, dtype=dtype, param_dtype=param_dtype)
+        self.vision_model = CLIPVisionTransformer(config, dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(self, params, pixel_values, **kwargs):
+        return self.vision_model(params["vision_model"], pixel_values, **kwargs)

@@ -1,0 +1,7 @@
+from .configuration_llava import LlavaConfig
+from .modeling_llava import (
+    LlavaForConditionalGeneration,
+    LlavaModel,
+    LlavaMultiModalProjector,
+    LlavaPreTrainedModel,
+)
