@@ -32,3 +32,4 @@ from .models.auto import (
 from .models.llama import LlamaConfig, LlamaForCausalLM
 from .tokenization import AutoTokenizer, BatchEncoding, PreTrainedTokenizer
 from .utils import logging
+from .generation import TextIteratorStreamer, TextStreamer

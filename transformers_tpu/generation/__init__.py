@@ -9,3 +9,13 @@ from .logits_process import (
     TopPLogitsWarper,
 )
 from .utils import GenerationMixin
+from .beam_search import build_beam_search_fn
+from .stopping_criteria import (
+    EosTokenCriteria,
+    MaxLengthCriteria,
+    MaxTimeCriteria,
+    StoppingCriteria,
+    StoppingCriteriaList,
+    StopStringCriteria,
+)
+from .streamers import BaseStreamer, TextIteratorStreamer, TextStreamer

@@ -90,6 +90,10 @@ class GenerationMixin:
         generation_config: Optional[GenerationConfig] = None,
         prng_key: Optional[jax.Array] = None,
         cache_dtype=None,
+        streamer=None,
+        stopping_criteria=None,
+        stop_strings=None,
+        tokenizer=None,
         **kwargs,
     ):
         """Reference generation/utils.py:2250. Returns [B, S_bucket + max_new]
@@ -143,6 +147,38 @@ class GenerationMixin:
         if prng_key is None:
             prng_key = jax.random.key(0)
 
+        # ---- streaming / host-criteria route: jitted per-step host loop
+        if streamer is not None or stopping_criteria is not None or stop_strings is not None:
+            return self._generate_streaming(
+                params, input_ids, attention_mask, max_new=max_new, do_sample=do_sample,
+                eos_ids=eos_ids, pad_id=pad_id, bucket=bucket, total_len=total_len,
+                processors=self._get_logits_processors(gen, eos_ids, max_new),
+                prng_key=prng_key, streamer=streamer, stopping_criteria=stopping_criteria,
+                stop_strings=stop_strings, tokenizer=tokenizer,
+                cache_dtype=cache_dtype or self.dtype, prefill_kwargs=kwargs)
+
+        # ---- beam search route (reference generate mode dispatch :2463)
+        if gen.num_beams and gen.num_beams > 1:
+            from .beam_search import build_beam_search_fn
+
+            sig = ("beam", b, bucket, total_len, max_new, gen.num_beams, eos_ids, pad_id,
+                   float(gen.length_penalty), str(gen.early_stopping),
+                   int(gen.num_return_sequences), str(jnp.dtype(cache_dtype or self.dtype)))
+            store = getattr(self, "_generate_fn_cache", None) or {}
+            self._generate_fn_cache = store
+            if sig not in store:
+                store[sig] = build_beam_search_fn(
+                    self, bucket=bucket, total_len=total_len, max_new=max_new,
+                    num_beams=int(gen.num_beams), eos_ids=eos_ids, pad_id=pad_id,
+                    length_penalty=float(gen.length_penalty),
+                    early_stopping=gen.early_stopping,
+                    cache_dtype=cache_dtype or self.dtype,
+                    num_return_sequences=int(gen.num_return_sequences),
+                )
+            seqs, scores = store[sig](params, input_ids, attention_mask)
+            # [B, R, L] -> [B*R, L] (reference returns flattened sequences)
+            return seqs.reshape(-1, seqs.shape[-1])
+
         processors = self._get_logits_processors(gen, eos_ids, max_new)
         proc_sig = tuple(repr(vars(p)) + type(p).__name__ for p in processors)
         cache_dtype = cache_dtype or self.dtype
@@ -168,6 +204,87 @@ class GenerationMixin:
         fn = cache_store[sig]
         return fn(params, input_ids, attention_mask, prng_key,
                   *[prefill_kwargs[k] for k in sorted(prefill_kwargs)])
+
+    def _generate_streaming(self, params, input_ids, attention_mask, *, max_new, do_sample,
+                            eos_ids, pad_id, bucket, total_len, processors, prng_key,
+                            streamer, stopping_criteria, stop_strings, tokenizer,
+                            cache_dtype, prefill_kwargs):
+        """Host decode loop with jitted prefill/step (the reference's
+        per-token Python loop, generation/utils.py:2864) — used when a
+        streamer or host-side stopping criterion needs to see every token."""
+        from .stopping_criteria import StoppingCriteriaList, StopStringCriteria
+
+        model = self
+        criteria = StoppingCriteriaList(stopping_criteria or [])
+        if stop_strings is not None:
+            if tokenizer is None:
+                raise ValueError("stop_strings requires `tokenizer=` (reference parity)")
+            criteria.append(StopStringCriteria(tokenizer, stop_strings))
+
+        b = input_ids.shape[0]
+        extra_names = tuple(sorted(prefill_kwargs))
+        sig = ("stream", b, bucket, total_len, str(jnp.dtype(cache_dtype)), extra_names)
+        store = getattr(self, "_generate_fn_cache", None) or {}
+        self._generate_fn_cache = store
+        if sig not in store:
+            def prefill(params, prompt_ids, mask_full, prompt_pos, *extras):
+                cache = model.init_cache(prompt_ids.shape[0], total_len, dtype=cache_dtype)
+                out = model(params, input_ids=prompt_ids, attention_mask=mask_full,
+                            position_ids=prompt_pos, past_key_values=cache, cache_position=0,
+                            logits_to_keep=1, **dict(zip(extra_names, extras)))
+                return out.past_key_values, out.logits[:, -1, :]
+
+            def step(params, tok, mask_full, position_ids, cache, cache_position):
+                out = model(params, input_ids=tok, attention_mask=mask_full,
+                            position_ids=position_ids, past_key_values=cache,
+                            cache_position=cache_position, logits_to_keep=1)
+                return out.past_key_values, out.logits[:, -1, :]
+
+            store[sig] = (jax.jit(prefill), jax.jit(step, static_argnames=()))
+        prefill_fn, step_fn = store[sig]
+
+        ids = np.full((b, total_len), pad_id, np.int32)
+        ids[:, :bucket] = np.asarray(input_ids)
+        mask = np.zeros((b, total_len), np.int32)
+        mask[:, :bucket] = np.asarray(attention_mask)
+        prompt_pos = jnp.maximum(jnp.cumsum(jnp.asarray(mask[:, :bucket]), axis=-1) - 1, 0)
+        rope_last = np.asarray(prompt_pos[:, -1])
+
+        if streamer is not None:
+            streamer.put(np.asarray(input_ids))
+
+        cache, logits = prefill_fn(params, jnp.asarray(ids[:, :bucket]), jnp.asarray(mask),
+                                   prompt_pos, *[jnp.asarray(prefill_kwargs[k]) for k in extra_names])
+        finished = np.zeros((b,), bool)
+        key = prng_key
+        for g in range(1, max_new + 1):
+            state = {"ids": jnp.asarray(ids), "mask": jnp.asarray(mask),
+                     "pos": jnp.asarray(bucket + g - 1, jnp.int32),
+                     "gen_count": jnp.asarray(g - 1, jnp.int32)}
+            lg = processors(jnp.asarray(logits, jnp.float32), state)
+            key, k = jax.random.split(key)
+            if do_sample:
+                tok = np.asarray(jax.random.categorical(k, lg, axis=-1), np.int32)
+            else:
+                tok = np.asarray(jnp.argmax(lg, axis=-1), np.int32)
+            tok = np.where(finished, pad_id, tok)
+            slot = bucket + g - 1
+            ids[:, slot] = tok
+            mask[:, slot] = (~finished).astype(np.int32)
+            if streamer is not None:
+                streamer.put(tok[:, None])
+            for e in eos_ids:
+                finished |= tok == e
+            if criteria:
+                finished |= np.asarray(criteria(ids[:, : slot + 1]))
+            if finished.all() or g == max_new:
+                break
+            position_ids = jnp.asarray((rope_last + g)[:, None], jnp.int32)
+            cache, logits = step_fn(params, jnp.asarray(tok[:, None]), jnp.asarray(mask),
+                                    position_ids, cache, jnp.asarray(slot, jnp.int32))
+        if streamer is not None:
+            streamer.end()
+        return jnp.asarray(ids[:, : slot + 1])
 
     def _build_generate_fn(self, *, bucket: int, total_len: int, max_new: int, do_sample: bool,
                            eos_ids: tuple[int, ...], pad_id: int, processors: LogitsProcessorList,
