@@ -33,3 +33,20 @@ from .models.llama import LlamaConfig, LlamaForCausalLM
 from .tokenization import AutoTokenizer, BatchEncoding, PreTrainedTokenizer
 from .utils import logging
 from .generation import TextIteratorStreamer, TextStreamer
+from .optimization import create_optimizer, get_scheduler
+from .trainer import Trainer
+from .trainer_callback import (
+    DefaultFlowCallback,
+    PrinterCallback,
+    TrainerCallback,
+    TrainerControl,
+    TrainerState,
+)
+from .trainer_jit_checkpoint import JITCheckpointCallback
+from .training_args import ParallelismConfig, TrainingArguments
+from .data.data_collator import (
+    DataCollatorForLanguageModeling,
+    DataCollatorForSeq2Seq,
+    DataCollatorWithPadding,
+    default_data_collator,
+)
