@@ -1,0 +1,255 @@
+"""Continuous batching engine + user API.
+
+TPU-native analog of reference generation/continuous_batching/
+continuous_api.py (``ContinuousMixin.generate_batch`` :1083/:1202,
+``ContinuousBatchingManager`` :553 background thread, OutputRouter :84).
+
+The engine loop each step:
+1. scheduler admits/chunks work (host),
+2. ModelRunner replays the jitted paged prefill/decode programs (device),
+3. tokens are sampled and routed to their requests (host).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import traceback
+from dataclasses import dataclass, field
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+
+from ...utils import logging
+from .cache import BlockManager, init_paged_cache
+from .model_runner import ModelRunner
+from .scheduler import FIFOScheduler, PrefillFirstScheduler, RequestState, RequestStatus
+
+logger = logging.get_logger(__name__)
+
+
+@dataclass
+class GenerationOutput:
+    request_id: str
+    prompt_ids: list
+    generated_ids: list = field(default_factory=list)
+    status: str = "finished"
+    error: Optional[str] = None
+    new_token: Optional[int] = None  # set on streaming deliveries
+
+
+class ContinuousBatchingEngine:
+    """Synchronous core; the Manager wraps it in a thread."""
+
+    def __init__(self, model, *, num_blocks: int = 256, block_size: int = 32,
+                 max_batch: int = 16, token_budget: int = 64,
+                 max_context: Optional[int] = None, scheduler: str = "fifo",
+                 cache_dtype=None):
+        self.model = model
+        config = model.config.get_text_config() if hasattr(model.config, "get_text_config") else model.config
+        num_kv = getattr(config, "num_key_value_heads", None) or config.num_attention_heads
+        head_dim = getattr(config, "head_dim", None) or config.hidden_size // config.num_attention_heads
+        max_context = max_context or min(config.max_position_embeddings, num_blocks * block_size)
+        max_blocks_per_seq = -(-max_context // block_size)
+        cache = init_paged_cache(
+            num_layers=config.num_hidden_layers, num_blocks=num_blocks, block_size=block_size,
+            num_kv_heads=num_kv, head_dim=head_dim, dtype=cache_dtype or model.dtype)
+        self.bm = BlockManager(num_blocks, block_size)
+        sched_cls = PrefillFirstScheduler if scheduler == "prefill_first" else FIFOScheduler
+        self.scheduler = sched_cls(self.bm, block_size=block_size, token_budget=token_budget,
+                                   max_batch=max_batch, max_blocks_per_seq=max_blocks_per_seq)
+        self.runner = ModelRunner(model, cache, max_blocks_per_seq=max_blocks_per_seq)
+        self.token_budget = token_budget
+        self._rng = {}
+
+    def add_request(self, req: RequestState):
+        self.scheduler.add(req)
+
+    def _sample(self, req: RequestState, logits: np.ndarray) -> int:
+        logits = np.asarray(logits, np.float32)
+        if req.temperature and req.temperature > 0:
+            key = self._rng.setdefault(req.request_id, jax.random.key(req.seed))
+            key, sub = jax.random.split(key)
+            self._rng[req.request_id] = key
+            import jax.numpy as jnp
+
+            return int(jax.random.categorical(sub, jnp.asarray(logits) / req.temperature))
+        return int(np.argmax(logits))
+
+    def step(self) -> list[GenerationOutput]:
+        """One scheduler step; returns per-request deliveries (new tokens and
+        finishes)."""
+        out_events: list[GenerationOutput] = []
+        plan = self.scheduler.schedule()
+
+        # surface admission failures
+        for req in list(self.scheduler.waiting):
+            if req.status == RequestStatus.FAILED:
+                self.scheduler.waiting.remove(req)
+                out_events.append(GenerationOutput(
+                    request_id=req.request_id, prompt_ids=req.prompt_ids,
+                    status="failed", error=req.error))
+
+        # ---- chunked prefill (one victim per step, reference scheduler.py:122)
+        if plan.prefill is not None and plan.prefill_chunk > 0:
+            req = plan.prefill
+            chunk_ids = np.asarray(
+                req.prompt_ids[req.prefilled : req.prefilled + plan.prefill_chunk], np.int32)
+            logits = self.runner.prefill_chunk(
+                None, chunk_ids, req.block_table, req.prefilled,
+                req.prefilled + len(chunk_ids), chunk_bucket=self.token_budget)
+            req.prefilled += len(chunk_ids)
+            if req.prefilled >= len(req.prompt_ids):
+                tok = self._sample(req, np.asarray(logits))
+                req.pending_token = tok
+                req.status = RequestStatus.DECODING
+                if req.is_done():
+                    # an immediate EOS is still part of the output
+                    if tok in req.eos_token_ids and len(req.generated_ids) < req.max_new_tokens:
+                        req.generated_ids.append(tok)
+                    self._finish(req, out_events)
+                else:
+                    out_events.append(GenerationOutput(
+                        request_id=req.request_id, prompt_ids=req.prompt_ids,
+                        generated_ids=list(req.generated_ids) + [tok],
+                        status="decoding", new_token=tok))
+
+        # ---- batched decode
+        decode = [r for r in plan.decode if r.pending_token is not None]
+        if decode:
+            n = len(decode)
+            bucket = 1 << (n - 1).bit_length()  # pad to pow2 program buckets
+            tokens = np.zeros((bucket,), np.int32)
+            positions = np.zeros((bucket,), np.int64)
+            tables: list[list[int]] = [[] for _ in range(bucket)]
+            for i, r in enumerate(decode):
+                tokens[i] = r.pending_token
+                positions[i] = r.context_len  # slot of the pending token
+                tables[i] = r.block_table
+            logits = np.asarray(self.runner.decode_step(None, tokens, tables, positions))
+            for i, r in enumerate(decode):
+                r.generated_ids.append(int(r.pending_token))
+                tok = self._sample(r, logits[i])
+                r.pending_token = tok
+                if r.is_done():
+                    # a trailing EOS still counts as generated (parity with
+                    # generate(): eos is appended then decoding stops)
+                    if tok in r.eos_token_ids and len(r.generated_ids) < r.max_new_tokens:
+                        r.generated_ids.append(tok)
+                    self._finish(r, out_events)
+                else:
+                    out_events.append(GenerationOutput(
+                        request_id=r.request_id, prompt_ids=r.prompt_ids,
+                        generated_ids=list(r.generated_ids), status="decoding", new_token=tok))
+        return out_events
+
+    def _finish(self, req: RequestState, out_events: list):
+        self.scheduler.finish(req)
+        self._rng.pop(req.request_id, None)
+        out_events.append(GenerationOutput(
+            request_id=req.request_id, prompt_ids=req.prompt_ids,
+            generated_ids=list(req.generated_ids), status="finished"))
+
+    def run_to_completion(self) -> dict[str, GenerationOutput]:
+        results: dict[str, GenerationOutput] = {}
+        while self.scheduler.has_work():
+            for ev in self.step():
+                if ev.status in ("finished", "failed"):
+                    results[ev.request_id] = ev
+        return results
+
+
+class ContinuousBatchingManager:
+    """Background-thread wrapper with request/output queues (reference
+    continuous_api.py:553)."""
+
+    def __init__(self, model, **engine_kwargs):
+        self.engine = ContinuousBatchingEngine(model, **engine_kwargs)
+        self._in: queue.Queue = queue.Queue()
+        self._outs: dict[str, queue.Queue] = {}
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._error: Optional[str] = None
+
+    def start(self):
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="cb-manager")
+        self._thread.start()
+
+    def stop(self, timeout: float = 10.0):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)
+            self._thread = None
+
+    def submit(self, req: RequestState) -> queue.Queue:
+        """Enqueue a request; returns its delivery queue (stream of
+        GenerationOutput, last one has status finished/failed)."""
+        q: queue.Queue = queue.Queue()
+        with self._lock:
+            self._outs[req.request_id] = q
+        self._in.put(req)
+        return q
+
+    def _loop(self):
+        # Cross-thread failure propagation (reference continuous_api.py:131
+        # BackgroundThreadStatus): any step error fails every live request.
+        while not self._stop.is_set():
+            try:
+                while True:
+                    try:
+                        self.engine.add_request(self._in.get_nowait())
+                    except queue.Empty:
+                        break
+                if not self.engine.scheduler.has_work():
+                    self._stop.wait(0.005)
+                    continue
+                for ev in self.engine.step():
+                    q = self._outs.get(ev.request_id)
+                    if q is not None:
+                        q.put(ev)
+                        if ev.status in ("finished", "failed"):
+                            with self._lock:
+                                self._outs.pop(ev.request_id, None)
+            except Exception as exc:  # noqa: BLE001
+                self._error = traceback.format_exc()
+                logger.error(f"continuous batching loop failed: {exc}\n{self._error}")
+                with self._lock:
+                    for rid, q in self._outs.items():
+                        q.put(GenerationOutput(request_id=rid, prompt_ids=[],
+                                               status="failed", error=str(exc)))
+                    self._outs.clear()
+                # drop all engine state for the failed batch
+                for r in list(self.engine.scheduler.active):
+                    self.engine.scheduler.finish(r, RequestStatus.FAILED)
+                self.engine.scheduler.waiting.clear()
+
+
+class ContinuousMixin:
+    """Adds generate_batch to generative models (reference
+    continuous_api.py:1083)."""
+
+    def init_continuous_batching(self, **engine_kwargs) -> ContinuousBatchingManager:
+        return ContinuousBatchingManager(self, **engine_kwargs)
+
+    def generate_batch(self, inputs: Iterable[list[int]], *, max_new_tokens: int = 32,
+                       temperature: float = 0.0, seed: int = 0,
+                       **engine_kwargs) -> list[list[int]]:
+        """Synchronous batch generation over the CB engine; returns generated
+        ids per prompt (reference generate_batch :1202)."""
+        engine = ContinuousBatchingEngine(self, **engine_kwargs)
+        eos = getattr(self.config, "eos_token_id", None)
+        eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else ((eos,) if eos is not None else ())
+        reqs = []
+        for i, prompt in enumerate(inputs):
+            req = RequestState(request_id=f"req-{i}", prompt_ids=list(map(int, prompt)),
+                               max_new_tokens=max_new_tokens, eos_token_ids=eos_ids,
+                               temperature=temperature, seed=seed + i)
+            engine.add_request(req)
+            reqs.append(req)
+        results = engine.run_to_completion()
+        return [results[r.request_id].generated_ids if results[r.request_id].status == "finished"
+                else [] for r in reqs]

@@ -57,6 +57,18 @@ class GenerationMixin:
     ``__call__(params, input_ids, attention_mask, position_ids,
     past_key_values, cache_position, logits_to_keep)`` and ``init_cache``."""
 
+    def generate_batch(self, inputs, **kwargs):
+        """Continuous-batching batch generation (reference
+        continuous_api.py:1202 ContinuousMixin.generate_batch)."""
+        from .continuous_batching import ContinuousMixin
+
+        return ContinuousMixin.generate_batch(self, inputs, **kwargs)
+
+    def init_continuous_batching(self, **kwargs):
+        from .continuous_batching import ContinuousMixin
+
+        return ContinuousMixin.init_continuous_batching(self, **kwargs)
+
     def _get_logits_processors(self, gen: GenerationConfig, eos_ids: tuple[int, ...],
                                max_new_tokens: int) -> LogitsProcessorList:
         """reference generation/utils.py:2641 ``_get_logits_processor``"""

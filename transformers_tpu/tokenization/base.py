@@ -310,3 +310,55 @@ class PreTrainedTokenizer:
         if not tokenize:
             return rendered
         return self(rendered, add_special_tokens=False, return_tensors=return_tensors)["input_ids"]
+
+    @property
+    def mask_token_id(self):
+        tok = getattr(self, "mask_token", None)
+        return self.convert_tokens_to_ids(tok) if tok else None
+
+    def pad(self, encoded_inputs, padding=True, max_length=None,
+            pad_to_multiple_of=None, return_tensors=None, **kwargs) -> BatchEncoding:
+        """Pad pre-tokenized features (reference tokenization_utils_base.py pad).
+
+        Accepts a list of dicts or a dict of lists with at least input_ids."""
+        if isinstance(encoded_inputs, (list, tuple)):
+            keys = encoded_inputs[0].keys()
+            batch = {k: [e[k] for e in encoded_inputs] for k in keys}
+        else:
+            batch = {k: list(v) for k, v in encoded_inputs.items()}
+        ids_list = [list(np.asarray(i).tolist()) for i in batch["input_ids"]]
+        mask_list = [list(np.asarray(m).tolist()) for m in batch.get(
+            "attention_mask", [[1] * len(i) for i in ids_list])]
+        target = max(len(i) for i in ids_list)
+        if padding == "max_length" and max_length:
+            target = max_length
+        if pad_to_multiple_of:
+            target = -(-target // pad_to_multiple_of) * pad_to_multiple_of
+        pad_id = self.pad_token_id if self.pad_token_id is not None else 0
+        extras = {k: v for k, v in batch.items() if k not in ("input_ids", "attention_mask")}
+        for i in range(len(ids_list)):
+            diff = target - len(ids_list[i])
+            if diff <= 0:
+                continue
+            if self.padding_side == "left":
+                ids_list[i] = [pad_id] * diff + ids_list[i]
+                mask_list[i] = [0] * diff + mask_list[i]
+            else:
+                ids_list[i] = ids_list[i] + [pad_id] * diff
+                mask_list[i] = mask_list[i] + [0] * diff
+        data = {"input_ids": ids_list, "attention_mask": mask_list}
+        for k, v in extras.items():
+            data[k] = v
+        if return_tensors in ("np", "jax"):
+            out = {}
+            for k, v in data.items():
+                try:
+                    out[k] = np.asarray(v)
+                except Exception:
+                    out[k] = v
+            if return_tensors == "jax":
+                import jax.numpy as jnp
+
+                out = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v) for k, v in out.items()}
+            data = out
+        return BatchEncoding(data)
