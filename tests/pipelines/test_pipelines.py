@@ -1,0 +1,94 @@
+"""Pipeline task tests (reference tests/test_pipeline_mixin.py pattern)."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from parity_utils import make_tiny_torch_llama  # noqa: E402
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "cli"))
+from test_serve import make_tiny_tokenizer  # noqa: E402
+
+import transformers_tpu as ttpu  # noqa: E402
+from transformers_tpu import pipeline  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def text_ckpt(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pipe_text"))
+    make_tiny_torch_llama(d, num_hidden_layers=2)
+    make_tiny_tokenizer(d)
+    return d
+
+
+def test_text_generation_pipeline(text_ckpt):
+    pipe = pipeline("text-generation", model=text_ckpt, dtype="float32")
+    out = pipe("hello", max_new_tokens=5)
+    assert isinstance(out[0]["generated_text"], str)
+    assert out[0]["generated_text"].startswith("hello")
+
+
+def test_text_generation_chat(text_ckpt):
+    pipe = pipeline("text-generation", model=text_ckpt, dtype="float32")
+    out = pipe([{"role": "user", "content": "hi"}], max_new_tokens=4)
+    msgs = out[0]["generated_text"]
+    assert msgs[-1]["role"] == "assistant"
+
+
+def test_text_classification_pipeline(tmp_path):
+    import torch
+    import transformers
+
+    d = str(tmp_path)
+    torch.manual_seed(0)
+    cfg = transformers.BertConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=4, intermediate_size=64,
+                                  max_position_embeddings=64, num_labels=3,
+                                  id2label={0: "neg", 1: "neu", 2: "pos"},
+                                  label2id={"neg": 0, "neu": 1, "pos": 2})
+    transformers.BertForSequenceClassification(cfg).save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d)
+    pipe = pipeline("text-classification", model=d, dtype="float32")
+    out = pipe("good stuff")
+    assert out["label"] in ("neg", "neu", "pos") and 0 <= out["score"] <= 1
+
+
+def test_image_classification_pipeline(tmp_path):
+    import torch
+    import transformers
+
+    d = str(tmp_path)
+    torch.manual_seed(0)
+    cfg = transformers.ViTConfig(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                                 intermediate_size=64, image_size=32, patch_size=8, num_labels=3)
+    transformers.ViTForImageClassification(cfg).save_pretrained(d, safe_serialization=True)
+    __import__("transformers_tpu.models.vit", fromlist=["ViTImageProcessor"]).ViTImageProcessor(size={"height": 32, "width": 32}).save_pretrained(d)
+    pipe = pipeline("image-classification", model=d, dtype="float32")
+    image = np.random.default_rng(0).integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
+    out = pipe(image)
+    assert len(out) == 3 and abs(sum(o["score"] for o in out) - 1.0) < 1e-4
+
+
+def test_zero_shot_image_classification(tmp_path):
+    import torch
+    import transformers
+
+    d = str(tmp_path)
+    torch.manual_seed(0)
+    cfg = transformers.CLIPConfig(
+        text_config=dict(vocab_size=99, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4, max_position_embeddings=32),
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, image_size=32, patch_size=8),
+        projection_dim=16)
+    transformers.CLIPModel(cfg).save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d)
+    __import__("transformers_tpu.models.clip", fromlist=["CLIPImageProcessor"]).CLIPImageProcessor(size={"shortest_edge": 32},
+                                        crop_size={"height": 32, "width": 32}).save_pretrained(d)
+    pipe = pipeline("zero-shot-image-classification", model=d, dtype="float32")
+    image = np.random.default_rng(0).integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
+    out = pipe(image, candidate_labels=["cat", "dog"])
+    assert {o["label"] for o in out} == {"cat", "dog"}

@@ -50,3 +50,6 @@ from .data.data_collator import (
     DataCollatorWithPadding,
     default_data_collator,
 )
+from .models.auto import AutoProcessor
+from .processing_utils import ProcessorMixin
+from .pipelines import Pipeline, pipeline

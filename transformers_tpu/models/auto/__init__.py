@@ -14,3 +14,4 @@ from .modeling_auto import (
     AutoModelForZeroShotImageClassification,
 )
 from .image_processing_auto import AutoImageProcessor
+from .processing_auto import AutoProcessor

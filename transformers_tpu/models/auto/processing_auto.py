@@ -1,0 +1,55 @@
+"""AutoProcessor (reference models/auto/processing_auto.py)."""
+
+from __future__ import annotations
+
+import importlib
+import json
+
+from ...processing_utils import PROCESSOR_NAME, ProcessorMixin
+from ...utils.hub import cached_file
+
+PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "llava": ("llava", "LlavaProcessor"),
+    "clip": ("clip", "CLIPProcessor"),
+    "siglip": ("siglip", "SiglipProcessor"),
+    "whisper": ("whisper", "WhisperProcessor"),
+}
+
+_CLASS_NAMES = {
+    "LlavaProcessor": ("llava", "LlavaProcessor"),
+    "CLIPProcessor": ("clip", "CLIPProcessor"),
+    "SiglipProcessor": ("siglip", "SiglipProcessor"),
+    "WhisperProcessor": ("whisper", "WhisperProcessor"),
+}
+
+
+class AutoProcessor:
+    def __init__(self):
+        raise OSError("Use AutoProcessor.from_pretrained.")
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path, **kwargs) -> ProcessorMixin:
+        proc_cls = None
+        resolved = cached_file(str(pretrained_model_name_or_path), PROCESSOR_NAME,
+                               _raise_exceptions_for_missing_entries=False)
+        if resolved:
+            with open(resolved, encoding="utf-8") as f:
+                name = json.load(f).get("processor_class")
+            if name in _CLASS_NAMES:
+                module, cname = _CLASS_NAMES[name]
+                proc_cls = getattr(importlib.import_module(f"transformers_tpu.models.{module}"), cname)
+        if proc_cls is None:
+            from .configuration_auto import AutoConfig
+
+            config = AutoConfig.from_pretrained(pretrained_model_name_or_path)
+            if config.model_type not in PROCESSOR_MAPPING_NAMES:
+                raise KeyError(f"No processor registered for model_type {config.model_type!r}")
+            module, cname = PROCESSOR_MAPPING_NAMES[config.model_type]
+            proc_cls = getattr(importlib.import_module(f"transformers_tpu.models.{module}"), cname)
+        return proc_cls.from_pretrained(pretrained_model_name_or_path, **kwargs)
+
+    @staticmethod
+    def register(model_type: str, proc_cls) -> None:
+        module = proc_cls.__module__.rsplit(".", 2)[-2]
+        PROCESSOR_MAPPING_NAMES[model_type] = (module, proc_cls.__name__)
+        _CLASS_NAMES[proc_cls.__name__] = (module, proc_cls.__name__)

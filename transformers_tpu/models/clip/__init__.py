@@ -8,3 +8,4 @@ from .modeling_clip import (
     CLIPVisionTransformer,
 )
 from .image_processing_clip import CLIPImageProcessor
+from .processing_clip import CLIPProcessor

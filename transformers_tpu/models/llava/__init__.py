@@ -5,3 +5,4 @@ from .modeling_llava import (
     LlavaMultiModalProjector,
     LlavaPreTrainedModel,
 )
+from .processing_llava import LlavaProcessor

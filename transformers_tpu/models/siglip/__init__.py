@@ -8,3 +8,4 @@ from .modeling_siglip import (
     SiglipVisionModel,
     SiglipVisionTransformer,
 )
+from .processing_siglip import SiglipProcessor

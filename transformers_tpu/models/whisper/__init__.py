@@ -6,3 +6,4 @@ from .modeling_whisper import (
     WhisperModelStandalone,
     WhisperPreTrainedModel,
 )
+from .processing_whisper import WhisperProcessor

@@ -1,0 +1,93 @@
+"""pipeline() factory + task registry.
+
+TPU-native analog of reference src/transformers/pipelines/__init__.py:387
+(``pipeline``), :141 (``SUPPORTED_TASKS``), :136 (``TASK_ALIASES``),
+:323 (``check_task``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..utils import logging
+from .base import Pipeline
+from .tasks import (
+    AutomaticSpeechRecognitionPipeline,
+    FeatureExtractionPipeline,
+    FillMaskPipeline,
+    ImageClassificationPipeline,
+    ImageTextToTextPipeline,
+    TextClassificationPipeline,
+    TextGenerationPipeline,
+    TokenClassificationPipeline,
+    ZeroShotImageClassificationPipeline,
+)
+
+logger = logging.get_logger(__name__)
+
+# task -> (pipeline class, auto-model attr, needs)
+SUPPORTED_TASKS = {
+    "text-generation": (TextGenerationPipeline, "AutoModelForCausalLM", ("tokenizer",)),
+    "text-classification": (TextClassificationPipeline, "AutoModelForSequenceClassification", ("tokenizer",)),
+    "token-classification": (TokenClassificationPipeline, "AutoModelForTokenClassification", ("tokenizer",)),
+    "fill-mask": (FillMaskPipeline, "AutoModelForMaskedLM", ("tokenizer",)),
+    "feature-extraction": (FeatureExtractionPipeline, "AutoModel", ("tokenizer",)),
+    "image-classification": (ImageClassificationPipeline, "AutoModelForImageClassification", ("image_processor",)),
+    "zero-shot-image-classification": (ZeroShotImageClassificationPipeline,
+                                       "AutoModelForZeroShotImageClassification",
+                                       ("tokenizer", "image_processor")),
+    "automatic-speech-recognition": (AutomaticSpeechRecognitionPipeline,
+                                     "AutoModelForSpeechSeq2Seq",
+                                     ("tokenizer", "feature_extractor")),
+    "image-text-to-text": (ImageTextToTextPipeline, "AutoModelForImageTextToText", ("processor",)),
+}
+
+TASK_ALIASES = {
+    "sentiment-analysis": "text-classification",
+    "ner": "token-classification",
+}
+
+
+def check_task(task: str):
+    task = TASK_ALIASES.get(task, task)
+    if task not in SUPPORTED_TASKS:
+        raise KeyError(f"Unknown task {task!r}. Available: {sorted(SUPPORTED_TASKS)}")
+    return task, SUPPORTED_TASKS[task]
+
+
+def pipeline(
+    task: str,
+    model=None,
+    tokenizer=None,
+    image_processor=None,
+    feature_extractor=None,
+    processor=None,
+    dtype="auto",
+    **kwargs,
+) -> Pipeline:
+    """reference pipelines/__init__.py:387."""
+    import transformers_tpu as ttpu
+
+    task, (pipeline_cls, auto_attr, needs) = check_task(task)
+
+    model_path = None
+    if isinstance(model, str):
+        model_path = model
+        auto_cls = getattr(ttpu, auto_attr)
+        model = auto_cls.from_pretrained(model, dtype=dtype)
+    if model is None:
+        raise ValueError(f"pipeline({task!r}) requires a model path or instance "
+                         "(no default checkpoints without network access)")
+    src = model_path or getattr(model.config, "_name_or_path", None)
+    if "tokenizer" in needs and tokenizer is None and src:
+        tokenizer = ttpu.AutoTokenizer.from_pretrained(src)
+    if "image_processor" in needs and image_processor is None and src:
+        image_processor = ttpu.AutoImageProcessor.from_pretrained(src)
+    if "feature_extractor" in needs and feature_extractor is None and src:
+        from ..models.whisper import WhisperFeatureExtractor
+
+        feature_extractor = WhisperFeatureExtractor.from_pretrained(src)
+    if "processor" in needs and processor is None and src:
+        processor = ttpu.AutoProcessor.from_pretrained(src)
+    return pipeline_cls(model=model, tokenizer=tokenizer, image_processor=image_processor,
+                        feature_extractor=feature_extractor, processor=processor, **kwargs)

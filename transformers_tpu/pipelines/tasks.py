@@ -1,0 +1,234 @@
+"""Task pipelines (reference src/transformers/pipelines/*.py — the
+load-bearing subset of the 24 registered tasks)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Pipeline, softmax_np
+
+
+class TextGenerationPipeline(Pipeline):
+    """reference pipelines/text_generation.py (chat-aware :507)."""
+
+    def __call__(self, inputs, **kwargs):
+        # a list of {"role", "content"} dicts is ONE chat, not a batch
+        if (isinstance(inputs, list) and inputs and isinstance(inputs[0], dict)
+                and "role" in inputs[0]):
+            pre, fwd, post = self._sanitize_parameters(**kwargs)
+            return self.run_single(inputs, pre, fwd, post)
+        return super().__call__(inputs, **kwargs)
+
+    def _sanitize_parameters(self, **kwargs):
+        post = {k: kwargs.pop(k) for k in ("return_full_text",) if k in kwargs}
+        return {}, kwargs, post
+
+    def preprocess(self, inputs, **kwargs):
+        if isinstance(inputs, list) and inputs and isinstance(inputs[0], dict):
+            # chat messages
+            ids = self.tokenizer.apply_chat_template(inputs, add_generation_prompt=True)
+            return {"input_ids": np.asarray([ids]), "prompt_is_chat": True, "messages": inputs}
+        ids = self.tokenizer.encode(inputs)
+        return {"input_ids": np.asarray([ids]), "prompt_is_chat": False, "prompt_text": inputs}
+
+    def _forward(self, model_inputs, **generate_kwargs):
+        generate_kwargs.setdefault("max_new_tokens", 32)
+        # bucket == prompt length so the generated tail starts at prompt_len
+        generate_kwargs.setdefault("prompt_pad_multiple", 1)
+        out = self.model.generate(self.model.params,
+                                  input_ids=jnp.asarray(model_inputs["input_ids"]),
+                                  **generate_kwargs)
+        return {"sequences": np.asarray(out), "inputs": model_inputs}
+
+    def postprocess(self, model_outputs, return_full_text: bool = True):
+        seq = model_outputs["sequences"][0]
+        inputs = model_outputs["inputs"]
+        prompt_len = inputs["input_ids"].shape[1]
+        gen_ids = seq[prompt_len:]
+        text = self.tokenizer.decode([int(t) for t in gen_ids], skip_special_tokens=True)
+        if inputs.get("prompt_is_chat"):
+            return [{"generated_text": inputs["messages"] + [{"role": "assistant", "content": text}]}]
+        prefix = inputs.get("prompt_text", "") if return_full_text else ""
+        return [{"generated_text": prefix + text}]
+
+
+class TextClassificationPipeline(Pipeline):
+    """reference pipelines/text_classification.py."""
+
+    def preprocess(self, inputs, **kwargs):
+        return dict(self.tokenizer(inputs, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **kwargs):
+        return self.model(self.model.params, **model_inputs)
+
+    def postprocess(self, model_outputs, top_k: int = 1):
+        probs = softmax_np(np.asarray(model_outputs.logits, np.float32))[0]
+        id2label = self.model.config.id2label or {i: f"LABEL_{i}" for i in range(len(probs))}
+        order = np.argsort(-probs)[:top_k]
+        out = [{"label": id2label[int(i)], "score": float(probs[i])} for i in order]
+        return out[0] if top_k == 1 else out
+
+
+class TokenClassificationPipeline(Pipeline):
+    """reference pipelines/token_classification.py (simple aggregation)."""
+
+    def preprocess(self, inputs, **kwargs):
+        enc = self.tokenizer(inputs, return_tensors="jax")
+        return {"encoding": enc, "text": inputs}
+
+    def _forward(self, model_inputs, **kwargs):
+        out = self.model(self.model.params, **{k: v for k, v in model_inputs["encoding"].items()})
+        return {"logits": np.asarray(out.logits), "encoding": model_inputs["encoding"]}
+
+    def postprocess(self, model_outputs, **kwargs):
+        logits = model_outputs["logits"][0]
+        ids = np.asarray(model_outputs["encoding"]["input_ids"])[0]
+        probs = softmax_np(logits.astype(np.float32))
+        id2label = self.model.config.id2label or {}
+        entities = []
+        for idx, (tok_id, p) in enumerate(zip(ids, probs)):
+            label_id = int(np.argmax(p))
+            label = id2label.get(label_id, f"LABEL_{label_id}")
+            if label == "O":
+                continue
+            entities.append({
+                "entity": label, "score": float(p[label_id]), "index": idx,
+                "word": self.tokenizer.decode([int(tok_id)]),
+            })
+        return entities
+
+
+class FillMaskPipeline(Pipeline):
+    """reference pipelines/fill_mask.py."""
+
+    def preprocess(self, inputs, **kwargs):
+        return dict(self.tokenizer(inputs, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **kwargs):
+        out = self.model(self.model.params, **model_inputs)
+        return {"logits": np.asarray(out.logits), "input_ids": np.asarray(model_inputs["input_ids"])}
+
+    def postprocess(self, model_outputs, top_k: int = 5):
+        ids = model_outputs["input_ids"][0]
+        mask_id = self.tokenizer.mask_token_id
+        positions = np.where(ids == mask_id)[0]
+        results = []
+        for pos in positions:
+            probs = softmax_np(model_outputs["logits"][0, pos].astype(np.float32))
+            order = np.argsort(-probs)[:top_k]
+            results.append([
+                {"token": int(t), "token_str": self.tokenizer.decode([int(t)]),
+                 "score": float(probs[t]),
+                 "sequence": self.tokenizer.decode(
+                     [int(x) if i != pos else int(t) for i, x in enumerate(ids)],
+                     skip_special_tokens=True)}
+                for t in order
+            ])
+        return results[0] if len(results) == 1 else results
+
+
+class FeatureExtractionPipeline(Pipeline):
+    """reference pipelines/feature_extraction.py."""
+
+    def preprocess(self, inputs, **kwargs):
+        return dict(self.tokenizer(inputs, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **kwargs):
+        return self.model(self.model.params, **model_inputs)
+
+    def postprocess(self, model_outputs, **kwargs):
+        return np.asarray(model_outputs.last_hidden_state).tolist()
+
+
+class ImageClassificationPipeline(Pipeline):
+    """reference pipelines/image_classification.py."""
+
+    def preprocess(self, image, **kwargs):
+        return dict(self.image_processor(image, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **kwargs):
+        return self.model(self.model.params, **model_inputs)
+
+    def postprocess(self, model_outputs, top_k: int = 5):
+        probs = softmax_np(np.asarray(model_outputs.logits, np.float32))[0]
+        id2label = self.model.config.id2label or {i: f"LABEL_{i}" for i in range(len(probs))}
+        order = np.argsort(-probs)[: min(top_k, len(probs))]
+        return [{"label": id2label[int(i)], "score": float(probs[i])} for i in order]
+
+
+class ZeroShotImageClassificationPipeline(Pipeline):
+    """reference pipelines/zero_shot_image_classification.py (CLIP/SigLIP)."""
+
+    def __call__(self, image, candidate_labels=None, hypothesis_template="a photo of {}", **kwargs):
+        return super().__call__(image, candidate_labels=candidate_labels,
+                                hypothesis_template=hypothesis_template, **kwargs)
+
+    def _sanitize_parameters(self, candidate_labels=None, hypothesis_template="a photo of {}", **kwargs):
+        return {"candidate_labels": candidate_labels, "hypothesis_template": hypothesis_template}, {}, {}
+
+    def preprocess(self, image, candidate_labels=None, hypothesis_template="a photo of {}"):
+        texts = [hypothesis_template.format(l) for l in candidate_labels]
+        enc = self.tokenizer(texts, return_tensors="jax", padding=True)
+        img = self.image_processor(image, return_tensors="jax")
+        return {"input_ids": enc["input_ids"], "attention_mask": enc.get("attention_mask"),
+                "pixel_values": img["pixel_values"], "candidate_labels": candidate_labels}
+
+    def _forward(self, model_inputs, **kwargs):
+        labels = model_inputs.pop("candidate_labels")
+        out = self.model(self.model.params, **model_inputs)
+        return {"logits_per_image": np.asarray(out.logits_per_image), "candidate_labels": labels}
+
+    def postprocess(self, model_outputs, **kwargs):
+        probs = softmax_np(model_outputs["logits_per_image"][0].astype(np.float32))
+        labels = model_outputs["candidate_labels"]
+        order = np.argsort(-probs)
+        return [{"label": labels[int(i)], "score": float(probs[i])} for i in order]
+
+
+class AutomaticSpeechRecognitionPipeline(Pipeline):
+    """reference pipelines/automatic_speech_recognition.py (short-form)."""
+
+    def preprocess(self, audio, **kwargs):
+        if isinstance(audio, dict):
+            audio = audio.get("array", audio.get("raw"))
+        feats = self.feature_extractor([np.asarray(audio, np.float32)], return_tensors="jax")
+        return dict(feats)
+
+    def _forward(self, model_inputs, **generate_kwargs):
+        generate_kwargs.setdefault("max_new_tokens", 128)
+        out = self.model.generate(self.model.params,
+                                  input_features=model_inputs["input_features"],
+                                  **generate_kwargs)
+        return {"tokens": np.asarray(out)}
+
+    def postprocess(self, model_outputs, **kwargs):
+        text = self.tokenizer.decode([int(t) for t in model_outputs["tokens"][0]],
+                                     skip_special_tokens=True)
+        return {"text": text}
+
+
+class ImageTextToTextPipeline(Pipeline):
+    """reference pipelines/image_text_to_text.py (LLaVA-family)."""
+
+    def preprocess(self, inputs, **kwargs):
+        images = inputs.get("images")
+        text = inputs.get("text")
+        return dict(self.processor(text=text, images=images, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **generate_kwargs):
+        generate_kwargs.setdefault("max_new_tokens", 32)
+        out = self.model.generate(self.model.params,
+                                  input_ids=model_inputs["input_ids"],
+                                  pixel_values=model_inputs["pixel_values"],
+                                  **generate_kwargs)
+        prompt_len = model_inputs["input_ids"].shape[1]
+        return {"sequences": np.asarray(out), "prompt_len": prompt_len}
+
+    def postprocess(self, model_outputs, **kwargs):
+        seq = model_outputs["sequences"][0]
+        gen = seq[model_outputs["prompt_len"]:]
+        return [{"generated_text": self.processor.tokenizer.decode(
+            [int(t) for t in gen], skip_special_tokens=True)}]
