@@ -101,6 +101,12 @@ class PretrainedConfig:
     def num_labels(self) -> int:
         return len(self.id2label) if self.id2label else 2
 
+    @num_labels.setter
+    def num_labels(self, value: int):
+        if not self.__dict__.get("id2label") or len(self.id2label) != value:
+            self.id2label = {i: f"LABEL_{i}" for i in range(value)}
+            self.label2id = {v: k for k, v in self.id2label.items()}
+
     @property
     def name_or_path(self) -> str:
         return self._name_or_path

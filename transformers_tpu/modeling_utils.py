@@ -178,12 +178,13 @@ class PreTrainedModel(Module):
             device=device,
             keep_in_fp32_patterns=getattr(cls, "_keep_in_fp32_patterns", ()),
         )
-        if cls._keys_to_ignore_on_load_unexpected:
+        ignore_unexpected = getattr(model, "_keys_to_ignore_on_load_unexpected", ())
+        if ignore_unexpected:
             import re
 
             report.unexpected_keys = [
                 k for k in report.unexpected_keys
-                if not any(re.search(p, k) for p in cls._keys_to_ignore_on_load_unexpected)
+                if not any(re.search(p, k) for p in ignore_unexpected)
             ]
         # Tied weights resolve missing keys before random materialization.
         params = model.tie_weights(params)

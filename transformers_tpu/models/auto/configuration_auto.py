@@ -37,6 +37,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip_vision_model": ("siglip", "SiglipVisionConfig"),
     "whisper": ("whisper", "WhisperConfig"),
     "llava": ("llava", "LlavaConfig"),
+    "t5": ("t5", "T5Config"),
+    "bart": ("bart", "BartConfig"),
 }
 
 

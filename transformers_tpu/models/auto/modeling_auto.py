@@ -30,6 +30,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip": ("siglip", "SiglipModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
+    "t5": ("t5", "T5EncoderModel"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
@@ -71,7 +72,10 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
 }
-MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {}
+MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "t5": ("t5", "T5ForConditionalGeneration"),
+    "bart": ("bart", "BartForConditionalGeneration"),
+}
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperForConditionalGeneration"),
 }

@@ -1,0 +1,254 @@
+"""BART, TPU-native (reference src/transformers/models/bart/modeling_bart.py).
+
+Post-LN encoder-decoder with learned positions (offset +2), shared
+embeddings, tied lm_head + final_logits_bias. Decode via the shared seq2seq
+mixin (precomputed cross K/V + static self-attn cache).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...cache_utils import StaticKVCache, init_static_cache
+from ...core.module import Embedding, LayerNorm, Linear, Module, normal_init
+from ...generation.seq2seq import EncoderDecoderGenerationMixin
+from ...modeling_outputs import BaseModelOutput, Seq2SeqLMOutput
+from ...modeling_utils import PreTrainedModel
+from ...ops.activations import get_activation
+from ...ops.attention import get_attention_fn
+from .configuration_bart import BartConfig
+
+
+class BartLearnedPositionalEmbedding(Embedding):
+    """Positions offset by 2 (reference BartLearnedPositionalEmbedding)."""
+
+    OFFSET = 2
+
+    def __init__(self, num_positions, features, **kw):
+        super().__init__(num_positions + self.OFFSET, features, **kw)
+
+    def __call__(self, params, positions):
+        return super().__call__(params, positions + self.OFFSET)
+
+
+class BartAttention(Module):
+    def __init__(self, embed_dim, num_heads, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.config = config
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+        self.scale = self.head_dim**-0.5
+        kw = dict(dtype=dtype, param_dtype=param_dtype, kernel_init=normal_init(config.init_std))
+        self.q_proj = Linear(embed_dim, embed_dim, True, **kw)
+        self.k_proj = Linear(embed_dim, embed_dim, True, **kw)
+        self.v_proj = Linear(embed_dim, embed_dim, True, **kw)
+        self.out_proj = Linear(embed_dim, embed_dim, True, **kw)
+
+    def kv(self, params, hidden):
+        b, s, _ = hidden.shape
+        k = self.k_proj(params["k_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+        v = self.v_proj(params["v_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+        return k, v
+
+    def __call__(self, params, hidden, attn_args, kv_precomputed=None,
+                 cache: Optional[StaticKVCache] = None, layer_idx: int = 0, cache_position=0):
+        b, s, e = hidden.shape
+        q = self.q_proj(params["q_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+        if kv_precomputed is not None:
+            k, v = kv_precomputed
+        else:
+            k, v = self.kv(params, hidden)
+            if cache is not None:
+                cache = cache.update(layer_idx, k, v, cache_position)
+                k, v = cache.layer(layer_idx)
+                k = k.astype(self.dtype)
+                v = v.astype(self.dtype)
+        attn_fn = get_attention_fn(self.config.attn_implementation)
+        out = attn_fn(q, k, v, scale=self.scale, **attn_args)
+        return self.out_proj(params["out_proj"], out.reshape(b, s, e)), cache
+
+
+class BartEncoderLayer(Module):
+    def __init__(self, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        d = config.d_model
+        self.self_attn = BartAttention(d, config.encoder_attention_heads, config, **kw)
+        self.self_attn_layer_norm = LayerNorm(d, 1e-5, **kw)
+        self.fc1 = Linear(d, config.encoder_ffn_dim, True, **kw)
+        self.fc2 = Linear(config.encoder_ffn_dim, d, True, **kw)
+        self.final_layer_norm = LayerNorm(d, 1e-5, **kw)
+        self.act = get_activation(config.activation_function)
+
+    def __call__(self, params, hidden, attn_args):
+        h, _ = self.self_attn(params["self_attn"], hidden, attn_args)
+        hidden = self.self_attn_layer_norm(params["self_attn_layer_norm"], hidden + h)
+        h = self.fc2(params["fc2"], self.act(self.fc1(params["fc1"], hidden)))
+        return self.final_layer_norm(params["final_layer_norm"], hidden + h)
+
+
+class BartDecoderLayer(Module):
+    def __init__(self, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        d = config.d_model
+        self.self_attn = BartAttention(d, config.decoder_attention_heads, config, **kw)
+        self.self_attn_layer_norm = LayerNorm(d, 1e-5, **kw)
+        self.encoder_attn = BartAttention(d, config.decoder_attention_heads, config, **kw)
+        self.encoder_attn_layer_norm = LayerNorm(d, 1e-5, **kw)
+        self.fc1 = Linear(d, config.decoder_ffn_dim, True, **kw)
+        self.fc2 = Linear(config.decoder_ffn_dim, d, True, **kw)
+        self.final_layer_norm = LayerNorm(d, 1e-5, **kw)
+        self.act = get_activation(config.activation_function)
+
+    def __call__(self, params, hidden, attn_args, cross_args, cross_kv, cache, layer_idx, cache_position):
+        h, cache = self.self_attn(params["self_attn"], hidden, attn_args,
+                                  cache=cache, layer_idx=layer_idx, cache_position=cache_position)
+        hidden = self.self_attn_layer_norm(params["self_attn_layer_norm"], hidden + h)
+        h, _ = self.encoder_attn(params["encoder_attn"], hidden, cross_args, kv_precomputed=cross_kv)
+        hidden = self.encoder_attn_layer_norm(params["encoder_attn_layer_norm"], hidden + h)
+        h = self.fc2(params["fc2"], self.act(self.fc1(params["fc1"], hidden)))
+        return self.final_layer_norm(params["final_layer_norm"], hidden + h), cache
+
+
+class BartEncoder(Module):
+    def __init__(self, config: BartConfig, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.config = config
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        d = config.d_model
+        self.embed_positions = BartLearnedPositionalEmbedding(config.max_position_embeddings, d, **kw)
+        self.layers = [BartEncoderLayer(config, **kw) for _ in range(config.encoder_layers)]
+        self.layernorm_embedding = LayerNorm(d, 1e-5, **kw)
+        self.embed_scale = math.sqrt(d) if config.scale_embedding else 1.0
+
+    def __call__(self, params, inputs_embeds, attention_mask=None):
+        b, s, _ = inputs_embeds.shape
+        positions = jnp.arange(s, dtype=jnp.int32)[None, :]
+        h = inputs_embeds * self.embed_scale + self.embed_positions(params["embed_positions"], positions)
+        h = self.layernorm_embedding(params["layernorm_embedding"], h)
+        kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, s), jnp.int32)
+        attn_args = {"kv_valid": kv_valid, "is_causal": False}
+        for i, layer in enumerate(self.layers):
+            h = layer(params["layers"][str(i)], h, attn_args)
+        return h
+
+
+class BartDecoder(Module):
+    def __init__(self, config: BartConfig, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.config = config
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        d = config.d_model
+        self.embed_positions = BartLearnedPositionalEmbedding(config.max_position_embeddings, d, **kw)
+        self.layers = [BartDecoderLayer(config, **kw) for _ in range(config.decoder_layers)]
+        self.layernorm_embedding = LayerNorm(d, 1e-5, **kw)
+        self.embed_scale = math.sqrt(d) if config.scale_embedding else 1.0
+
+    def __call__(self, params, inputs_embeds, cross_kv, cache=None, cache_position=0,
+                 attention_mask=None, encoder_mask=None):
+        b, s, _ = inputs_embeds.shape
+        positions = jnp.arange(s, dtype=jnp.int32) + jnp.asarray(cache_position, jnp.int32)
+        h = inputs_embeds * self.embed_scale + self.embed_positions(
+            params["embed_positions"], positions[None, :])
+        h = self.layernorm_embedding(params["layernorm_embedding"], h)
+        kv_len = cache.max_len if cache is not None else s
+        q_positions = jnp.broadcast_to(positions[None, :], (b, s))
+        kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
+        attn_args = {"q_positions": q_positions, "kv_valid": kv_valid, "is_causal": True}
+        cross_args = {"is_causal": False}
+        if encoder_mask is not None:
+            cross_args["kv_valid"] = encoder_mask
+        for i, layer in enumerate(self.layers):
+            h, cache = layer(params["layers"][str(i)], h, attn_args, cross_args,
+                             cross_kv[i], cache, i, cache_position)
+        return h, cache
+
+
+class BartModel(Module):
+    def __init__(self, config: BartConfig, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        self.shared = Embedding(config.vocab_size, config.d_model,
+                                embedding_init=normal_init(config.init_std), **kw)
+        self.encoder = BartEncoder(config, **kw)
+        self.decoder = BartDecoder(config, **kw)
+
+
+class BartPreTrainedModel(PreTrainedModel):
+    config_class = BartConfig
+    base_model_prefix = "model"
+    _keys_to_ignore_on_load_unexpected = (
+        r"\.embed_tokens\.weight$", r"^lm_head\.weight$")
+
+
+class BartForConditionalGeneration(BartPreTrainedModel, EncoderDecoderGenerationMixin):
+    def __init__(self, config: BartConfig, *, dtype=jnp.float32, param_dtype=None):
+        super().__init__(config, dtype=dtype, param_dtype=param_dtype)
+        self.model = BartModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.vocab_size = config.vocab_size
+
+    def init(self, rng):
+        params = super().init(rng)
+        params["final_logits_bias"] = jnp.zeros((1, self.vocab_size), self.param_dtype)
+        return params
+
+    def get_input_embedding_path(self):
+        return "model.shared.weight"
+
+    def encode(self, params, input_ids, attention_mask=None) -> BaseModelOutput:
+        embeds = self.model.shared(params["model"]["shared"], input_ids)
+        hidden = self.model.encoder(params["model"]["encoder"], embeds, attention_mask)
+        return BaseModelOutput(last_hidden_state=hidden)
+
+    def precompute_cross_kv(self, params, encoder_hidden):
+        out = []
+        for i, layer in enumerate(self.model.decoder.layers):
+            out.append(layer.encoder_attn.kv(
+                params["model"]["decoder"]["layers"][str(i)]["encoder_attn"], encoder_hidden))
+        return tuple(out)
+
+    def decode_step(self, params, input_ids, cross_kv, cache, cache_position,
+                    decoder_mask, encoder_mask):
+        embeds = self.model.shared(params["model"]["shared"], input_ids)
+        return self.model.decoder(params["model"]["decoder"], embeds, cross_kv, cache,
+                                  cache_position, decoder_mask, encoder_mask)
+
+    def compute_logits(self, params, hidden):
+        logits = self.model.shared.attend(params["model"]["shared"], hidden)
+        return logits + params["final_logits_bias"].astype(logits.dtype)
+
+    def init_decoder_cache(self, batch_size: int, max_len: int, dtype=None) -> StaticKVCache:
+        c = self.config
+        return init_static_cache(num_layers=c.decoder_layers, batch_size=batch_size,
+                                 max_len=max_len, num_kv_heads=c.decoder_attention_heads,
+                                 head_dim=c.d_model // c.decoder_attention_heads,
+                                 dtype=dtype or self.dtype)
+
+    def __call__(self, params, input_ids=None, attention_mask=None, decoder_input_ids=None,
+                 decoder_attention_mask=None, encoder_outputs=None, past_key_values=None,
+                 cache_position=0, labels=None, **kwargs) -> Seq2SeqLMOutput:
+        if encoder_outputs is None:
+            encoder_outputs = self.encode(params, input_ids, attention_mask)
+        if decoder_input_ids is None and labels is not None:
+            # reference shift_tokens_right: start token then labels[:-1]
+            start = self.config.decoder_start_token_id
+            decoder_input_ids = jnp.concatenate(
+                [jnp.full((labels.shape[0], 1), start, labels.dtype), labels[:, :-1]], axis=1)
+            decoder_input_ids = jnp.where(decoder_input_ids == -100, self.config.pad_token_id,
+                                          decoder_input_ids)
+        cross_kv = self.precompute_cross_kv(params, encoder_outputs.last_hidden_state)
+        hidden, cache = self.decode_step(params, decoder_input_ids, cross_kv, past_key_values,
+                                         cache_position, decoder_attention_mask, attention_mask)
+        logits = self.compute_logits(params, hidden)
+        loss = None
+        if labels is not None:
+            from ...loss import for_masked_lm_loss
+
+            loss = for_masked_lm_loss(logits, labels, self.config.vocab_size)
+        return Seq2SeqLMOutput(loss=loss, logits=logits, past_key_values=cache,
+                               encoder_last_hidden_state=encoder_outputs.last_hidden_state)
