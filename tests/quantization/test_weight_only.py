@@ -1,0 +1,70 @@
+"""Weight-only quantization tests."""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from parity_utils import make_tiny_torch_llama, max_abs_diff  # noqa: E402
+
+import transformers_tpu as ttpu  # noqa: E402
+from transformers_tpu import Int4WeightOnlyConfig, Int8WeightOnlyConfig  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("quant"))
+    make_tiny_torch_llama(d, num_hidden_layers=2)
+    return d
+
+
+def test_int8_weight_only(tiny):
+    fp = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    q = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32",
+                                                  quantization_config=Int8WeightOnlyConfig())
+    # quantized leaves are int8 with scales
+    w = q.params["model"]["layers"]["0"]["self_attn"]["q_proj"]["weight"]
+    assert w.dtype == jnp.int8
+    assert "weight_scale" in q.params["model"]["layers"]["0"]["self_attn"]["q_proj"]
+    # embeddings untouched
+    assert q.params["model"]["embed_tokens"]["weight"].dtype == jnp.float32
+
+    ids = np.array([[1, 5, 9, 3, 22, 7]], dtype=np.int64)
+    ref = fp(fp.params, input_ids=jnp.asarray(ids)).logits
+    out = q(q.params, input_ids=jnp.asarray(ids)).logits
+    # int8 weight-only keeps logits close (tiny random models have
+    # near-uniform logits, so exact argmax equality is not meaningful)
+    assert max_abs_diff(out, ref) < 0.15
+
+
+def test_int8_generate_works(tiny):
+    q = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32",
+                                                  quantization_config=Int8WeightOnlyConfig())
+    ids = np.array([[1, 5, 9, 3]], dtype=np.int64)
+    out = np.asarray(q.generate(q.params, input_ids=jnp.asarray(ids), max_new_tokens=5,
+                                prompt_pad_multiple=4))
+    assert out.shape == (1, 9)
+
+
+def test_int4_roundtrip_and_forward(tiny):
+    from transformers_tpu.quantizers.weight_only import (
+        Int4WeightOnlyQuantizer, unpack_int4,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    qz = Int4WeightOnlyQuantizer(Int4WeightOnlyConfig())
+    packed, scale = qz.quantize_tensor("x.weight", w)
+    assert packed.shape == (16, 16) and packed.dtype == jnp.int8
+    recon = unpack_int4(packed, scale, jnp.float32)
+    # max quantization error bounded by scale/2 per element
+    assert float(jnp.max(jnp.abs(recon - w) / scale[None, :])) <= 0.51
+
+    q = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32",
+                                                  quantization_config=Int4WeightOnlyConfig())
+    ids = np.array([[1, 5, 9, 3]], dtype=np.int64)
+    out = q(q.params, input_ids=jnp.asarray(ids))
+    assert np.isfinite(np.asarray(out.logits)).all()

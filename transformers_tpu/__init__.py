@@ -53,3 +53,4 @@ from .data.data_collator import (
 from .models.auto import AutoProcessor
 from .processing_utils import ProcessorMixin
 from .pipelines import Pipeline, pipeline
+from .quantizers import Int4WeightOnlyConfig, Int8WeightOnlyConfig, quantize_params

@@ -200,8 +200,20 @@ class Linear(Module):
             return arr.T
         return arr
 
+    def materialize_weight(self, params):
+        """Kernel in compute dtype; dequantizes weight-only int8/int4 leaves
+        (quantizers/weight_only.py) — XLA fuses the dequant into the matmul."""
+        w = params["weight"]
+        if "weight_scale" in params:
+            from ..quantizers.weight_only import dequantize_int8, unpack_int4
+
+            if w.shape[0] == self.in_features:
+                return dequantize_int8(w, params["weight_scale"], self.dtype)
+            return unpack_int4(w, params["weight_scale"], self.dtype)
+        return w.astype(self.dtype)
+
     def __call__(self, params, x):
-        y = jnp.dot(x.astype(self.dtype), params["weight"].astype(self.dtype))
+        y = jnp.dot(x.astype(self.dtype), self.materialize_weight(params))
         if self.use_bias:
             y = y + params["bias"].astype(self.dtype)
         return y

@@ -147,6 +147,7 @@ class PreTrainedModel(Module):
         shardings: Optional[dict] = None,
         device: Optional[jax.Device] = None,
         attn_implementation: Optional[str] = None,
+        quantization_config=None,
         seed: int = 0,
         **config_kwargs,
     ) -> "PreTrainedModel":
@@ -195,6 +196,10 @@ class PreTrainedModel(Module):
             params = materialize_missing(model, params, still_missing, jax.random.key(seed))
             params = model.tie_weights(params)
         report.log(cls.__name__)
+        if quantization_config is not None:
+            from .quantizers import quantize_params
+
+            params = quantize_params(model, params, quantization_config)
         model.params = params
         model.load_report = report
 

@@ -1,0 +1,2 @@
+from .base import QuantizationConfig, get_quantizer, quantize_params
+from .weight_only import Int4WeightOnlyConfig, Int8WeightOnlyConfig

@@ -1,0 +1,68 @@
+"""Weight-only int8/int4 quantization.
+
+The TPU-relevant first backends of the reference's 26-quantizer zoo
+(SURVEY §2.7): symmetric per-output-channel int8, and int4 packed two
+nibbles per int8 byte. Dequant happens inside the Linear matmul where XLA
+fuses it (decode is HBM-bound, so halving/quartering weight bytes is a
+direct tokens/sec win).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from .base import QuantizationConfig, Quantizer, register_quantizer
+
+
+@dataclass
+class Int8WeightOnlyConfig(QuantizationConfig):
+    quant_method: str = "int8_weight_only"
+
+
+@dataclass
+class Int4WeightOnlyConfig(QuantizationConfig):
+    quant_method: str = "int4_weight_only"
+
+
+@register_quantizer("int8_weight_only")
+class Int8WeightOnlyQuantizer(Quantizer):
+    def quantize_tensor(self, key, value):
+        w = jnp.asarray(value, jnp.float32)  # [in, out]
+        scale = jnp.max(jnp.abs(w), axis=0, keepdims=False) / 127.0  # [out]
+        scale = jnp.maximum(scale, 1e-8)
+        q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+
+@register_quantizer("int4_weight_only")
+class Int4WeightOnlyQuantizer(Quantizer):
+    """Symmetric int4, two values packed per int8 along the input dim."""
+
+    def quantize_tensor(self, key, value):
+        w = jnp.asarray(value, jnp.float32)
+        in_dim = w.shape[0]
+        if in_dim % 2:
+            raise ValueError(f"int4 packing needs even input dim, got {in_dim} for {key}")
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(w / scale[None, :]), -7, 7).astype(jnp.int8)
+        lo = q[0::2] & 0x0F
+        hi = (q[1::2] & 0x0F) << 4
+        packed = (lo | hi).astype(jnp.int8)  # [in/2, out]
+        return packed, scale.astype(jnp.float32)
+
+
+def dequantize_int8(q, scale, dtype):
+    return q.astype(dtype) * scale.astype(dtype)[None, :]
+
+
+def unpack_int4(packed, scale, dtype):
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    # sign-extend 4-bit two's complement
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    in_half, out = packed.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(in_half * 2, out)
+    return w.astype(dtype) * scale.astype(dtype)[None, :]

@@ -404,6 +404,30 @@ class BPEModel(TokenModel):
         self.ignore_merges = cfg.get("ignore_merges", False)
         self.fuse_unk = cfg.get("fuse_unk", False)
         self._cache: dict[str, list[str]] = {}
+        self._native = None
+        self._native_tried = False
+        self._id_to_token: dict[int, str] = {}
+
+    def _try_native(self):
+        """Build the C++ merge engine (native/csrc/bpe.cpp) when the merge
+        table maps cleanly to id space (no subword prefix/suffix rewriting)."""
+        self._native_tried = True
+        if self.continuing_subword_prefix or self.end_of_word_suffix or not self.merge_ranks:
+            return
+        merges = []
+        ordered = sorted(self.merge_ranks.items(), key=lambda kv: kv[1])
+        for (l, r), _rank in ordered:
+            li, ri, mi = self._vocab.get(l), self._vocab.get(r), self._vocab.get(l + r)
+            if li is None or ri is None or mi is None:
+                return  # unmappable merge table; stay on the Python path
+            merges.append((li, ri, mi))
+        try:
+            from ..native import NativeBPE
+
+            self._native = NativeBPE(merges)
+            self._id_to_token = {v: k for k, v in self._vocab.items()}
+        except Exception:  # noqa: BLE001 — any build/load failure -> Python path
+            self._native = None
 
     @property
     def vocab(self):
@@ -415,6 +439,15 @@ class BPEModel(TokenModel):
         cached = self._cache.get(word)
         if cached is not None:
             return cached
+        if not self._native_tried:
+            self._try_native()
+        if self._native is not None:
+            ids = [self._vocab.get(c) for c in word]
+            if all(i is not None for i in ids):
+                out = [self._id_to_token[i] for i in self._native.encode(ids)]
+                if len(self._cache) < 65536:
+                    self._cache[word] = out
+                return out
         parts = list(word)
         if self.end_of_word_suffix and parts:
             parts[-1] = parts[-1] + self.end_of_word_suffix
