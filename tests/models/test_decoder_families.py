@@ -46,6 +46,35 @@ FAMILIES = {
 
 # Families whose configs use different field names: full config dicts, no TINY merge.
 FAMILIES_RAW = {
+    "olmo2": ("Olmo2Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        pad_token_id=0, eos_token_id=2)),
+    "starcoder2": ("Starcoder2Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        sliding_window=4, bos_token_id=1, eos_token_id=2)),
+    "stablelm": ("StableLmConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        partial_rotary_factor=0.5, use_qkv_bias=True)),
+    "stablelm-parallel": ("StableLmConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        partial_rotary_factor=0.25, use_parallel_residual=True)),
+    "phi": ("PhiConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=256, partial_rotary_factor=0.5)),
+    "qwen2_moe": ("Qwen2MoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=64, norm_topk_prob=False, use_sliding_window=False)),
+    "gemma3_text": ("Gemma3TextConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, query_pre_attn_scalar=8, sliding_window=4,
+        sliding_window_pattern=2, rope_theta=1000000.0, rope_local_base_freq=10000.0)),
     "gpt2": ("GPT2Config", dict(vocab_size=99, n_embd=32, n_layer=3, n_head=4, n_positions=256)),
     "gpt_neox": ("GPTNeoXConfig", dict(
         vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
@@ -94,7 +123,9 @@ def test_logit_parity(family, tmp_path):
     assert diff < 3e-5, f"{family}: logit diff {diff}"
 
 
-@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "mixtral"])
+@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox",
+                                    "mixtral", "olmo2", "stablelm", "phi", "qwen2_moe",
+                                    "gemma3_text", "starcoder2"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""

@@ -39,6 +39,12 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaConfig"),
     "t5": ("t5", "T5Config"),
     "bart": ("bart", "BartConfig"),
+    "olmo2": ("olmo2", "Olmo2Config"),
+    "starcoder2": ("starcoder2", "Starcoder2Config"),
+    "stablelm": ("stablelm", "StableLmConfig"),
+    "phi": ("phi", "PhiConfig"),
+    "qwen2_moe": ("qwen2_moe", "Qwen2MoeConfig"),
+    "gemma3_text": ("gemma3", "Gemma3TextConfig"),
 }
 
 

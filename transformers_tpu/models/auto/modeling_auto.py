@@ -31,6 +31,12 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
     "t5": ("t5", "T5EncoderModel"),
+    "olmo2": ("olmo2", "Olmo2ModelStandalone"),
+    "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
+    "stablelm": ("stablelm", "StableLmModelStandalone"),
+    "phi": ("phi", "PhiModelStandalone"),
+    "qwen2_moe": ("qwen2_moe", "Qwen2MoeModelStandalone"),
+    "gemma3_text": ("gemma3", "Gemma3TextModelStandalone"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
@@ -43,6 +49,12 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt2": ("gpt2", "GPT2LMHeadModel"),
     "gpt_neox": ("gpt_neox", "GPTNeoXForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
+    "olmo2": ("olmo2", "Olmo2ForCausalLM"),
+    "starcoder2": ("starcoder2", "Starcoder2ForCausalLM"),
+    "stablelm": ("stablelm", "StableLmForCausalLM"),
+    "phi": ("phi", "PhiForCausalLM"),
+    "qwen2_moe": ("qwen2_moe", "Qwen2MoeForCausalLM"),
+    "gemma3_text": ("gemma3", "Gemma3ForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForSequenceClassification"),

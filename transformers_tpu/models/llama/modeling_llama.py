@@ -179,6 +179,8 @@ class LlamaModel(Module):
     decoder_layer_cls = LlamaDecoderLayer
     # scale inputs_embeds by sqrt(hidden) (Gemma family)
     scale_embeddings: bool = False
+    # checkpoint name of the final norm ("final_layernorm" for Phi)
+    norm_name: str = "norm"
 
     def __init__(self, config: LlamaConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
@@ -189,7 +191,8 @@ class LlamaModel(Module):
             self.decoder_layer_cls(config, i, dtype=dtype, param_dtype=param_dtype)
             for i in range(config.num_hidden_layers)
         ]
-        self.norm = self.decoder_layer_cls.make_norm(config, dtype=dtype, param_dtype=param_dtype)
+        setattr(self, self.norm_name,
+                self.decoder_layer_cls.make_norm(config, dtype=dtype, param_dtype=param_dtype))
         self.inv_freq, self.attention_scaling = rope_inv_freq(config)
 
     def compute_rope(self, position_ids):
@@ -245,7 +248,7 @@ class LlamaModel(Module):
                 all_hidden.append(hidden)
             cos, sin = self.rope_for_layer(rope, i)
             hidden, cache = layer(params["layers"][str(i)], hidden, cos, sin, attn_args, cache, cache_position)
-        hidden = self.norm(params["norm"], hidden)
+        hidden = getattr(self, self.norm_name)(params[self.norm_name], hidden)
         if output_hidden_states:
             all_hidden.append(hidden)
         return BaseModelOutputWithPast(
