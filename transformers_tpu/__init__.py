@@ -54,3 +54,12 @@ from .models.auto import AutoProcessor
 from .processing_utils import ProcessorMixin
 from .pipelines import Pipeline, pipeline
 from .quantizers import Int4WeightOnlyConfig, Int8WeightOnlyConfig, quantize_params
+from .peft import (
+    lora_optimizer,
+    LoraConfig,
+    init_lora_params,
+    load_adapter,
+    lora_trainable_mask,
+    merge_lora,
+    save_adapter,
+)

@@ -213,7 +213,14 @@ class Linear(Module):
         return w.astype(self.dtype)
 
     def __call__(self, params, x):
-        y = jnp.dot(x.astype(self.dtype), self.materialize_weight(params))
+        x = x.astype(self.dtype)
+        y = jnp.dot(x, self.materialize_weight(params))
+        if "lora_A" in params:
+            # LoRA adapter leaves in the same tree (peft.py): rank-r update
+            a = params["lora_A"].astype(self.dtype)
+            b = params["lora_B"].astype(self.dtype)
+            scaling = params.get("lora_scaling", 1.0)
+            y = y + jnp.dot(jnp.dot(x, a), b) * jnp.asarray(scaling, self.dtype)
         if self.use_bias:
             y = y + params["bias"].astype(self.dtype)
         return y
