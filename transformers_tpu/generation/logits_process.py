@@ -219,3 +219,111 @@ class ForcedEOSTokenLogitsProcessor:
         force = state["gen_count"] >= self.max_new_tokens - 1
         forced = jnp.full_like(logits, NEG_INF).at[:, self.eos].set(0.0)
         return jnp.where(force, forced, logits)
+
+
+class TypicalLogitsWarper:
+    """Typical decoding (reference logits_process.py TypicalLogitsWarper)."""
+
+    def __init__(self, mass: float = 0.9, filter_value: float = -jnp.inf):
+        self.mass = float(mass)
+        self.filter_value = filter_value
+
+    def __call__(self, logits, state=None):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        p = jnp.exp(logp)
+        ent = -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1, keepdims=True)
+        shifted = jnp.abs(-logp - ent)
+        order = jnp.argsort(shifted, axis=-1)
+        sorted_p = jnp.take_along_axis(p, order, axis=-1)
+        cum = jnp.cumsum(sorted_p, axis=-1)
+        last_ind = jnp.sum((cum < self.mass).astype(jnp.int32), axis=-1, keepdims=True)
+        sorted_keep = jnp.arange(logits.shape[-1])[None, :] <= last_ind
+        keep = jnp.zeros_like(sorted_keep).at[
+            jnp.arange(logits.shape[0])[:, None], order].set(sorted_keep)
+        return jnp.where(keep, logits, self.filter_value)
+
+
+class EpsilonLogitsWarper:
+    """Epsilon sampling: drop tokens with prob < epsilon (reference analog)."""
+
+    def __init__(self, epsilon: float, filter_value: float = -jnp.inf, min_tokens_to_keep: int = 1):
+        self.epsilon = float(epsilon)
+        self.filter_value = filter_value
+        self.min_tokens_to_keep = min_tokens_to_keep
+
+    def __call__(self, logits, state=None):
+        p = jax.nn.softmax(logits, axis=-1)
+        keep = p >= self.epsilon
+        # always keep the top-k fallback
+        topk_vals, _ = jax.lax.top_k(logits, self.min_tokens_to_keep)
+        keep = keep | (logits >= topk_vals[:, -1:])
+        return jnp.where(keep, logits, self.filter_value)
+
+
+class EtaLogitsWarper:
+    """Eta sampling: entropy-adaptive epsilon (reference EtaLogitsWarper)."""
+
+    def __init__(self, epsilon: float, filter_value: float = -jnp.inf, min_tokens_to_keep: int = 1):
+        self.epsilon = float(epsilon)
+        self.filter_value = filter_value
+        self.min_tokens_to_keep = min_tokens_to_keep
+
+    def __call__(self, logits, state=None):
+        p = jax.nn.softmax(logits, axis=-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ent = -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1, keepdims=True)
+        eta = jnp.minimum(self.epsilon, jnp.sqrt(self.epsilon) * jnp.exp(-ent))
+        keep = p >= eta
+        topk_vals, _ = jax.lax.top_k(logits, self.min_tokens_to_keep)
+        keep = keep | (logits >= topk_vals[:, -1:])
+        return jnp.where(keep, logits, self.filter_value)
+
+
+class NoBadWordsLogitsProcessor:
+    """Ban single-token bad words; multi-token sequences ban the final token
+    when the preceding tokens match (reference NoBadWordsLogitsProcessor)."""
+
+    def __init__(self, bad_words_ids, eos_token_id=None):
+        self.singles = tuple(w[0] for w in bad_words_ids if len(w) == 1)
+        self.multi = tuple(tuple(w) for w in bad_words_ids if len(w) > 1)
+
+    def __call__(self, logits, state=None):
+        if self.singles:
+            logits = logits.at[:, jnp.asarray(self.singles)].set(-jnp.inf)
+        if self.multi and state is not None and "ids" in state:
+            ids = state["ids"]
+            pos = state["pos"]  # next slot to fill
+            for seq in self.multi:
+                prefix = jnp.asarray(seq[:-1], jnp.int32)
+                n = len(seq) - 1
+                # gather the last n written tokens [B, n]
+                idx = pos - n + jnp.arange(n, dtype=jnp.int32)
+                window = ids[:, None, :]  # avoid dynamic slice per batch: use take
+                gathered = jnp.take(ids, jnp.clip(idx, 0, ids.shape[1] - 1), axis=1)
+                match = jnp.all(gathered == prefix[None, :], axis=-1) & (pos >= n)
+                banned = logits.at[:, seq[-1]].set(-jnp.inf)
+                logits = jnp.where(match[:, None], banned, logits)
+        return logits
+
+
+class LogitNormalization:
+    def __call__(self, logits, state=None):
+        return jax.nn.log_softmax(logits, axis=-1)
+
+
+class ExponentialDecayLengthPenalty:
+    """Increase eos likelihood after a start index (reference analog)."""
+
+    def __init__(self, exponential_decay_length_penalty, eos_token_id, input_ids_seq_length=0):
+        self.start, self.factor = exponential_decay_length_penalty
+        self.eos_ids = tuple(eos_token_id) if isinstance(eos_token_id, (list, tuple)) else (eos_token_id,)
+        self.prompt_len = input_ids_seq_length
+
+    def __call__(self, logits, state=None):
+        gen_count = state["gen_count"] if state is not None else 0
+        steps = jnp.maximum(gen_count - self.start, 0).astype(jnp.float32)
+        mult = jnp.power(self.factor, steps)
+        for e in self.eos_ids:
+            boosted = jnp.abs(logits[:, e]) * (mult - 1.0)
+            logits = logits.at[:, e].add(boosted)
+        return logits
