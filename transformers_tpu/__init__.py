@@ -63,3 +63,5 @@ from .peft import (
     merge_lora,
     save_adapter,
 )
+from .debug_utils import DebugUnderflowOverflow, detect_overflow, model_addition_debugger_context, tree_stats
+from .hf_argparser import HfArgumentParser

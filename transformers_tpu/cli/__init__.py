@@ -18,7 +18,19 @@ def main(argv=None):
     serve_p.add_argument("--max-batch", type=int, default=32)
     serve_p.add_argument("--token-budget", type=int, default=128)
 
+    chat_p = sub.add_parser("chat", help="terminal chat client")
+    chat_p.add_argument("target", help="model path, or http(s) URL of a serve endpoint")
+    chat_p.add_argument("--max-new-tokens", type=int, default=256)
+
     args = parser.parse_args(argv)
+    if args.command == "chat":
+        from .chat import chat_local, chat_over_http
+
+        if args.target.startswith("http"):
+            chat_over_http(args.target)
+        else:
+            chat_local(args.target, max_new_tokens=args.max_new_tokens)
+        return
     if args.command == "serve":
         from .serving import serve
 

@@ -77,8 +77,11 @@ class Trainer:
 
         self.state = TrainerState()
         self.control = TrainerControl()
+        from .integrations import get_reporting_callbacks
+
+        reporters = get_reporting_callbacks(self.args.report_to)
         self.callback_handler = CallbackHandler(
-            [DefaultFlowCallback()] + (callbacks or []) + [PrinterCallback()],
+            [DefaultFlowCallback()] + (callbacks or []) + reporters + [PrinterCallback()],
             model, processing_class)
 
         # ---- mesh + shardings
