@@ -92,3 +92,28 @@ def test_zero_shot_image_classification(tmp_path):
     image = np.random.default_rng(0).integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
     out = pipe(image, candidate_labels=["cat", "dog"])
     assert {o["label"] for o in out} == {"cat", "dog"}
+
+
+def test_asr_pipeline_long_form(tmp_path):
+    import torch
+    import transformers
+
+    d = str(tmp_path)
+    torch.manual_seed(0)
+    cfg = transformers.WhisperConfig(
+        vocab_size=99, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=80,
+        max_source_positions=1500, max_target_positions=64,
+        decoder_start_token_id=1, pad_token_id=0, bos_token_id=0, eos_token_id=98,
+        suppress_tokens=None, begin_suppress_tokens=None)
+    transformers.WhisperForConditionalGeneration(cfg).save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d)
+    from transformers_tpu.models.whisper import WhisperFeatureExtractor
+
+    WhisperFeatureExtractor(feature_size=80).save_pretrained(d)
+    pipe = pipeline("automatic-speech-recognition", model=d, dtype="float32")
+    # 2.5 chunks of 30s audio -> sequential long-form path
+    audio = np.random.default_rng(0).normal(size=16000 * 75).astype(np.float32) * 0.1
+    out = pipe(audio, max_new_tokens=4)
+    assert isinstance(out["text"], str)

@@ -72,12 +72,31 @@ class AutoConfig:
     def from_pretrained(cls, pretrained_model_name_or_path, **kwargs) -> PretrainedConfig:
         import json
 
+        trust_remote_code = kwargs.pop("trust_remote_code", None)
         resolved = cached_file(str(pretrained_model_name_or_path), kwargs.pop("config_file", CONFIG_NAME))
         with open(resolved, encoding="utf-8") as f:
             config_dict = json.load(f)
         model_type = config_dict.get("model_type")
+        auto_map = config_dict.get("auto_map") or {}
+        if "AutoConfig" in auto_map and (model_type not in CONFIG_MAPPING_NAMES):
+            from ...dynamic_module_utils import (
+                get_class_from_dynamic_module,
+                resolve_trust_remote_code,
+            )
+
+            resolve_trust_remote_code(trust_remote_code, str(pretrained_model_name_or_path),
+                                      has_local_code=False, has_remote_code=True)
+            config_cls = get_class_from_dynamic_module(auto_map["AutoConfig"],
+                                                       pretrained_model_name_or_path)
+            return config_cls.from_dict({**config_dict,
+                                         "_name_or_path": str(pretrained_model_name_or_path)}, **kwargs)
         if model_type is None:
             raise ValueError(f"config.json at {pretrained_model_name_or_path} has no model_type.")
+        if model_type not in CONFIG_MAPPING_NAMES and auto_map:
+            # remote-code checkpoint without a custom AutoConfig: a generic
+            # config carries the fields (reference falls back the same way)
+            return PretrainedConfig.from_dict(
+                {**config_dict, "_name_or_path": str(pretrained_model_name_or_path)}, **kwargs)
         config_cls = get_config_class(model_type)
         config = config_cls.from_dict({**config_dict, "_name_or_path": str(pretrained_model_name_or_path)}, **kwargs)
         return config

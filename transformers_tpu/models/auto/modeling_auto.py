@@ -128,8 +128,19 @@ class _BaseAutoModelClass:
     @classmethod
     def from_pretrained(cls, pretrained_model_name_or_path, **kwargs):
         config = kwargs.pop("config", None)
+        trust_remote_code = kwargs.pop("trust_remote_code", None)
         if config is None:
-            config = AutoConfig.from_pretrained(pretrained_model_name_or_path)
+            config = AutoConfig.from_pretrained(pretrained_model_name_or_path,
+                                                trust_remote_code=trust_remote_code)
+        # checkpoint-shipped custom code (reference auto_factory.py remote-code
+        # route via dynamic_module_utils)
+        if getattr(config, "auto_map", None) and cls.__name__ in config.auto_map:
+            from ...dynamic_module_utils import load_custom_model_class
+
+            custom = load_custom_model_class(config, pretrained_model_name_or_path,
+                                             cls.__name__, trust_remote_code)
+            if custom is not None:
+                return custom.from_pretrained(pretrained_model_name_or_path, config=config, **kwargs)
         model_cls = _resolve(cls._model_mapping, config.model_type)
         return model_cls.from_pretrained(pretrained_model_name_or_path, config=config, **kwargs)
 

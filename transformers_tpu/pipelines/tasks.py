@@ -189,24 +189,39 @@ class ZeroShotImageClassificationPipeline(Pipeline):
 
 
 class AutomaticSpeechRecognitionPipeline(Pipeline):
-    """reference pipelines/automatic_speech_recognition.py (short-form)."""
+    """reference pipelines/automatic_speech_recognition.py. Long-form audio
+    runs the reference's *sequential* long-form strategy: consecutive
+    windows of chunk_length_s, each decoded by one jitted generate, texts
+    concatenated (the seek loop of generation_whisper.py:970 at the pipeline
+    level — host control flow, device per-chunk programs)."""
 
-    def preprocess(self, audio, **kwargs):
+    def _sanitize_parameters(self, chunk_length_s=None, **kwargs):
+        return {"chunk_length_s": chunk_length_s}, kwargs, {}
+
+    def preprocess(self, audio, chunk_length_s=None):
         if isinstance(audio, dict):
             audio = audio.get("array", audio.get("raw"))
-        feats = self.feature_extractor([np.asarray(audio, np.float32)], return_tensors="jax")
-        return dict(feats)
+        audio = np.asarray(audio, np.float32)
+        sr = self.feature_extractor.sampling_rate
+        window = int((chunk_length_s or self.feature_extractor.chunk_length) * sr)
+        chunks = [audio[i : i + window] for i in range(0, max(len(audio), 1), window)]
+        feats = [dict(self.feature_extractor([c], return_tensors="jax")) for c in chunks if len(c)]
+        return {"chunks": feats}
 
     def _forward(self, model_inputs, **generate_kwargs):
         generate_kwargs.setdefault("max_new_tokens", 128)
-        out = self.model.generate(self.model.params,
-                                  input_features=model_inputs["input_features"],
-                                  **generate_kwargs)
-        return {"tokens": np.asarray(out)}
+        tokens = []
+        for feats in model_inputs["chunks"]:
+            out = self.model.generate(self.model.params,
+                                      input_features=feats["input_features"],
+                                      **generate_kwargs)
+            tokens.append(np.asarray(out)[0])
+        return {"token_chunks": tokens}
 
     def postprocess(self, model_outputs, **kwargs):
-        text = self.tokenizer.decode([int(t) for t in model_outputs["tokens"][0]],
-                                     skip_special_tokens=True)
+        text = "".join(
+            self.tokenizer.decode([int(t) for t in chunk], skip_special_tokens=True)
+            for chunk in model_outputs["token_chunks"])
         return {"text": text}
 
 
