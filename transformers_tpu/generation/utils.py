@@ -116,7 +116,9 @@ class GenerationMixin:
 
         gen = (generation_config or getattr(self, "generation_config", None) or GenerationConfig()).copy()
         prefill_names = getattr(self, "_prefill_input_names", ())
+        static_names = getattr(self, "_static_prefill_input_names", ())
         kwargs_model = {k: kwargs.pop(k) for k in list(kwargs) if k in prefill_names}
+        static_model = {k: np.asarray(kwargs.pop(k)) for k in list(kwargs) if k in static_names}
         unused = gen.update(**kwargs)
         if unused:
             logger.warning(f"generate() ignoring unknown kwargs: {sorted(unused)}")
@@ -201,8 +203,14 @@ class GenerationMixin:
         prefill_kwargs = {k: jnp.asarray(v) for k, v in kwargs.items()
                           if k in getattr(self, "_prefill_input_names", ())}
 
+        # model-specific prompt positions (M-RoPE etc.): (prompt_pos, rope_last)
+        custom_pos = self._prepare_generation_positions(
+            np.asarray(input_ids), np.asarray(attention_mask), **static_model, **kwargs)
+
+        static_sig = tuple((k, static_model[k].tobytes()) for k in sorted(static_model))
         sig = (b, bucket, total_len, max_new, do_sample, eos_ids, pad_id, proc_sig,
-               str(jnp.dtype(cache_dtype)), tuple(sorted(prefill_kwargs)))
+               str(jnp.dtype(cache_dtype)), tuple(sorted(prefill_kwargs)),
+               custom_pos is not None, static_sig)
         cache_store = getattr(self, "_generate_fn_cache", None)
         if cache_store is None:
             cache_store = {}
@@ -212,10 +220,19 @@ class GenerationMixin:
                 bucket=bucket, total_len=total_len, max_new=max_new, do_sample=do_sample,
                 eos_ids=eos_ids, pad_id=pad_id, processors=processors, cache_dtype=cache_dtype,
                 prefill_input_names=tuple(sorted(prefill_kwargs)),
+                static_prefill_kwargs=static_model,
+                custom_positions=custom_pos is not None,
             )
         fn = cache_store[sig]
-        return fn(params, input_ids, attention_mask, prng_key,
-                  *[prefill_kwargs[k] for k in sorted(prefill_kwargs)])
+        extras = [prefill_kwargs[k] for k in sorted(prefill_kwargs)]
+        if custom_pos is not None:
+            extras += [custom_pos[0], custom_pos[1]]
+        return fn(params, input_ids, attention_mask, prng_key, *extras)
+
+    def _prepare_generation_positions(self, input_ids, attention_mask, **model_kwargs):
+        """Hook: return (prompt_position_ids, rope_last [B]) for models whose
+        rope positions differ from cumsum(mask) (M-RoPE). Default: None."""
+        return None
 
     def _generate_streaming(self, params, input_ids, attention_mask, *, max_new, do_sample,
                             eos_ids, pad_id, bucket, total_len, processors, prng_key,
@@ -300,8 +317,11 @@ class GenerationMixin:
 
     def _build_generate_fn(self, *, bucket: int, total_len: int, max_new: int, do_sample: bool,
                            eos_ids: tuple[int, ...], pad_id: int, processors: LogitsProcessorList,
-                           cache_dtype, prefill_input_names: tuple[str, ...] = ()):
+                           cache_dtype, prefill_input_names: tuple[str, ...] = (),
+                           static_prefill_kwargs: dict | None = None,
+                           custom_positions: bool = False):
         model = self
+        static_prefill_kwargs = static_prefill_kwargs or {}
 
         def is_eos(tok):  # [B]
             done = jnp.zeros(tok.shape, bool)
@@ -317,7 +337,10 @@ class GenerationMixin:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         def generate_fn(params, prompt_ids, prompt_mask, key, *prefill_extras):
+            if custom_positions:
+                *prefill_extras, custom_prompt_pos, custom_rope_last = prefill_extras
             extra = dict(zip(prefill_input_names, prefill_extras))
+            extra.update(static_prefill_kwargs)
             b = prompt_ids.shape[0]
             cache = model.init_cache(b, total_len, dtype=cache_dtype)
 
@@ -326,8 +349,12 @@ class GenerationMixin:
             mask = jnp.zeros((b, total_len), jnp.int32)
             mask = jax.lax.dynamic_update_slice(mask, prompt_mask.astype(jnp.int32), (0, 0))
 
-            prompt_pos = jnp.maximum(jnp.cumsum(prompt_mask, axis=-1) - 1, 0)  # rope positions
-            rope_last = prompt_pos[:, -1]  # [B] position of last prompt token
+            if custom_positions:
+                prompt_pos = custom_prompt_pos
+                rope_last = custom_rope_last
+            else:
+                prompt_pos = jnp.maximum(jnp.cumsum(prompt_mask, axis=-1) - 1, 0)  # rope positions
+                rope_last = prompt_pos[:, -1]  # [B] position of last prompt token
 
             # ---- prefill (reference _prefill, generation/utils.py:3893)
             out = model(

@@ -1,0 +1,8 @@
+from .configuration_qwen2_vl import Qwen2VLConfig, Qwen2VLTextConfig, Qwen2VLVisionConfig
+from .modeling_qwen2_vl import (
+    Qwen2VLForConditionalGeneration,
+    Qwen2VLModel,
+    Qwen2VLTextModel,
+    Qwen2VLVisionTransformer,
+    get_rope_index,
+)
