@@ -94,12 +94,16 @@ def test_native_speedup_on_long_words():
     native = NativeBPE(merges)
     rng = np.random.default_rng(2)
     words = [[int(x) for x in rng.integers(0, 300, 400)] for _ in range(50)]
-    t0 = time.perf_counter()
-    for w in words:
-        native.encode(w)
-    native_t = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for w in words:
-        _python_bpe(w, ranks)
-    python_t = time.perf_counter() - t0
+
+    def timeit(fn):
+        best = float("inf")
+        for _ in range(3):  # min-of-3: robust to CI load spikes
+            t0 = time.perf_counter()
+            for w in words:
+                fn(w)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    native_t = timeit(native.encode)
+    python_t = timeit(lambda w: _python_bpe(w, ranks))
     assert native_t < python_t, (native_t, python_t)

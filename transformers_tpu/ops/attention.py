@@ -65,22 +65,33 @@ def eager_attention(
     logit_cap: Optional[float] = None,
     **kwargs,
 ) -> jnp.ndarray:
-    """Reference dot-product attention; float32 softmax for numerics."""
-    h, kvh = q.shape[2], k.shape[2]
-    if kvh != h:
-        k = repeat_kv(k, h // kvh)
-        v = repeat_kv(v, h // kvh)
+    """Reference dot-product attention; float32 softmax for numerics.
+
+    GQA runs natively (grouped einsum) — K/V are never replicated across
+    query-head groups, so decode reads each KV byte exactly once (the
+    reference materializes repeat_kv; XLA cannot always fuse that away).
+    """
+    b, sq, h, d = q.shape
+    kvh = k.shape[2]
+    g = h // kvh
     if bias is None:
         bias = _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window)
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    qg = q.reshape(b, sq, kvh, g, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
     scores = scores * scale
     if logit_cap is not None and logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
-    scores = scores + bias.astype(jnp.float32)
+    # bias [B, 1|H, Q, K] -> broadcast over the group dim
+    bias32 = bias.astype(jnp.float32)
+    if bias32.shape[1] == 1:
+        bias32 = bias32[:, :, None]
+    else:
+        bias32 = bias32.reshape(b, kvh, g, *bias32.shape[-2:])
+    scores = scores + bias32
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
-    return out
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
+    return out.reshape(b, sq, h, d)
 
 
 def flash_attention_dispatch(
