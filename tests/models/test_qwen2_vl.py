@@ -102,3 +102,22 @@ def test_generate_matches_torch(ckpt):
                                     pixel_values=jnp.asarray(patches), image_grid_thw=grid,
                                     max_new_tokens=6, prompt_pad_multiple=1, eos_token_id=-1))
     np.testing.assert_array_equal(out[0], ref[0])
+
+
+def test_image_processor_matches_reference():
+    from transformers import Qwen2VLImageProcessor as TorchProc
+
+    from transformers_tpu.models.qwen2_vl import Qwen2VLImageProcessor
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+    theirs = TorchProc(patch_size=4, temporal_patch_size=2, merge_size=2,
+                       min_pixels=16 * 16, max_pixels=40 * 40)(
+        images=[image], return_tensors="np")
+    ours = Qwen2VLImageProcessor(patch_size=4, temporal_patch_size=2, merge_size=2,
+                                 min_pixels=16 * 16, max_pixels=40 * 40)(
+        images=[image], return_tensors="np")
+    np.testing.assert_array_equal(ours["image_grid_thw"], theirs["image_grid_thw"])
+    assert ours["pixel_values"].shape == theirs["pixel_values"].shape
+    diff = np.abs(ours["pixel_values"] - theirs["pixel_values"]).mean()
+    assert diff < 0.1, diff  # resize-filter differences only

@@ -68,3 +68,17 @@ def test_int4_roundtrip_and_forward(tiny):
     ids = np.array([[1, 5, 9, 3]], dtype=np.int64)
     out = q(q.params, input_ids=jnp.asarray(ids))
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_fp8_weight_only(tiny):
+    from transformers_tpu import Fp8WeightOnlyConfig
+
+    fp = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    q = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32",
+                                                  quantization_config=Fp8WeightOnlyConfig())
+    w = q.params["model"]["layers"]["0"]["self_attn"]["q_proj"]["weight"]
+    assert w.dtype == jnp.float8_e4m3fn
+    ids = np.array([[1, 5, 9, 3, 22, 7]], dtype=np.int64)
+    ref = fp(fp.params, input_ids=jnp.asarray(ids)).logits
+    out = q(q.params, input_ids=jnp.asarray(ids)).logits
+    assert max_abs_diff(out, ref) < 0.1

@@ -98,3 +98,17 @@ def test_tensorboard_callback(tmp_path):
     cb.on_log(args, state, control, logs={"loss": 1.0})
     cb.on_train_end(args, state, control)
     assert any((Path(tmp_path) / "runs").iterdir())
+
+
+def test_video_processor_roundtrip(tmp_path):
+    from transformers_tpu import AutoVideoProcessor, BaseVideoProcessor
+
+    proc = BaseVideoProcessor(size={"height": 16, "width": 16}, do_sample_frames=True,
+                              num_frames=4)
+    d = str(tmp_path)
+    proc.save_pretrained(d)
+    loaded = AutoVideoProcessor.from_pretrained(d)
+    assert loaded.num_frames == 4
+    video = np.random.default_rng(0).integers(0, 255, size=(10, 24, 24, 3), dtype=np.uint8)
+    out = loaded([video], return_tensors="np")
+    assert out["pixel_values_videos"].shape == (1, 4, 3, 16, 16)

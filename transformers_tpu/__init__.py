@@ -53,7 +53,7 @@ from .data.data_collator import (
 from .models.auto import AutoProcessor
 from .processing_utils import ProcessorMixin
 from .pipelines import Pipeline, pipeline
-from .quantizers import Int4WeightOnlyConfig, Int8WeightOnlyConfig, quantize_params
+from .quantizers import Fp8WeightOnlyConfig, Int4WeightOnlyConfig, Int8WeightOnlyConfig, quantize_params
 from .peft import (
     lora_optimizer,
     LoraConfig,
@@ -65,3 +65,4 @@ from .peft import (
 )
 from .debug_utils import DebugUnderflowOverflow, detect_overflow, model_addition_debugger_context, tree_stats
 from .hf_argparser import HfArgumentParser
+from .video_processing_utils import AutoVideoProcessor, BaseVideoProcessor

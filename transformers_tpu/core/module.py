@@ -205,8 +205,10 @@ class Linear(Module):
         (quantizers/weight_only.py) — XLA fuses the dequant into the matmul."""
         w = params["weight"]
         if "weight_scale" in params:
-            from ..quantizers.weight_only import dequantize_int8, unpack_int4
+            from ..quantizers.weight_only import dequantize_fp8, dequantize_int8, unpack_int4
 
+            if w.dtype == jnp.float8_e4m3fn:
+                return dequantize_fp8(w, params["weight_scale"], self.dtype)
             if w.shape[0] == self.in_features:
                 return dequantize_int8(w, params["weight_scale"], self.dtype)
             return unpack_int4(w, params["weight_scale"], self.dtype)

@@ -14,6 +14,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "clip": ("clip", "CLIPImageProcessor"),
     "siglip": ("siglip", "SiglipImageProcessor"),
     "llava": ("clip", "CLIPImageProcessor"),
+    "qwen2_vl": ("qwen2_vl", "Qwen2VLImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)
@@ -24,6 +25,8 @@ _CLASS_NAMES = {
     "CLIPImageProcessorFast": ("clip", "CLIPImageProcessor"),
     "SiglipImageProcessor": ("siglip", "SiglipImageProcessor"),
     "SiglipImageProcessorFast": ("siglip", "SiglipImageProcessor"),
+    "Qwen2VLImageProcessor": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "Qwen2VLImageProcessorFast": ("qwen2_vl", "Qwen2VLImageProcessor"),
 }
 
 

@@ -6,3 +6,4 @@ from .modeling_qwen2_vl import (
     Qwen2VLVisionTransformer,
     get_rope_index,
 )
+from .image_processing_qwen2_vl import Qwen2VLImageProcessor, smart_resize

@@ -1,2 +1,2 @@
 from .base import QuantizationConfig, get_quantizer, quantize_params
-from .weight_only import Int4WeightOnlyConfig, Int8WeightOnlyConfig
+from .weight_only import Fp8WeightOnlyConfig, Int4WeightOnlyConfig, Int8WeightOnlyConfig

@@ -66,3 +66,25 @@ def unpack_int4(packed, scale, dtype):
     in_half, out = packed.shape
     w = jnp.stack([lo, hi], axis=1).reshape(in_half * 2, out)
     return w.astype(dtype) * scale.astype(dtype)[None, :]
+
+
+@dataclass
+class Fp8WeightOnlyConfig(QuantizationConfig):
+    quant_method: str = "fp8_weight_only"
+
+
+@register_quantizer("fp8_weight_only")
+class Fp8WeightOnlyQuantizer(Quantizer):
+    """float8_e4m3 weight-only with per-channel scales (the reference's
+    finegrained-FP8 analog; v5e+ MXUs consume fp8 natively)."""
+
+    def quantize_tensor(self, key, value):
+        w = jnp.asarray(value, jnp.float32)
+        fp8_max = float(jnp.finfo(jnp.float8_e4m3fn).max)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / fp8_max, 1e-8)
+        q = (w / scale[None, :]).astype(jnp.float8_e4m3fn)
+        return q, scale.astype(jnp.float32)
+
+
+def dequantize_fp8(q, scale, dtype):
+    return q.astype(dtype) * scale.astype(dtype)[None, :]
