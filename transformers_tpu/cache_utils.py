@@ -129,3 +129,10 @@ def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16)
         dtype=dtype,
         layer_windows=layer_windows,
     )
+
+
+# Reference-named aliases (cache_utils.py:1730/:1822). On TPU the
+# preallocated static cache is the only sensible layout (SURVEY §7), so both
+# names resolve to it; ``DynamicCache`` exists for API familiarity.
+StaticCache = StaticKVCache
+DynamicCache = StaticKVCache
