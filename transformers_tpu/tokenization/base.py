@@ -94,8 +94,25 @@ class PreTrainedTokenizer:
     # ------------------------------------------------------------------- IO
     @classmethod
     def from_pretrained(cls, path_or_repo, **kwargs) -> "PreTrainedTokenizer":
-        tok_file = cached_file(str(path_or_repo), TOKENIZER_FILE)
-        engine = TokenizerEngine.from_file(tok_file)
+        tok_file = cached_file(str(path_or_repo), TOKENIZER_FILE,
+                               _raise_exceptions_for_missing_entries=False)
+        if tok_file:
+            engine = TokenizerEngine.from_file(tok_file)
+        else:
+            # SentencePiece fallback (reference convert_slow_tokenizer.py
+            # SpmConverter): parse the .model protobuf, build the same engine
+            spm_file = None
+            for name in ("tokenizer.model", "spiece.model", "sentencepiece.bpe.model"):
+                spm_file = cached_file(str(path_or_repo), name,
+                                       _raise_exceptions_for_missing_entries=False)
+                if spm_file:
+                    break
+            if not spm_file:
+                raise OSError(f"No tokenizer.json or sentencepiece .model found at {path_or_repo}")
+            from .spm import spm_to_tokenizer_config
+
+            with open(spm_file, "rb") as f:
+                engine = TokenizerEngine(spm_to_tokenizer_config(f.read()))
         config = {}
         cfg_file = cached_file(str(path_or_repo), TOKENIZER_CONFIG_FILE,
                                _raise_exceptions_for_missing_entries=False)
