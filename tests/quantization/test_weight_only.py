@@ -82,3 +82,34 @@ def test_fp8_weight_only(tiny):
     ref = fp(fp.params, input_ids=jnp.asarray(ids)).logits
     out = q(q.params, input_ids=jnp.asarray(ids)).logits
     assert max_abs_diff(out, ref) < 0.1
+
+
+def test_quantized_kv_cache(tiny):
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    params = model.params
+    ids = np.array([[1, 5, 9, 3, 22, 7, 14, 2]], dtype=np.int32)
+    full = model(params, input_ids=jnp.asarray(ids))
+    cache = model.init_cache(1, 8, dtype=jnp.float32, implementation="quantized")
+    assert cache.keys[0].dtype == jnp.int8
+    mask = np.zeros((1, 8), np.int32)
+    mask[:, :4] = 1
+    out = model(params, input_ids=jnp.asarray(ids[:, :4]), attention_mask=jnp.asarray(mask),
+                past_key_values=cache, cache_position=0)
+    cache = out.past_key_values
+    for t in range(4, 8):
+        mask[:, t] = 1
+        step = model(params, input_ids=jnp.asarray(ids[:, t:t+1]),
+                     attention_mask=jnp.asarray(mask), position_ids=jnp.asarray([[t]]),
+                     past_key_values=cache, cache_position=t)
+        cache = step.past_key_values
+        diff = max_abs_diff(step.logits[:, 0], full.logits[:, t])
+        assert diff < 0.05, (t, diff)  # int8 KV error stays small
+
+
+def test_generate_with_quantized_cache(tiny):
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    ids = np.array([[1, 5, 9, 3]], dtype=np.int64)
+    out = np.asarray(model.generate(model.params, input_ids=jnp.asarray(ids),
+                                    max_new_tokens=5, prompt_pad_multiple=4,
+                                    cache_implementation="quantized"))
+    assert out.shape == (1, 9)

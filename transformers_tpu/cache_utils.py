@@ -110,9 +110,12 @@ def layer_sliding_window(config, layer_idx: int) -> Optional[int]:
     return window
 
 
-def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16) -> StaticKVCache:
+def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16,
+                      implementation: str = "static"):
     """Derive cache geometry from a decoder config (hybrid layer_types aware,
-    reference cache_utils.py:1694 ``get_layer_types_and_kwargs``)."""
+    reference cache_utils.py:1694 ``get_layer_types_and_kwargs``).
+    ``implementation``: "static" (default) or "quantized" (int8 KV) —
+    the reference's generation_config.cache_implementation vocabulary (A.7)."""
     text_config = config.get_text_config() if hasattr(config, "get_text_config") else config
     num_layers = text_config.num_hidden_layers
     num_kv = getattr(text_config, "num_key_value_heads", None) or text_config.num_attention_heads
@@ -120,7 +123,8 @@ def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16)
         text_config.hidden_size // text_config.num_attention_heads
     )
     layer_windows = tuple(layer_sliding_window(text_config, i) for i in range(num_layers))
-    return init_static_cache(
+    builder = init_quantized_cache if implementation == "quantized" else init_static_cache
+    return builder(
         num_layers=num_layers,
         batch_size=batch_size,
         max_len=max_len,
@@ -136,3 +140,70 @@ def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16)
 # names resolve to it; ``DynamicCache`` exists for API familiarity.
 StaticCache = StaticKVCache
 DynamicCache = StaticKVCache
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["keys", "values", "key_scales", "value_scales"],
+         meta_fields=["layer_windows", "max_len"])
+@dataclass(frozen=True)
+class QuantizedKVCache:
+    """int8 KV cache with per-(token, head) scales (reference
+    cache_utils.py:698/:1877 QuantizedCache — quanto/hqq backends there; a
+    symmetric int8 scheme here). Halves KV HBM footprint and decode
+    read traffic; dequant happens on read and fuses into attention.
+    """
+
+    keys: tuple         # int8 [B, max_len, KVH, D]
+    values: tuple
+    key_scales: tuple   # f32 [B, max_len, KVH, 1]
+    value_scales: tuple
+    layer_windows: tuple
+    max_len: int
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.keys)
+
+    @staticmethod
+    def _quantize(x):
+        scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0,
+                            1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    def update(self, layer_idx: int, k: jnp.ndarray, v: jnp.ndarray, pos) -> "QuantizedKVCache":
+        qk, sk = self._quantize(k)
+        qv, sv = self._quantize(v)
+        slot = jnp.asarray(pos, jnp.int32)
+        z = jnp.zeros((), jnp.int32)
+        start4 = (z, slot, z, z)
+        keys = self.keys[:layer_idx] + (
+            jax.lax.dynamic_update_slice(self.keys[layer_idx], qk, start4),) + self.keys[layer_idx + 1:]
+        values = self.values[:layer_idx] + (
+            jax.lax.dynamic_update_slice(self.values[layer_idx], qv, start4),) + self.values[layer_idx + 1:]
+        key_scales = self.key_scales[:layer_idx] + (
+            jax.lax.dynamic_update_slice(self.key_scales[layer_idx], sk, start4),) + self.key_scales[layer_idx + 1:]
+        value_scales = self.value_scales[:layer_idx] + (
+            jax.lax.dynamic_update_slice(self.value_scales[layer_idx], sv, start4),) + self.value_scales[layer_idx + 1:]
+        return replace(self, keys=keys, values=values, key_scales=key_scales,
+                       value_scales=value_scales)
+
+    def layer(self, layer_idx: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        k = self.keys[layer_idx].astype(jnp.float32) * self.key_scales[layer_idx]
+        v = self.values[layer_idx].astype(jnp.float32) * self.value_scales[layer_idx]
+        return k, v
+
+
+def init_quantized_cache(*, num_layers: int, batch_size: int, max_len: int,
+                         num_kv_heads: int, head_dim: int,
+                         layer_windows: Optional[tuple] = None, **_) -> QuantizedKVCache:
+    if layer_windows is None:
+        layer_windows = (None,) * num_layers
+    kv_shape = (batch_size, max_len, num_kv_heads, head_dim)
+    sc_shape = (batch_size, max_len, num_kv_heads, 1)
+    return QuantizedKVCache(
+        keys=tuple(jnp.zeros(kv_shape, jnp.int8) for _ in range(num_layers)),
+        values=tuple(jnp.zeros(kv_shape, jnp.int8) for _ in range(num_layers)),
+        key_scales=tuple(jnp.zeros(sc_shape, jnp.float32) for _ in range(num_layers)),
+        value_scales=tuple(jnp.zeros(sc_shape, jnp.float32) for _ in range(num_layers)),
+        layer_windows=tuple(layer_windows), max_len=max_len)

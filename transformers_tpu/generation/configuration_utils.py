@@ -45,6 +45,8 @@ class GenerationConfig:
         self.bos_token_id = kwargs.pop("bos_token_id", None)
         self.eos_token_id = kwargs.pop("eos_token_id", None)
         self.decoder_start_token_id = kwargs.pop("decoder_start_token_id", None)
+        # Cache selection (reference A.7: dynamic/static/quantized/...)
+        self.cache_implementation = kwargs.pop("cache_implementation", None)
         # Output control
         self.output_scores = kwargs.pop("output_scores", False)
         self.return_dict_in_generate = kwargs.pop("return_dict_in_generate", False)

@@ -207,10 +207,11 @@ class GenerationMixin:
         custom_pos = self._prepare_generation_positions(
             np.asarray(input_ids), np.asarray(attention_mask), **static_model, **kwargs)
 
+        cache_impl = gen.cache_implementation or "static"
         static_sig = tuple((k, static_model[k].tobytes()) for k in sorted(static_model))
         sig = (b, bucket, total_len, max_new, do_sample, eos_ids, pad_id, proc_sig,
                str(jnp.dtype(cache_dtype)), tuple(sorted(prefill_kwargs)),
-               custom_pos is not None, static_sig)
+               custom_pos is not None, static_sig, cache_impl)
         cache_store = getattr(self, "_generate_fn_cache", None)
         if cache_store is None:
             cache_store = {}
@@ -222,6 +223,7 @@ class GenerationMixin:
                 prefill_input_names=tuple(sorted(prefill_kwargs)),
                 static_prefill_kwargs=static_model,
                 custom_positions=custom_pos is not None,
+                cache_implementation=cache_impl,
             )
         fn = cache_store[sig]
         extras = [prefill_kwargs[k] for k in sorted(prefill_kwargs)]
@@ -319,7 +321,8 @@ class GenerationMixin:
                            eos_ids: tuple[int, ...], pad_id: int, processors: LogitsProcessorList,
                            cache_dtype, prefill_input_names: tuple[str, ...] = (),
                            static_prefill_kwargs: dict | None = None,
-                           custom_positions: bool = False):
+                           custom_positions: bool = False,
+                           cache_implementation: str = "static"):
         model = self
         static_prefill_kwargs = static_prefill_kwargs or {}
 
@@ -342,7 +345,8 @@ class GenerationMixin:
             extra = dict(zip(prefill_input_names, prefill_extras))
             extra.update(static_prefill_kwargs)
             b = prompt_ids.shape[0]
-            cache = model.init_cache(b, total_len, dtype=cache_dtype)
+            cache = model.init_cache(b, total_len, dtype=cache_dtype,
+                                     implementation=cache_implementation)
 
             ids = jnp.full((b, total_len), pad_id, jnp.int32)
             ids = jax.lax.dynamic_update_slice(ids, prompt_ids.astype(jnp.int32), (0, 0))

@@ -347,8 +347,10 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
             hidden_states=outputs.hidden_states,
         )
 
-    def init_cache(self, batch_size: int, max_len: int, dtype=None) -> StaticKVCache:
-        return cache_from_config(self.config, batch_size, max_len, dtype or self.dtype)
+    def init_cache(self, batch_size: int, max_len: int, dtype=None,
+                   implementation: str = "static"):
+        return cache_from_config(self.config, batch_size, max_len, dtype or self.dtype,
+                                 implementation=implementation)
 
 
 class LlamaModelStandalone(LlamaPreTrainedModel):
