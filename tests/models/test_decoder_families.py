@@ -70,6 +70,15 @@ FAMILIES_RAW = {
         num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
         num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
         shared_expert_intermediate_size=64, norm_topk_prob=False, use_sliding_window=False)),
+    "smollm3": ("SmolLM3Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        no_rope_layer_interval=2, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "qwen3_moe": ("Qwen3MoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, norm_topk_prob=True)),
     "gemma3_text": ("Gemma3TextConfig", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=4,
         num_attention_heads=4, num_key_value_heads=2, head_dim=8,

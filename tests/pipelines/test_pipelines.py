@@ -117,3 +117,55 @@ def test_asr_pipeline_long_form(tmp_path):
     audio = np.random.default_rng(0).normal(size=16000 * 75).astype(np.float32) * 0.1
     out = pipe(audio, max_new_tokens=4)
     assert isinstance(out["text"], str)
+
+
+def test_question_answering_pipeline(tmp_path):
+    import torch
+    import transformers
+
+    d = str(tmp_path)
+    torch.manual_seed(0)
+    cfg = transformers.BertConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=4, intermediate_size=64,
+                                  max_position_embeddings=64)
+    transformers.BertForQuestionAnswering(cfg).save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d)
+    pipe = pipeline("question-answering", model=d, dtype="float32")
+    out = pipe(question="who?", context="alice went home")
+    assert set(out) >= {"answer", "score", "start", "end"}
+    assert 0 <= out["score"] <= 1
+
+
+def test_zero_shot_classification_pipeline(tmp_path):
+    import torch
+    import transformers
+
+    d = str(tmp_path)
+    torch.manual_seed(0)
+    cfg = transformers.BertConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=4, intermediate_size=64,
+                                  max_position_embeddings=64, num_labels=3,
+                                  id2label={0: "contradiction", 1: "neutral", 2: "entailment"},
+                                  label2id={"contradiction": 0, "neutral": 1, "entailment": 2})
+    transformers.BertForSequenceClassification(cfg).save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d)
+    pipe = pipeline("zero-shot-classification", model=d, dtype="float32")
+    out = pipe("the movie was great", candidate_labels=["positive", "negative"])
+    assert set(out["labels"]) == {"positive", "negative"}
+    assert abs(sum(out["scores"]) - 1.0) < 1e-5
+
+
+def test_summarization_pipeline(tmp_path):
+    import torch
+    import transformers
+
+    d = str(tmp_path)
+    torch.manual_seed(0)
+    cfg = transformers.T5Config(vocab_size=99, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                                num_heads=4, relative_attention_num_buckets=8,
+                                relative_attention_max_distance=16, decoder_start_token_id=0)
+    transformers.T5ForConditionalGeneration(cfg).save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d)
+    pipe = pipeline("summarization", model=d, dtype="float32")
+    out = pipe("summarize: a long story about nothing", max_new_tokens=6)
+    assert isinstance(out[0]["summary_text"], str)

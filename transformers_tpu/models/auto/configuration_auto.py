@@ -45,6 +45,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi": ("phi", "PhiConfig"),
     "qwen2_moe": ("qwen2_moe", "Qwen2MoeConfig"),
     "gemma3_text": ("gemma3", "Gemma3TextConfig"),
+    "smollm3": ("smollm3", "SmolLM3Config"),
+    "qwen3_moe": ("qwen3_moe", "Qwen3MoeConfig"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLConfig"),
     "qwen2_vl_text": ("qwen2_vl", "Qwen2VLTextConfig"),
 }

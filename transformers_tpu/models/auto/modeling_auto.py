@@ -37,6 +37,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi": ("phi", "PhiModelStandalone"),
     "qwen2_moe": ("qwen2_moe", "Qwen2MoeModelStandalone"),
     "gemma3_text": ("gemma3", "Gemma3TextModelStandalone"),
+    "smollm3": ("smollm3", "SmolLM3ModelStandalone"),
+    "qwen3_moe": ("qwen3_moe", "Qwen3MoeModelStandalone"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
@@ -55,6 +57,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi": ("phi", "PhiForCausalLM"),
     "qwen2_moe": ("qwen2_moe", "Qwen2MoeForCausalLM"),
     "gemma3_text": ("gemma3", "Gemma3ForCausalLM"),
+    "smollm3": ("smollm3", "SmolLM3ForCausalLM"),
+    "qwen3_moe": ("qwen3_moe", "Qwen3MoeForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForSequenceClassification"),

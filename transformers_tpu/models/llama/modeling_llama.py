@@ -123,7 +123,7 @@ class LlamaAttention(Module):
             q = self.q_norm(params["q_norm"], q)
         if self.k_norm is not None:
             k = self.k_norm(params["k_norm"], k)
-        if cos is not None:
+        if cos is not None and getattr(self, "apply_rope", True):
             q, k = apply_rotary_pos_emb(q, k, cos, sin)
 
         if cache is not None:

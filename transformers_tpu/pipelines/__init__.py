@@ -13,6 +13,11 @@ from ..utils import logging
 from .base import Pipeline
 from .tasks import (
     AutomaticSpeechRecognitionPipeline,
+    QuestionAnsweringPipeline,
+    SummarizationPipeline,
+    Text2TextGenerationPipeline,
+    TranslationPipeline,
+    ZeroShotClassificationPipeline,
     FeatureExtractionPipeline,
     FillMaskPipeline,
     ImageClassificationPipeline,
@@ -40,6 +45,12 @@ SUPPORTED_TASKS = {
                                      "AutoModelForSpeechSeq2Seq",
                                      ("tokenizer", "feature_extractor")),
     "image-text-to-text": (ImageTextToTextPipeline, "AutoModelForImageTextToText", ("processor",)),
+    "question-answering": (QuestionAnsweringPipeline, "AutoModelForQuestionAnswering", ("tokenizer",)),
+    "zero-shot-classification": (ZeroShotClassificationPipeline,
+                                 "AutoModelForSequenceClassification", ("tokenizer",)),
+    "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "translation": (TranslationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
 }
 
 TASK_ALIASES = {

@@ -247,3 +247,108 @@ class ImageTextToTextPipeline(Pipeline):
         gen = seq[model_outputs["prompt_len"]:]
         return [{"generated_text": self.processor.tokenizer.decode(
             [int(t) for t in gen], skip_special_tokens=True)}]
+
+
+class QuestionAnsweringPipeline(Pipeline):
+    """reference pipelines/question_answering.py (simplified span decode)."""
+
+    def __call__(self, question=None, context=None, **kwargs):
+        if isinstance(question, dict):
+            return super().__call__(question, **kwargs)
+        return super().__call__({"question": question, "context": context}, **kwargs)
+
+    def preprocess(self, inputs, **kwargs):
+        enc = self.tokenizer(inputs["question"], inputs["context"], return_tensors="jax",
+                             return_token_type_ids=True)
+        return {"encoding": enc, "context": inputs["context"]}
+
+    def _forward(self, model_inputs, **kwargs):
+        enc = model_inputs["encoding"]
+        out = self.model(self.model.params,
+                         **{k: v for k, v in enc.items() if k != "token_type_ids"})
+        return {"start": np.asarray(out.start_logits)[0], "end": np.asarray(out.end_logits)[0],
+                "encoding": enc, "context": model_inputs["context"]}
+
+    def postprocess(self, model_outputs, top_k: int = 1, max_answer_len: int = 15):
+        start, end = model_outputs["start"], model_outputs["end"]
+        ids = np.asarray(model_outputs["encoding"]["input_ids"])[0]
+        # joint argmax over valid (s <= e < s + max_len) spans
+        scores = start[:, None] + end[None, :]
+        mask = np.triu(np.ones_like(scores, dtype=bool))
+        mask &= np.tril(np.ones_like(scores, dtype=bool), k=max_answer_len - 1)
+        scores = np.where(mask, scores, -np.inf)
+        flat = scores.reshape(-1)
+        order = np.argsort(-flat)[:top_k]
+        results = []
+        e_x = np.exp(start - start.max())
+        p_start = e_x / e_x.sum()
+        e_y = np.exp(end - end.max())
+        p_end = e_y / e_y.sum()
+        for idx in order:
+            s, e = divmod(int(idx), scores.shape[1])
+            answer = self.tokenizer.decode([int(t) for t in ids[s : e + 1]],
+                                           skip_special_tokens=True).strip()
+            results.append({"answer": answer, "score": float(p_start[s] * p_end[e]),
+                            "start": s, "end": e})
+        return results[0] if top_k == 1 else results
+
+
+class ZeroShotClassificationPipeline(Pipeline):
+    """reference pipelines/zero_shot_classification.py (NLI-based)."""
+
+    def __call__(self, sequences, candidate_labels=None,
+                 hypothesis_template="This example is {}.", **kwargs):
+        batched = isinstance(sequences, list)
+        items = sequences if batched else [sequences]
+        outs = [self._classify(s, candidate_labels, hypothesis_template) for s in items]
+        return outs if batched else outs[0]
+
+    def _entailment_index(self) -> int:
+        label2id = {k.lower(): v for k, v in (self.model.config.label2id or {}).items()}
+        return label2id.get("entailment", -1)
+
+    def _classify(self, sequence, labels, template):
+        import jax.numpy as jnp
+
+        entail = self._entailment_index()
+        scores = []
+        for label in labels:
+            enc = self.tokenizer(sequence, template.format(label), return_tensors="jax")
+            logits = np.asarray(self.model(self.model.params, **enc).logits)[0]
+            probs = softmax_np(logits)
+            scores.append(float(probs[entail]))
+        scores = np.asarray(scores)
+        scores = scores / scores.sum()
+        order = np.argsort(-scores)
+        return {"sequence": sequence,
+                "labels": [labels[i] for i in order],
+                "scores": [float(scores[i]) for i in order]}
+
+
+class Text2TextGenerationPipeline(Pipeline):
+    """reference pipelines/text2text_generation.py (T5/BART)."""
+
+    return_name = "generated"
+
+    def preprocess(self, inputs, **kwargs):
+        return dict(self.tokenizer(inputs, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **generate_kwargs):
+        generate_kwargs.setdefault("max_new_tokens", 32)
+        out = self.model.generate(self.model.params, input_ids=model_inputs["input_ids"],
+                                  attention_mask=model_inputs.get("attention_mask"),
+                                  **generate_kwargs)
+        return {"tokens": np.asarray(out)}
+
+    def postprocess(self, model_outputs, **kwargs):
+        text = self.tokenizer.decode([int(t) for t in model_outputs["tokens"][0]],
+                                     skip_special_tokens=True)
+        return [{f"{self.return_name}_text": text}]
+
+
+class SummarizationPipeline(Text2TextGenerationPipeline):
+    return_name = "summary"
+
+
+class TranslationPipeline(Text2TextGenerationPipeline):
+    return_name = "translation"
