@@ -112,3 +112,22 @@ def test_video_processor_roundtrip(tmp_path):
     video = np.random.default_rng(0).integers(0, 255, size=(10, 24, 24, 3), dtype=np.uint8)
     out = loaded([video], return_tensors="np")
     assert out["pixel_values_videos"].shape == (1, 4, 3, 16, 16)
+
+
+def test_capture_attentions():
+    config = ttpu.LlamaConfig(vocab_size=32, hidden_size=16, intermediate_size=32,
+                              num_hidden_layers=2, num_attention_heads=2,
+                              num_key_value_heads=2, max_position_embeddings=32,
+                              attn_implementation="eager")
+    model = ttpu.LlamaForCausalLM(config)
+    params = model.init_params(0)
+    from transformers_tpu.debug_utils import capture_attentions
+
+    with capture_attentions() as records:
+        model(params, input_ids=jnp.asarray([[1, 2, 3, 4]]))
+    assert len(records) == 2  # one per layer
+    probs = records[0]
+    assert probs.shape == (1, 2, 4, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    # causal: upper triangle is zero
+    assert probs[0, 0, 0, 1] < 1e-6

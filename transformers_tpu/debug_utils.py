@@ -157,3 +157,43 @@ def model_addition_debugger_context(model: Module, debug_path: str):
             t.__call__ = original
         with open(debug_path, "w", encoding="utf-8") as f:
             json.dump(records, f, indent=2)
+
+
+@contextlib.contextmanager
+def capture_attentions(store: Optional[list] = None):
+    """Record attention probabilities from the eager kernel (the analog of
+    ``output_attentions=True`` / utils/attention_visualizer.py — hook-based
+    capture instead of plumbing flags through every model). Eager mode only
+    (under jit the values are tracers and are skipped)."""
+    from .ops import attention as attention_mod
+
+    records = store if store is not None else []
+    original = attention_mod.eager_attention
+
+    def capturing(q, k, v, bias=None, **kwargs):
+        out = original(q, k, v, bias, **kwargs)
+        # recompute probs cheaply for the record (eager/debug path only)
+        if not isinstance(q, jax.core.Tracer):
+            from .ops.attention import _render_bias
+
+            b = bias if bias is not None else _render_bias(
+                q, k, kwargs.get("q_positions"), kwargs.get("kv_valid"),
+                kwargs.get("is_causal", True), kwargs.get("sliding_window"))
+            h, kvh = q.shape[2], k.shape[2]
+            kk = jnp.repeat(k, h // kvh, axis=2) if kvh != h else k
+            scale = kwargs.get("scale") or q.shape[-1] ** -0.5
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                                kk.astype(jnp.float32)) * scale + b.astype(jnp.float32)
+            records.append(np.asarray(jax.nn.softmax(scores, axis=-1)))
+        return out
+
+    prev = dict(attention_mod.ALL_ATTENTION_FUNCTIONS._global_mapping)
+    for key, fn in list(attention_mod.ALL_ATTENTION_FUNCTIONS._global_mapping.items()):
+        if fn is original:
+            attention_mod.ALL_ATTENTION_FUNCTIONS._global_mapping[key] = capturing
+    attention_mod.eager_attention = capturing
+    try:
+        yield records
+    finally:
+        attention_mod.eager_attention = original
+        attention_mod.ALL_ATTENTION_FUNCTIONS._global_mapping.update(prev)

@@ -67,15 +67,29 @@ class ContinuousBatchingEngine:
         self.scheduler.add(req)
 
     def _sample(self, req: RequestState, logits: np.ndarray) -> int:
+        """Greedy or (temperature, top-k, top-p) sampling per request
+        (reference continuous_batching/cb_logits_processors.py subset)."""
         logits = np.asarray(logits, np.float32)
-        if req.temperature and req.temperature > 0:
-            key = self._rng.setdefault(req.request_id, jax.random.key(req.seed))
-            key, sub = jax.random.split(key)
-            self._rng[req.request_id] = key
-            import jax.numpy as jnp
+        if not req.temperature or req.temperature <= 0:
+            return int(np.argmax(logits))
+        logits = logits / req.temperature
+        if req.top_k and req.top_k > 0:
+            kth = np.partition(logits, -req.top_k)[-req.top_k]
+            logits = np.where(logits < kth, -np.inf, logits)
+        if req.top_p and 0 < req.top_p < 1.0:
+            order = np.argsort(-logits)
+            probs = np.exp(logits[order] - logits[order[0]])
+            probs = probs / probs.sum()
+            keep = np.cumsum(probs) - probs < req.top_p
+            cut = np.full_like(logits, -np.inf)
+            cut[order[keep]] = logits[order[keep]]
+            logits = cut
+        key = self._rng.setdefault(req.request_id, jax.random.key(req.seed))
+        key, sub = jax.random.split(key)
+        self._rng[req.request_id] = key
+        import jax.numpy as jnp
 
-            return int(jax.random.categorical(sub, jnp.asarray(logits) / req.temperature))
-        return int(np.argmax(logits))
+        return int(jax.random.categorical(sub, jnp.asarray(logits)))
 
     def step(self) -> list[GenerationOutput]:
         """One scheduler step; returns per-request deliveries (new tokens and

@@ -37,6 +37,7 @@ class RequestState:
     eos_token_ids: tuple = ()
     temperature: float = 0.0  # 0 = greedy
     top_k: int = 0
+    top_p: float = 1.0
     seed: int = 0
 
     status: RequestStatus = RequestStatus.WAITING
