@@ -177,11 +177,15 @@ class BertModel(Module):
             self.pooler = None
 
     def __call__(self, params, input_ids=None, attention_mask=None, token_type_ids=None,
-                 position_ids=None, inputs_embeds=None, output_hidden_states=False) -> BaseModelOutputWithPooling:
+                 position_ids=None, inputs_embeds=None, output_hidden_states=False,
+                 output_attentions=False) -> BaseModelOutputWithPooling:
         hidden = self.embeddings(params["embeddings"], input_ids, token_type_ids, position_ids, inputs_embeds)
         b, s, _ = hidden.shape
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, s), jnp.int32)
         attn_args = {"kv_valid": kv_valid, "is_causal": False}
+        probs_sink = [] if output_attentions else None
+        if output_attentions:
+            attn_args["probs_sink"] = probs_sink
         hidden, all_hidden = self.encoder(params["encoder"], hidden, attn_args, output_hidden_states)
         pooled = None
         if self.pooler is not None and "pooler" in params:
@@ -189,6 +193,7 @@ class BertModel(Module):
         return BaseModelOutputWithPooling(
             last_hidden_state=hidden, pooler_output=pooled,
             hidden_states=tuple(all_hidden) if all_hidden is not None else None,
+            attentions=tuple(probs_sink) if probs_sink is not None else None,
         )
 
 

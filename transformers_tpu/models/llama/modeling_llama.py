@@ -218,6 +218,7 @@ class LlamaModel(Module):
         cache_position=0,
         inputs_embeds: Optional[jnp.ndarray] = None,
         output_hidden_states: bool = False,
+        output_attentions: bool = False,
     ) -> BaseModelOutputWithPast:
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(params["embed_tokens"], input_ids)
@@ -240,6 +241,11 @@ class LlamaModel(Module):
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
         attn_args = {"q_positions": q_positions, "kv_valid": kv_valid,
                      "is_causal": True, "sliding_window": None}
+        # output_attentions channel: attention impls append [B, H, Q, KV]
+        # probs here (forces the eager path — see ops/attention.py).
+        probs_sink = [] if output_attentions else None
+        if output_attentions:
+            attn_args["probs_sink"] = probs_sink
 
         all_hidden = [] if output_hidden_states else None
         cache = past_key_values
@@ -255,6 +261,7 @@ class LlamaModel(Module):
             last_hidden_state=hidden,
             past_key_values=cache,
             hidden_states=tuple(all_hidden) if all_hidden is not None else None,
+            attentions=tuple(probs_sink) if probs_sink is not None else None,
         )
 
 
@@ -326,10 +333,12 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
         labels: Optional[jnp.ndarray] = None,
         logits_to_keep: int = 0,
         output_hidden_states: bool = False,
+        output_attentions: bool = False,
     ) -> CausalLMOutputWithPast:
         outputs = self.model(
             params["model"], input_ids, attention_mask, position_ids,
             past_key_values, cache_position, inputs_embeds, output_hidden_states,
+            output_attentions,
         )
         hidden = outputs.last_hidden_state
         if logits_to_keep:
@@ -345,6 +354,7 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
             logits=logits,
             past_key_values=outputs.past_key_values,
             hidden_states=outputs.hidden_states,
+            attentions=outputs.attentions,
         )
 
     def init_cache(self, batch_size: int, max_len: int, dtype=None,

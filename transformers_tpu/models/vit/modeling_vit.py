@@ -93,13 +93,13 @@ class ViTSelfAttention(Module):
         self.key = Linear(config.hidden_size, config.hidden_size, config.qkv_bias, **kw)
         self.value = Linear(config.hidden_size, config.hidden_size, config.qkv_bias, **kw)
 
-    def __call__(self, params, hidden):
+    def __call__(self, params, hidden, probs_sink=None):
         b, s, e = hidden.shape
         q = self.query(params["query"], hidden).reshape(b, s, self.num_heads, self.head_dim)
         k = self.key(params["key"], hidden).reshape(b, s, self.num_heads, self.head_dim)
         v = self.value(params["value"], hidden).reshape(b, s, self.num_heads, self.head_dim)
         attn_fn = get_attention_fn(self.config.attn_implementation)
-        out = attn_fn(q, k, v, scale=self.head_dim**-0.5, is_causal=False)
+        out = attn_fn(q, k, v, scale=self.head_dim**-0.5, is_causal=False, probs_sink=probs_sink)
         return out.reshape(b, s, e)
 
 
@@ -109,8 +109,9 @@ class ViTAttention(Module):
         self.attention = ViTSelfAttention(config, dtype=dtype, param_dtype=param_dtype)
         self.output = _ViTSelfOutput(config, dtype=dtype, param_dtype=param_dtype)
 
-    def __call__(self, params, hidden):
-        return self.output(params["output"], self.attention(params["attention"], hidden))
+    def __call__(self, params, hidden, probs_sink=None):
+        return self.output(params["output"],
+                           self.attention(params["attention"], hidden, probs_sink))
 
 
 class _ViTSelfOutput(Module):
@@ -156,8 +157,9 @@ class ViTLayer(Module):
         self.layernorm_before = LayerNorm(config.hidden_size, config.layer_norm_eps, **kw)
         self.layernorm_after = LayerNorm(config.hidden_size, config.layer_norm_eps, **kw)
 
-    def __call__(self, params, hidden):
-        h = self.attention(params["attention"], self.layernorm_before(params["layernorm_before"], hidden))
+    def __call__(self, params, hidden, probs_sink=None):
+        h = self.attention(params["attention"],
+                           self.layernorm_before(params["layernorm_before"], hidden), probs_sink)
         hidden = hidden + h
         h = self.intermediate(params["intermediate"], self.layernorm_after(params["layernorm_after"], hidden))
         return self.output(params["output"], h, hidden)
@@ -169,12 +171,12 @@ class ViTEncoder(Module):
         self.layer = [ViTLayer(config, dtype=dtype, param_dtype=param_dtype)
                       for _ in range(config.num_hidden_layers)]
 
-    def __call__(self, params, hidden, output_hidden_states=False):
+    def __call__(self, params, hidden, output_hidden_states=False, probs_sink=None):
         all_hidden = [] if output_hidden_states else None
         for i, layer in enumerate(self.layer):
             if output_hidden_states:
                 all_hidden.append(hidden)
-            hidden = layer(params["layer"][str(i)], hidden)
+            hidden = layer(params["layer"][str(i)], hidden, probs_sink)
         if output_hidden_states:
             all_hidden.append(hidden)
         return hidden, all_hidden
@@ -201,9 +203,11 @@ class ViTModel(Module):
         self.layernorm = LayerNorm(config.hidden_size, config.layer_norm_eps, **kw)
         self.pooler = ViTPooler(config, **kw) if add_pooling_layer else None
 
-    def __call__(self, params, pixel_values, output_hidden_states=False) -> BaseModelOutputWithPooling:
+    def __call__(self, params, pixel_values, output_hidden_states=False,
+                 output_attentions=False) -> BaseModelOutputWithPooling:
         hidden = self.embeddings(params["embeddings"], pixel_values)
-        hidden, all_hidden = self.encoder(params["encoder"], hidden, output_hidden_states)
+        probs_sink = [] if output_attentions else None
+        hidden, all_hidden = self.encoder(params["encoder"], hidden, output_hidden_states, probs_sink)
         hidden = self.layernorm(params["layernorm"], hidden)
         pooled = None
         if self.pooler is not None and "pooler" in params:
@@ -211,6 +215,7 @@ class ViTModel(Module):
         return BaseModelOutputWithPooling(
             last_hidden_state=hidden, pooler_output=pooled,
             hidden_states=tuple(all_hidden) if all_hidden is not None else None,
+            attentions=tuple(probs_sink) if probs_sink is not None else None,
         )
 
 

@@ -63,6 +63,7 @@ def eager_attention(
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
     logit_cap: Optional[float] = None,
+    probs_sink: Optional[list] = None,
     **kwargs,
 ) -> jnp.ndarray:
     """Reference dot-product attention; float32 softmax for numerics.
@@ -70,6 +71,11 @@ def eager_attention(
     GQA runs natively (grouped einsum) — K/V are never replicated across
     query-head groups, so decode reads each KV byte exactly once (the
     reference materializes repeat_kv; XLA cannot always fuse that away).
+
+    ``probs_sink``: the ``output_attentions=True`` channel — when a list is
+    supplied, the [B, H, Q, KV] softmax probabilities (query dtype, matching
+    reference eager_attention_forward modeling_llama.py:217) are appended to
+    it. Threaded through ``attn_args`` so no per-family signature changes.
     """
     b, sq, h, d = q.shape
     kvh = k.shape[2]
@@ -90,6 +96,8 @@ def eager_attention(
         bias32 = bias32.reshape(b, kvh, g, *bias32.shape[-2:])
     scores = scores + bias32
     probs = jax.nn.softmax(scores, axis=-1)
+    if probs_sink is not None:
+        probs_sink.append(probs.astype(q.dtype).reshape(b, h, sq, -1))
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
     return out.reshape(b, sq, h, d)
 
@@ -97,12 +105,15 @@ def eager_attention(
 def flash_attention_dispatch(
     q, k, v, bias=None, *,
     q_positions=None, kv_valid=None, is_causal=True, sliding_window=None,
-    scale=None, logit_cap=None, **kwargs,
+    scale=None, logit_cap=None, probs_sink=None, **kwargs,
 ):
-    """Pallas flash attention with eager fallback for unsupported shapes."""
+    """Pallas flash attention with eager fallback for unsupported shapes.
+    ``output_attentions`` (a ``probs_sink``) forces the eager path — flash
+    never materializes the probability matrix (reference behavior: flash
+    attention refuses output_attentions and falls back)."""
     from .pallas.flash_attention import flash_attention, flash_supported
 
-    if bias is None and flash_supported(q, k, v):
+    if probs_sink is None and bias is None and flash_supported(q, k, v):
         return flash_attention(
             q, k, v,
             q_positions=q_positions, kv_valid=kv_valid,
@@ -111,7 +122,7 @@ def flash_attention_dispatch(
         )
     return eager_attention(q, k, v, bias, q_positions=q_positions, kv_valid=kv_valid,
                            is_causal=is_causal, sliding_window=sliding_window,
-                           scale=scale, logit_cap=logit_cap)
+                           scale=scale, logit_cap=logit_cap, probs_sink=probs_sink)
 
 
 class AttentionInterface(GeneralInterface):
