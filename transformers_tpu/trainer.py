@@ -344,6 +344,39 @@ class Trainer:
             "on_evaluate", self.args, self.state, self.control, metrics=metrics)
         return metrics
 
+    # -------------------------------------------------- hyperparameter search
+    def hyperparameter_search(self, hp_space=None, compute_objective=None,
+                              n_trials: int = 20, direction: str = "minimize",
+                              backend: str = "random", **kwargs):
+        """reference trainer.py:3024 — optuna-style trials over built-in
+        dependency-free backends ("random" | "grid"); see hp_search.py."""
+        from .hp_search import run_hp_search
+
+        return run_hp_search(self, hp_space=hp_space,
+                             compute_objective=compute_objective,
+                             n_trials=n_trials, direction=direction,
+                             backend=backend, **kwargs)
+
+    def _run_hp_trial(self, hp: dict, compute_objective) -> float:
+        """One trial: apply hyperparameters, fresh params + state, train,
+        evaluate, score."""
+        for name, value in hp.items():
+            if not hasattr(self.args, name):
+                raise AttributeError(f"hp_space suggested unknown TrainingArguments field {name!r}")
+            setattr(self.args, name, value)
+        self.state = TrainerState()
+        self.control = TrainerControl()
+        self.optimizer = None
+        self.lr_schedule = None
+        self._train_step_fn = None
+        self.params = jax.tree.map(
+            lambda v, s: jax.device_put(v, s),
+            self.model.init_params(int(getattr(self.args, "seed", 0) or 0)),
+            self.param_shardings)
+        self.train()
+        metrics = self.evaluate()
+        return float(compute_objective(metrics))
+
     def predict(self, test_dataset) -> tuple:
         model = self.model
 
