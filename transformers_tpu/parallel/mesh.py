@@ -21,6 +21,7 @@ FSDP_AXIS = "fsdp"
 TENSOR_AXIS = "tensor"
 SEQUENCE_AXIS = "sequence"
 EXPERT_AXIS = "expert"
+PIPELINE_AXIS = "pipeline"
 
 
 def make_mesh(
@@ -30,13 +31,16 @@ def make_mesh(
     tensor: int = 1,
     sequence: int = 1,
     expert: int = 1,
+    pipeline: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a Mesh with the canonical axis order (data, fsdp, expert,
-    sequence, tensor) — tensor innermost so TP collectives ride the fastest
-    ICI links."""
+    """Build a Mesh with the canonical axis order (pipeline, data, fsdp,
+    expert, sequence, tensor) — tensor innermost so TP collectives ride the
+    fastest ICI links; pipeline outermost since its ppermute traffic is one
+    activation per microbatch step (the lightest collective)."""
     devices = list(devices if devices is not None else jax.devices())
-    sizes = {"data": data, "fsdp": fsdp, "expert": expert, "sequence": sequence, "tensor": tensor}
+    sizes = {"pipeline": pipeline, "data": data, "fsdp": fsdp,
+             "expert": expert, "sequence": sequence, "tensor": tensor}
     total = int(np.prod(list(sizes.values())))
     if total != len(devices):
         raise ValueError(f"mesh sizes {sizes} multiply to {total} != {len(devices)} devices")
