@@ -91,6 +91,34 @@ FAMILIES_RAW = {
     "gpt_neox-seq": ("GPTNeoXConfig", dict(
         vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
         intermediate_size=128, rotary_pct=0.25, use_parallel_residual=False, max_position_embeddings=256)),
+    "gptj": ("GPTJConfig", dict(
+        vocab_size=99, n_embd=32, n_layer=3, n_head=4, n_positions=256, rotary_dim=4,
+        bos_token_id=1, eos_token_id=2)),
+    "cohere": ("CohereConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        logit_scale=0.25, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "cohere-qknorm": ("CohereConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        logit_scale=0.0625, use_qk_norm=True, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "granite": ("GraniteConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        embedding_multiplier=6.0, logits_scaling=3.0, residual_multiplier=0.5,
+        attention_multiplier=0.3, bos_token_id=1, eos_token_id=2)),
+    "falcon-7b-style": ("FalconConfig", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        multi_query=True, parallel_attn=True, new_decoder_architecture=False,
+        bias=False, max_position_embeddings=256)),
+    "falcon-40b-style": ("FalconConfig", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        num_kv_heads=2, new_decoder_architecture=True, bias=False,
+        max_position_embeddings=256)),
+    "falcon-rw-style": ("FalconConfig", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        multi_query=False, parallel_attn=False, alibi=True, bias=True,
+        new_decoder_architecture=False, max_position_embeddings=256)),
 }
 
 
@@ -132,7 +160,7 @@ def test_logit_parity(family, tmp_path):
     assert diff < 3e-5, f"{family}: logit diff {diff}"
 
 
-@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox",
+@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "gptj", "cohere", "granite", "falcon-7b-style", "falcon-40b-style", "falcon-rw-style",
                                     "mixtral", "olmo2", "stablelm", "phi", "qwen2_moe",
                                     "gemma3_text", "starcoder2"])
 def test_cached_decode_matches_full(family, tmp_path):

@@ -25,6 +25,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi3": ("phi3", "Phi3Config"),
     "gpt2": ("gpt2", "GPT2Config"),
     "gpt_neox": ("gpt_neox", "GPTNeoXConfig"),
+    "gptj": ("gptj", "GPTJConfig"),
+    "falcon": ("falcon", "FalconConfig"),
+    "cohere": ("cohere", "CohereConfig"),
+    "granite": ("granite", "GraniteConfig"),
     "mixtral": ("mixtral", "MixtralConfig"),
     "bert": ("bert", "BertConfig"),
     "roberta": ("roberta", "RobertaConfig"),

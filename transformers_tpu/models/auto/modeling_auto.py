@@ -22,6 +22,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi3": ("phi3", "Phi3ModelStandalone"),
     "gpt2": ("gpt2", "GPT2ModelStandalone"),
     "gpt_neox": ("gpt_neox", "GPTNeoXModelStandalone"),
+    "gptj": ("gptj", "GPTJModelStandalone"),
+    "falcon": ("falcon", "FalconModelStandalone"),
+    "cohere": ("cohere", "CohereModelStandalone"),
+    "granite": ("granite", "GraniteModelStandalone"),
     "mixtral": ("mixtral", "MixtralModelStandalone"),
     "bert": ("bert", "BertModelStandalone"),
     "roberta": ("roberta", "RobertaModelStandalone"),
@@ -50,6 +54,10 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi3": ("phi3", "Phi3ForCausalLM"),
     "gpt2": ("gpt2", "GPT2LMHeadModel"),
     "gpt_neox": ("gpt_neox", "GPTNeoXForCausalLM"),
+    "gptj": ("gptj", "GPTJForCausalLM"),
+    "falcon": ("falcon", "FalconForCausalLM"),
+    "cohere": ("cohere", "CohereForCausalLM"),
+    "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
     "olmo2": ("olmo2", "Olmo2ForCausalLM"),
     "starcoder2": ("starcoder2", "Starcoder2ForCausalLM"),

@@ -67,6 +67,10 @@ class LlamaAttention(Module):
     - ``self.q_norm``/``self.k_norm`` hooks (Qwen3/Gemma3 per-head RMSNorm).
     """
 
+    # Rope application style: subclasses swap in the interleaved variant
+    # (Cohere/GPT-J family) via this hook.
+    rope_fn = staticmethod(apply_rotary_pos_emb)
+
     def __init__(self, config, layer_idx: int, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
@@ -124,7 +128,7 @@ class LlamaAttention(Module):
         if self.k_norm is not None:
             k = self.k_norm(params["k_norm"], k)
         if cos is not None and getattr(self, "apply_rope", True):
-            q, k = apply_rotary_pos_emb(q, k, cos, sin)
+            q, k = self.rope_fn(q, k, cos, sin)
 
         if cache is not None:
             cache = cache.update(self.layer_idx, k, v, cache_position)

@@ -184,6 +184,47 @@ def compute_cos_sin(position_ids: jnp.ndarray, inv_freq: np.ndarray, attention_s
     return cos.astype(dtype), sin.astype(dtype)
 
 
+def compute_cos_sin_interleaved(position_ids: jnp.ndarray, inv_freq: np.ndarray,
+                                attention_scaling: float = 1.0,
+                                dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleaved-layout cos/sin tables: each frequency repeated twice
+    (reference models/cohere/modeling_cohere.py:115 repeat_interleave — the
+    Cohere/GPT-J rope family) instead of the Llama concat layout."""
+    inv = jnp.asarray(inv_freq, dtype=jnp.float32)
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv[None, None, :]
+    emb = jnp.repeat(freqs, 2, axis=-1)
+    cos = jnp.cos(emb) * attention_scaling
+    sin = jnp.sin(emb) * attention_scaling
+    return cos.astype(dtype), sin.astype(dtype)
+
+
+def rotate_half_interleaved(x):
+    """Pairwise rotation (x0,x1)->(-x1,x0) (reference cohere rotate_half)."""
+    x1 = x[..., ::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rotary_pos_emb_interleaved(q, k, cos, sin):
+    """Interleaved rotary in BSHD layout, float32 internally (the reference
+    upcasts q/k to float before rotating — cohere modeling_cohere.py:183)."""
+    d_rot = cos.shape[-1]
+    cos = cos[:, :, None, :].astype(jnp.float32)
+    sin = sin[:, :, None, :].astype(jnp.float32)
+
+    def rot(x):
+        h = x.astype(jnp.float32)
+        if d_rot == x.shape[-1]:
+            out = (h * cos) + (rotate_half_interleaved(h) * sin)
+        else:
+            h_rot, h_pass = h[..., :d_rot], h[..., d_rot:]
+            h_rot = (h_rot * cos) + (rotate_half_interleaved(h_rot) * sin)
+            out = jnp.concatenate([h_rot, h_pass], axis=-1)
+        return out.astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
 def rotate_half(x):
     """(reference models/llama/modeling_llama.py:126)"""
     x1 = x[..., : x.shape[-1] // 2]
