@@ -119,6 +119,21 @@ FAMILIES_RAW = {
         vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
         multi_query=False, parallel_attn=False, alibi=True, bias=True,
         new_decoder_architecture=False, max_position_embeddings=256)),
+    "deepseek_v3": ("DeepseekV3Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, moe_intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=16, kv_lora_rank=16, qk_rope_head_dim=8, qk_nope_head_dim=8,
+        v_head_dim=8, n_routed_experts=8, n_group=4, topk_group=2,
+        num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
+        norm_topk_prob=True, routed_scaling_factor=2.5, max_position_embeddings=256,
+        rope_interleave=True)),
+    "deepseek_v3-noqlora": ("DeepseekV3Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, moe_intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=16, qk_rope_head_dim=8, qk_nope_head_dim=8,
+        v_head_dim=8, n_routed_experts=8, n_group=4, topk_group=2,
+        num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
+        norm_topk_prob=True, max_position_embeddings=256, rope_interleave=False)),
 }
 
 
@@ -160,7 +175,7 @@ def test_logit_parity(family, tmp_path):
     assert diff < 3e-5, f"{family}: logit diff {diff}"
 
 
-@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "gptj", "cohere", "granite", "falcon-7b-style", "falcon-40b-style", "falcon-rw-style",
+@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "gptj", "cohere", "granite", "falcon-7b-style", "falcon-40b-style", "falcon-rw-style", "deepseek_v3",
                                     "mixtral", "olmo2", "stablelm", "phi", "qwen2_moe",
                                     "gemma3_text", "starcoder2"])
 def test_cached_decode_matches_full(family, tmp_path):

@@ -27,6 +27,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_neox": ("gpt_neox", "GPTNeoXConfig"),
     "gptj": ("gptj", "GPTJConfig"),
     "falcon": ("falcon", "FalconConfig"),
+    "deepseek_v3": ("deepseek_v3", "DeepseekV3Config"),
     "cohere": ("cohere", "CohereConfig"),
     "granite": ("granite", "GraniteConfig"),
     "mixtral": ("mixtral", "MixtralConfig"),

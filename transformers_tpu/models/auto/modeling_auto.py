@@ -24,6 +24,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_neox": ("gpt_neox", "GPTNeoXModelStandalone"),
     "gptj": ("gptj", "GPTJModelStandalone"),
     "falcon": ("falcon", "FalconModelStandalone"),
+    "deepseek_v3": ("deepseek_v3", "DeepseekV3ModelStandalone"),
     "cohere": ("cohere", "CohereModelStandalone"),
     "granite": ("granite", "GraniteModelStandalone"),
     "mixtral": ("mixtral", "MixtralModelStandalone"),
@@ -56,6 +57,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_neox": ("gpt_neox", "GPTNeoXForCausalLM"),
     "gptj": ("gptj", "GPTJForCausalLM"),
     "falcon": ("falcon", "FalconForCausalLM"),
+    "deepseek_v3": ("deepseek_v3", "DeepseekV3ForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),

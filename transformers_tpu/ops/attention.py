@@ -99,7 +99,8 @@ def eager_attention(
     if probs_sink is not None:
         probs_sink.append(probs.astype(q.dtype).reshape(b, h, sq, -1))
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
-    return out.reshape(b, sq, h, d)
+    # v may be narrower than q/k (MLA: v_head_dim != qk_head_dim)
+    return out.reshape(b, sq, h, v.shape[-1])
 
 
 def flash_attention_dispatch(

@@ -131,6 +131,8 @@ def flash_supported(q, k, v) -> bool:
         return False
     if d % 8 != 0 or d > 512:
         return False
+    if v.shape[-1] != d:  # MLA-style narrow V: eager path handles it
+        return False
     if sq < 16:  # decode path: single-token queries use the eager/XLA path
         return False
     return True
