@@ -28,6 +28,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gptj": ("gptj", "GPTJConfig"),
     "falcon": ("falcon", "FalconConfig"),
     "deepseek_v3": ("deepseek_v3", "DeepseekV3Config"),
+    "gpt_oss": ("gpt_oss", "GptOssConfig"),
     "cohere": ("cohere", "CohereConfig"),
     "granite": ("granite", "GraniteConfig"),
     "mixtral": ("mixtral", "MixtralConfig"),

@@ -25,6 +25,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gptj": ("gptj", "GPTJModelStandalone"),
     "falcon": ("falcon", "FalconModelStandalone"),
     "deepseek_v3": ("deepseek_v3", "DeepseekV3ModelStandalone"),
+    "gpt_oss": ("gpt_oss", "GptOssModelStandalone"),
     "cohere": ("cohere", "CohereModelStandalone"),
     "granite": ("granite", "GraniteModelStandalone"),
     "mixtral": ("mixtral", "MixtralModelStandalone"),
@@ -58,6 +59,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gptj": ("gptj", "GPTJForCausalLM"),
     "falcon": ("falcon", "FalconForCausalLM"),
     "deepseek_v3": ("deepseek_v3", "DeepseekV3ForCausalLM"),
+    "gpt_oss": ("gpt_oss", "GptOssForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),

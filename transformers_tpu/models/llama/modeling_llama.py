@@ -111,6 +111,11 @@ class LlamaAttention(Module):
     def project_out(self, params, out):
         return self.o_proj(params["o_proj"], out)
 
+    def extra_attn_kwargs(self, params):
+        """Extra kwargs for the attention kernel derived from this module's
+        params (e.g. GPT-OSS learned sink logits)."""
+        return {}
+
     def __call__(
         self,
         params,
@@ -142,6 +147,7 @@ class LlamaAttention(Module):
         kwargs = dict(attn_args)
         kwargs["sliding_window"] = self.sliding_window
         kwargs["logit_cap"] = self.logit_cap
+        kwargs.update(self.extra_attn_kwargs(params))
         out = attn_fn(q, k_full, v_full, scale=self.scale, **kwargs)
         out = out.reshape(b, s, self.num_heads * self.head_dim)
         return self.project_out(params, out), cache

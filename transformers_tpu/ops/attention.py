@@ -64,6 +64,7 @@ def eager_attention(
     scale: Optional[float] = None,
     logit_cap: Optional[float] = None,
     probs_sink: Optional[list] = None,
+    sinks: Optional[jnp.ndarray] = None,
     **kwargs,
 ) -> jnp.ndarray:
     """Reference dot-product attention; float32 softmax for numerics.
@@ -95,7 +96,16 @@ def eager_attention(
     else:
         bias32 = bias32.reshape(b, kvh, g, *bias32.shape[-2:])
     scores = scores + bias32
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # Attention sinks (reference models/gpt_oss/modeling_gpt_oss.py:251):
+        # a learned per-head logit participates in the softmax denominator and
+        # its probability mass is dropped — heads can attend to "nothing".
+        sink = sinks.astype(jnp.float32).reshape(kvh, g)[None, :, :, None, None]
+        sink = jnp.broadcast_to(sink, (b, kvh, g, sq, 1))
+        combined = jnp.concatenate([scores, sink], axis=-1)
+        probs = jax.nn.softmax(combined, axis=-1)[..., :-1]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     if probs_sink is not None:
         probs_sink.append(probs.astype(q.dtype).reshape(b, h, sq, -1))
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
@@ -106,7 +116,7 @@ def eager_attention(
 def flash_attention_dispatch(
     q, k, v, bias=None, *,
     q_positions=None, kv_valid=None, is_causal=True, sliding_window=None,
-    scale=None, logit_cap=None, probs_sink=None, **kwargs,
+    scale=None, logit_cap=None, probs_sink=None, sinks=None, **kwargs,
 ):
     """Pallas flash attention with eager fallback for unsupported shapes.
     ``output_attentions`` (a ``probs_sink``) forces the eager path — flash
@@ -114,7 +124,7 @@ def flash_attention_dispatch(
     attention refuses output_attentions and falls back)."""
     from .pallas.flash_attention import flash_attention, flash_supported
 
-    if probs_sink is None and bias is None and flash_supported(q, k, v):
+    if probs_sink is None and bias is None and sinks is None and flash_supported(q, k, v):
         return flash_attention(
             q, k, v,
             q_positions=q_positions, kv_valid=kv_valid,
@@ -123,7 +133,8 @@ def flash_attention_dispatch(
         )
     return eager_attention(q, k, v, bias, q_positions=q_positions, kv_valid=kv_valid,
                            is_causal=is_causal, sliding_window=sliding_window,
-                           scale=scale, logit_cap=logit_cap, probs_sink=probs_sink)
+                           scale=scale, logit_cap=logit_cap, probs_sink=probs_sink,
+                           sinks=sinks)
 
 
 class AttentionInterface(GeneralInterface):

@@ -81,9 +81,16 @@ def _rope_params_yarn(config, **kwargs):
     def find_correction_dim(num_rotations, dim, base, max_pos):
         return (dim * math.log(max_pos / (num_rotations * 2 * math.pi))) / (2 * math.log(base))
 
+    # truncate=False (GPT-OSS) keeps fractional correction bounds
+    # (reference modeling_rope_utils.py:451)
+    truncate = scaling.get("truncate", True)
+
     def find_correction_range(low_rot, high_rot, dim, base, max_pos):
-        low = math.floor(find_correction_dim(low_rot, dim, base, max_pos))
-        high = math.ceil(find_correction_dim(high_rot, dim, base, max_pos))
+        low = find_correction_dim(low_rot, dim, base, max_pos)
+        high = find_correction_dim(high_rot, dim, base, max_pos)
+        if truncate:
+            low = math.floor(low)
+            high = math.ceil(high)
         return max(low, 0), min(high, dim - 1)
 
     def linear_ramp_factor(mn, mx, dim):
