@@ -127,6 +127,13 @@ FAMILIES_RAW = {
         num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
         norm_topk_prob=True, routed_scaling_factor=2.5, max_position_embeddings=256,
         rope_interleave=True)),
+    "opt": ("OPTConfig", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, ffn_dim=64,
+        num_attention_heads=4, max_position_embeddings=256, dropout=0.0)),
+    "opt-350m-style": ("OPTConfig", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=3, ffn_dim=64,
+        num_attention_heads=4, max_position_embeddings=256, dropout=0.0,
+        do_layer_norm_before=False, word_embed_proj_dim=16)),
     "gpt_oss": ("GptOssConfig", dict(
         vocab_size=99, hidden_size=32, intermediate_size=32, num_hidden_layers=2,
         num_attention_heads=4, num_key_value_heads=2, head_dim=8,
@@ -180,7 +187,7 @@ def test_logit_parity(family, tmp_path):
     assert diff < 3e-5, f"{family}: logit diff {diff}"
 
 
-@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "gptj", "cohere", "granite", "falcon-7b-style", "falcon-40b-style", "falcon-rw-style", "deepseek_v3", "gpt_oss",
+@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "gptj", "cohere", "granite", "falcon-7b-style", "falcon-40b-style", "falcon-rw-style", "deepseek_v3", "gpt_oss", "opt", "opt-350m-style",
                                     "mixtral", "olmo2", "stablelm", "phi", "qwen2_moe",
                                     "gemma3_text", "starcoder2"])
 def test_cached_decode_matches_full(family, tmp_path):

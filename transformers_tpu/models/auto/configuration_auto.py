@@ -29,6 +29,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon": ("falcon", "FalconConfig"),
     "deepseek_v3": ("deepseek_v3", "DeepseekV3Config"),
     "gpt_oss": ("gpt_oss", "GptOssConfig"),
+    "opt": ("opt", "OPTConfig"),
     "cohere": ("cohere", "CohereConfig"),
     "granite": ("granite", "GraniteConfig"),
     "mixtral": ("mixtral", "MixtralConfig"),

@@ -26,6 +26,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon": ("falcon", "FalconModelStandalone"),
     "deepseek_v3": ("deepseek_v3", "DeepseekV3ModelStandalone"),
     "gpt_oss": ("gpt_oss", "GptOssModelStandalone"),
+    "opt": ("opt", "OPTModelStandalone"),
     "cohere": ("cohere", "CohereModelStandalone"),
     "granite": ("granite", "GraniteModelStandalone"),
     "mixtral": ("mixtral", "MixtralModelStandalone"),
@@ -60,6 +61,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon": ("falcon", "FalconForCausalLM"),
     "deepseek_v3": ("deepseek_v3", "DeepseekV3ForCausalLM"),
     "gpt_oss": ("gpt_oss", "GptOssForCausalLM"),
+    "opt": ("opt", "OPTForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
