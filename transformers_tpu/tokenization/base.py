@@ -311,6 +311,10 @@ class PreTrainedTokenizer:
         def raise_exception(message):
             raise ValueError(message)
 
+        if tools is not None:
+            from ..utils.chat_template_utils import get_json_schema
+
+            tools = [get_json_schema(t) if callable(t) else t for t in tools]
         env = ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
         env.globals["raise_exception"] = raise_exception
         env.filters["tojson"] = lambda x, **kw: json.dumps(x, **kw)
