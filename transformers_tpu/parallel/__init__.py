@@ -21,3 +21,4 @@ from .plans import (
     shard_params_with_plan,
     spec_for_param,
 )
+from .ulysses import make_ulysses_attention, ulysses_attention_sharded  # noqa: F401
