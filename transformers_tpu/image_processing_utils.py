@@ -16,6 +16,7 @@ import json
 import os
 from typing import Any, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -164,9 +165,17 @@ class BaseImageProcessor:
             groups.setdefault(arr.shape, []).append(i)
 
         out = [None] * len(arrays)
+        jitted = getattr(self, "_jitted_process", None)
+        if jitted is None:
+            # ONE fused XLA program per input shape (resize + rescale +
+            # normalize + crop fuse into a single kernel launch; jit caches
+            # per shape) — the reference needs torchvision C++ ops for this
+            # (SURVEY 2.9); on TPU the compiler does the fusion.
+            jitted = jax.jit(self._process_batch)
+            self._jitted_process = jitted
         for shape, idxs in groups.items():
             batch = jnp.asarray(np.stack([arrays[i] for i in idxs]))
-            processed = self._process_batch(batch)
+            processed = jitted(batch)
             for j, i in enumerate(idxs):
                 out[i] = processed[j]
         pixel_values = jnp.stack(out)
