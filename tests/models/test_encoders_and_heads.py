@@ -106,3 +106,109 @@ def test_llama_qa_parity(tmp_path):
     ref = run_torch(tm, input_ids=IDS, attention_mask=MASK)
     out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
     assert max_abs_diff(out.start_logits[MASK == 1], ref.start_logits.numpy()[MASK == 1]) < 3e-5
+
+
+DISTIL_TINY = dict(vocab_size=99, dim=32, hidden_dim=64, n_layers=3, n_heads=4,
+                   max_position_embeddings=64, dropout=0.0, attention_dropout=0.0)
+
+
+def test_distilbert_masked_lm_parity(tmp_path):
+    d = str(tmp_path / "distilbert")
+    tm = save_torch(d, "DistilBertForMaskedLM", "DistilBertConfig", DISTIL_TINY)
+    model = ttpu.AutoModelForMaskedLM.from_pretrained(d, dtype="float32")
+    assert not model.load_report.missing_keys
+    assert not model.load_report.unexpected_keys
+    ref = run_torch(tm, input_ids=IDS, attention_mask=MASK).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
+    diff = max_abs_diff(out.logits[MASK == 1], ref[MASK == 1])
+    assert diff < 3e-5, diff
+
+
+def test_distilbert_sequence_classification_parity(tmp_path):
+    d = str(tmp_path / "distilbert_sc")
+    tm = save_torch(d, "DistilBertForSequenceClassification", "DistilBertConfig", DISTIL_TINY)
+    model = ttpu.AutoModelForSequenceClassification.from_pretrained(d, dtype="float32")
+    ref = run_torch(tm, input_ids=IDS, attention_mask=MASK).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
+    assert max_abs_diff(out.logits, ref) < 3e-5
+
+
+def test_distilbert_qa_parity(tmp_path):
+    d = str(tmp_path / "distilbert_qa")
+    tm = save_torch(d, "DistilBertForQuestionAnswering", "DistilBertConfig", DISTIL_TINY)
+    model = ttpu.AutoModelForQuestionAnswering.from_pretrained(d, dtype="float32")
+    ref = run_torch(tm, input_ids=IDS, attention_mask=MASK)
+    out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
+    assert max_abs_diff(out.start_logits, ref.start_logits.numpy()) < 3e-5
+    assert max_abs_diff(out.end_logits, ref.end_logits.numpy()) < 3e-5
+
+
+def test_xlm_roberta_loads_as_roberta(tmp_path):
+    """model_type 'xlm-roberta' routes to the roberta skeleton."""
+    d = str(tmp_path / "xlmr")
+    tm = save_torch(d, "XLMRobertaForMaskedLM", "XLMRobertaConfig",
+                    {**ENC_TINY, "pad_token_id": 1})
+    model = ttpu.AutoModelForMaskedLM.from_pretrained(d, dtype="float32")
+    ref = run_torch(tm, input_ids=IDS, attention_mask=MASK).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
+    assert max_abs_diff(out.logits[MASK == 1], ref[MASK == 1]) < 3e-5
+
+
+ELECTRA_TINY = dict(vocab_size=99, embedding_size=16, hidden_size=32, num_hidden_layers=3,
+                    num_attention_heads=4, intermediate_size=64, max_position_embeddings=64,
+                    type_vocab_size=2)
+ALBERT_TINY = dict(vocab_size=99, embedding_size=16, hidden_size=32, num_hidden_layers=4,
+                   num_hidden_groups=2, inner_group_num=1, num_attention_heads=4,
+                   intermediate_size=64, max_position_embeddings=64)
+
+
+@pytest.mark.parametrize("cls,arch", [
+    ("ElectraForMaskedLM", "AutoModelForMaskedLM"),
+    ("ElectraForSequenceClassification", "AutoModelForSequenceClassification"),
+    ("ElectraForTokenClassification", None),
+])
+def test_electra_parity(cls, arch, tmp_path):
+    d = str(tmp_path / "electra")
+    tm = save_torch(d, cls, "ElectraConfig", ELECTRA_TINY)
+    if arch is None:
+        from transformers_tpu.models.electra import ElectraForTokenClassification
+        model = ElectraForTokenClassification.from_pretrained(d, dtype="float32")
+    else:
+        model = getattr(ttpu, arch).from_pretrained(d, dtype="float32")
+    assert not model.load_report.missing_keys
+    assert not model.load_report.unexpected_keys
+    ref = run_torch(tm, input_ids=IDS, attention_mask=MASK).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
+    if ref.ndim == 3:
+        assert max_abs_diff(out.logits[MASK == 1], ref[MASK == 1]) < 3e-5
+    else:
+        assert max_abs_diff(out.logits, ref) < 3e-5
+
+
+def test_electra_discriminator_parity(tmp_path):
+    d = str(tmp_path / "electra_disc")
+    tm = save_torch(d, "ElectraForPreTraining", "ElectraConfig", ELECTRA_TINY)
+    from transformers_tpu.models.electra import ElectraForPreTraining
+    model = ElectraForPreTraining.from_pretrained(d, dtype="float32")
+    ref = run_torch(tm, input_ids=IDS, attention_mask=MASK).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
+    assert max_abs_diff(out.logits[MASK == 1], ref[MASK == 1]) < 3e-5
+
+
+@pytest.mark.parametrize("cls,arch", [
+    ("AlbertForMaskedLM", "AutoModelForMaskedLM"),
+    ("AlbertForSequenceClassification", "AutoModelForSequenceClassification"),
+])
+def test_albert_parity(cls, arch, tmp_path):
+    """Shared layer groups (num_hidden_groups=2 over 4 layers) vs torch."""
+    d = str(tmp_path / "albert")
+    tm = save_torch(d, cls, "AlbertConfig", ALBERT_TINY)
+    model = getattr(ttpu, arch).from_pretrained(d, dtype="float32")
+    assert not model.load_report.missing_keys
+    assert not model.load_report.unexpected_keys
+    ref = run_torch(tm, input_ids=IDS, attention_mask=MASK).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK))
+    if ref.ndim == 3:
+        assert max_abs_diff(out.logits[MASK == 1], ref[MASK == 1]) < 3e-5
+    else:
+        assert max_abs_diff(out.logits, ref) < 3e-5

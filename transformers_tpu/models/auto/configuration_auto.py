@@ -35,6 +35,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mixtral": ("mixtral", "MixtralConfig"),
     "bert": ("bert", "BertConfig"),
     "roberta": ("roberta", "RobertaConfig"),
+    "xlm-roberta": ("roberta", "RobertaConfig"),
+    "distilbert": ("distilbert", "DistilBertConfig"),
+    "electra": ("electra", "ElectraConfig"),
+    "albert": ("albert", "AlbertConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

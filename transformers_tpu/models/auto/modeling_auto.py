@@ -32,6 +32,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mixtral": ("mixtral", "MixtralModelStandalone"),
     "bert": ("bert", "BertModelStandalone"),
     "roberta": ("roberta", "RobertaModelStandalone"),
+    "xlm-roberta": ("roberta", "RobertaModelStandalone"),
+    "distilbert": ("distilbert", "DistilBertModelStandalone"),
+    "electra": ("electra", "ElectraModelStandalone"),
+    "albert": ("albert", "AlbertModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -80,12 +84,17 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2": ("qwen2", "Qwen2ForSequenceClassification"),
     "bert": ("bert", "BertForSequenceClassification"),
     "roberta": ("roberta", "RobertaForSequenceClassification"),
+    "xlm-roberta": ("roberta", "RobertaForSequenceClassification"),
+    "distilbert": ("distilbert", "DistilBertForSequenceClassification"),
+    "electra": ("electra", "ElectraForSequenceClassification"),
+    "albert": ("albert", "AlbertForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForTokenClassification"),
     "mistral": ("mistral", "MistralForTokenClassification"),
     "qwen2": ("qwen2", "Qwen2ForTokenClassification"),
     "bert": ("bert", "BertForTokenClassification"),
+    "electra": ("electra", "ElectraForTokenClassification"),
     "roberta": ("roberta", "RobertaForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
@@ -94,10 +103,16 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2": ("qwen2", "Qwen2ForQuestionAnswering"),
     "bert": ("bert", "BertForQuestionAnswering"),
     "roberta": ("roberta", "RobertaForQuestionAnswering"),
+    "xlm-roberta": ("roberta", "RobertaForQuestionAnswering"),
+    "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
+    "xlm-roberta": ("roberta", "RobertaForMaskedLM"),
+    "distilbert": ("distilbert", "DistilBertForMaskedLM"),
+    "electra": ("electra", "ElectraForMaskedLM"),
+    "albert": ("albert", "AlbertForMaskedLM"),
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
