@@ -306,6 +306,35 @@ class LayerNorm(Module):
         return h.astype(self.dtype)
 
 
+class GroupNorm(Module):
+    """torch-compatible GroupNorm over [N, C, *spatial]: normalize within each
+    of ``num_groups`` channel groups across (channels-in-group, *spatial)."""
+
+    def __init__(self, num_groups: int, num_channels: int, eps: float = 1e-5, *,
+                 dtype=jnp.float32, param_dtype=jnp.float32):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.num_groups = num_groups
+        self.num_channels = num_channels
+        self.eps = eps
+
+    def init(self, rng):
+        return {"weight": jnp.ones((self.num_channels,), self.param_dtype),
+                "bias": jnp.zeros((self.num_channels,), self.param_dtype)}
+
+    def __call__(self, params, x):
+        n, c = x.shape[:2]
+        spatial = x.shape[2:]
+        h = x.astype(jnp.float32).reshape(n, self.num_groups, c // self.num_groups, *spatial)
+        axes = tuple(range(2, h.ndim))
+        mean = jnp.mean(h, axis=axes, keepdims=True)
+        var = jnp.var(h, axis=axes, keepdims=True)
+        h = ((h - mean) * jax.lax.rsqrt(var + self.eps)).reshape(n, c, *spatial)
+        shape = (1, c) + (1,) * len(spatial)
+        h = h * params["weight"].astype(jnp.float32).reshape(shape)
+        h = h + params["bias"].astype(jnp.float32).reshape(shape)
+        return h.astype(x.dtype)
+
+
 class Conv(Module):
     """N-D convolution keeping torch weight layout [out, in, *kernel] (OIHW),
     so checkpoint tensors load with zero transformation; XLA picks the

@@ -49,6 +49,14 @@ class CausalLMOutputWithPast(ModelOutput):
 
 
 @dataclass
+class CausalLMOutput(ModelOutput):
+    loss: Optional[Array] = None
+    logits: Optional[Array] = None
+    hidden_states: Optional[tuple] = None
+    attentions: Optional[tuple] = None
+
+
+@dataclass
 class MaskedLMOutput(ModelOutput):
     loss: Optional[Array] = None
     logits: Optional[Array] = None

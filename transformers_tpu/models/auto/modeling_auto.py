@@ -36,6 +36,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertModelStandalone"),
     "electra": ("electra", "ElectraModelStandalone"),
     "albert": ("albert", "AlbertModelStandalone"),
+    "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -88,6 +89,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertForSequenceClassification"),
     "electra": ("electra", "ElectraForSequenceClassification"),
     "albert": ("albert", "AlbertForSequenceClassification"),
+    "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForTokenClassification"),

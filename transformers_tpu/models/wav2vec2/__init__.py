@@ -1,0 +1,8 @@
+from .configuration_wav2vec2 import Wav2Vec2Config
+from .modeling_wav2vec2 import (
+    Wav2Vec2ForCTC,
+    Wav2Vec2ForSequenceClassification,
+    Wav2Vec2Model,
+    Wav2Vec2ModelStandalone,
+)
+from .feature_extraction_wav2vec2 import Wav2Vec2FeatureExtractor
