@@ -40,6 +40,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "electra": ("electra", "ElectraConfig"),
     "albert": ("albert", "AlbertConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
+    "mamba": ("mamba", "MambaConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

@@ -37,6 +37,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "electra": ("electra", "ElectraModelStandalone"),
     "albert": ("albert", "AlbertModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
+    "mamba": ("mamba", "MambaModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -67,6 +68,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_v3": ("deepseek_v3", "DeepseekV3ForCausalLM"),
     "gpt_oss": ("gpt_oss", "GptOssForCausalLM"),
     "opt": ("opt", "OPTForCausalLM"),
+    "mamba": ("mamba", "MambaForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
