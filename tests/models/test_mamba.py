@@ -87,3 +87,27 @@ def test_left_padded_prefill_state_exact(tmp_path):
     out = m(m.params, input_ids=jnp.asarray(padded),
             attention_mask=jnp.asarray(mask)).logits[:, -1]
     assert max_abs_diff(out, np.asarray(ref)) < 2e-5
+
+
+def test_falcon_mamba_parity(tmp_path):
+    """FalconMamba = mamba + weightless RMS norms on dt/B/C."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.FalconMambaConfig(**TINY)
+    tm = transformers.FalconMambaForCausalLM(cfg).eval()
+    d = str(tmp_path / "fmamba")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = ttpu.AutoModelForCausalLM.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys
+    assert not m.load_report.unexpected_keys
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(IDS)).logits.numpy()
+    out = m(m.params, input_ids=jnp.asarray(IDS)).logits
+    assert max_abs_diff(out, ref) < 3e-5
+    gen = m.generate(m.params, input_ids=jnp.asarray(IDS), max_new_tokens=4,
+                     do_sample=False, prompt_pad_multiple=8, eos_token_id=-1)
+    with torch.no_grad():
+        tgen = tm.generate(torch.from_numpy(IDS), max_new_tokens=4, do_sample=False)
+    np.testing.assert_array_equal(np.asarray(gen)[0, -4:], tgen.numpy()[0, -4:])

@@ -41,6 +41,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "albert": ("albert", "AlbertConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
     "mamba": ("mamba", "MambaConfig"),
+    "falcon_mamba": ("falcon_mamba", "FalconMambaConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

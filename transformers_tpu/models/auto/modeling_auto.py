@@ -38,6 +38,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "albert": ("albert", "AlbertModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
+    "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -69,6 +70,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_oss": ("gpt_oss", "GptOssForCausalLM"),
     "opt": ("opt", "OPTForCausalLM"),
     "mamba": ("mamba", "MambaForCausalLM"),
+    "falcon_mamba": ("falcon_mamba", "FalconMambaForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
