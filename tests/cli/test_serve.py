@@ -127,3 +127,102 @@ def test_completions_endpoint(served):
                                              "temperature": 0})
     assert out["object"] == "text_completion"
     assert isinstance(out["choices"][0]["text"], str)
+
+
+def _make_wav(path, rate=16000, n=1600):
+    import wave
+
+    t = np.linspace(0, 1, n)
+    pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+
+
+def test_decode_wav_roundtrip(tmp_path):
+    from transformers_tpu.cli.serving import decode_wav
+
+    p = str(tmp_path / "t.wav")
+    _make_wav(p)
+    audio = decode_wav(open(p, "rb").read())
+    assert audio.shape == (1600,) and abs(float(np.abs(audio).max()) - 20000 / 32768) < 1e-3
+    # resample 8k -> 16k doubles the length
+    _make_wav(p, rate=8000, n=800)
+    audio = decode_wav(open(p, "rb").read())
+    assert audio.shape == (1600,)
+
+
+def test_audio_transcriptions_endpoint(tmp_path):
+    """Spin an app with a tiny whisper AudioEngine and POST a wav."""
+    import io
+    import urllib.request
+
+    import torch
+    import transformers as hf
+
+    torch.manual_seed(0)
+    cfg = hf.WhisperConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=80,
+        max_source_positions=1500, max_target_positions=64,
+        decoder_start_token_id=1, eos_token_id=2, pad_token_id=3,
+        suppress_tokens=[], begin_suppress_tokens=[], forced_decoder_ids=None)
+    d = str(tmp_path / "whisper")
+    hf.WhisperForConditionalGeneration(cfg).eval().save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d, vocab_size=64)
+
+    from aiohttp import web
+
+    from transformers_tpu.cli.serving import AudioEngine, ServeEngine, build_app
+    from transformers_tpu.models.whisper import WhisperFeatureExtractor
+
+    model = ttpu.AutoModelForSpeechSeq2Seq.from_pretrained(d, dtype="float32")
+    tokenizer = ttpu.AutoTokenizer.from_pretrained(d)
+    audio_engine = AudioEngine(model, tokenizer, WhisperFeatureExtractor())
+
+    # lm engine reuses the existing tiny llama fixture assets
+    lm_dir = str(tmp_path / "lm")
+    make_tiny_torch_llama(lm_dir, num_hidden_layers=2)
+    make_tiny_tokenizer(lm_dir)
+    lm = ttpu.AutoModelForCausalLM.from_pretrained(lm_dir, dtype="float32")
+    lm_tok = ttpu.AutoTokenizer.from_pretrained(lm_dir)
+    engine = ServeEngine(lm, lm_tok, num_blocks=16, block_size=4, token_budget=8)
+    app = build_app(engine, audio_engine)
+
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    runner = web.AppRunner(app)
+
+    async def start():
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 8733)
+        await site.start()
+
+    t = threading.Thread(target=lambda: (asyncio.set_event_loop(loop),
+                                         loop.run_until_complete(start()),
+                                         loop.run_forever()), daemon=True)
+    t.start()
+    time.sleep(1.0)
+    try:
+        wav_path = str(tmp_path / "a.wav")
+        _make_wav(wav_path)
+        boundary = "xBOUNDARYx"
+        body = io.BytesIO()
+        body.write(f"--{boundary}\r\n".encode())
+        body.write(b'Content-Disposition: form-data; name="file"; filename="a.wav"\r\n')
+        body.write(b"Content-Type: audio/wav\r\n\r\n")
+        body.write(open(wav_path, "rb").read())
+        body.write(f"\r\n--{boundary}--\r\n".encode())
+        req = urllib.request.Request(
+            "http://127.0.0.1:8733/v1/audio/transcriptions", data=body.getvalue(),
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            out = json.loads(r.read())
+        assert "text" in out and isinstance(out["text"], str)
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+        engine.close()

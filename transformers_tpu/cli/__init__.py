@@ -17,6 +17,8 @@ def main(argv=None):
     serve_p.add_argument("--block-size", type=int, default=32)
     serve_p.add_argument("--max-batch", type=int, default=32)
     serve_p.add_argument("--token-budget", type=int, default=128)
+    serve_p.add_argument("--transcription-model", default=None,
+                         help="Whisper-style model for /v1/audio/transcriptions")
 
     chat_p = sub.add_parser("chat", help="terminal chat client")
     chat_p.add_argument("target", help="model path, or http(s) URL of a serve endpoint")
@@ -36,7 +38,8 @@ def main(argv=None):
 
         serve(args.model, host=args.host, port=args.port, num_blocks=args.num_blocks,
               block_size=args.block_size, max_batch=args.max_batch,
-              token_budget=args.token_budget)
+              token_budget=args.token_budget,
+              transcription_model=args.transcription_model)
 
 
 if __name__ == "__main__":

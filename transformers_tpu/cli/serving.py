@@ -3,7 +3,9 @@
 TPU-native analog of reference cli/serve.py:41 + cli/serving/server.py:44
 (FastAPI there; aiohttp here — same endpoints and SSE wire format):
 ``/v1/models``, ``/v1/chat/completions``, ``/v1/completions`` with
-``stream=true`` SSE, backed by the continuous-batching manager.
+``stream=true`` SSE backed by the continuous-batching manager, and
+``/v1/audio/transcriptions`` (reference cli/serving ASR route) backed by a
+speech seq2seq model (Whisper) with stdlib WAV decoding.
 """
 
 from __future__ import annotations
@@ -56,7 +58,73 @@ class ServeEngine:
         return self.tokenizer.encode(text)
 
 
-def build_app(engine: ServeEngine):
+def decode_wav(data: bytes, target_rate: int = 16000):
+    """Decode a WAV payload to mono float32 at ``target_rate`` using only the
+    stdlib (the reference shells out to librosa/torchcodec — SURVEY 2.2 audio
+    decode; PCM16/PCM32/float WAV covers the API surface)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        audio = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        audio = np.frombuffer(frames, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        audio = np.frombuffer(frames, np.uint8).astype(np.float32) / 128.0 - 1.0
+    if n_channels > 1:
+        audio = audio.reshape(-1, n_channels).mean(axis=1)
+    if rate != target_rate:
+        n_out = int(len(audio) * target_rate / rate)
+        x_old = np.linspace(0.0, 1.0, num=len(audio), endpoint=False)
+        x_new = np.linspace(0.0, 1.0, num=n_out, endpoint=False)
+        audio = np.interp(x_new, x_old, audio).astype(np.float32)
+    return audio
+
+
+class AudioEngine:
+    """Whisper-style speech seq2seq bundle for /v1/audio/transcriptions."""
+
+    def __init__(self, model, tokenizer, feature_extractor, model_name: str = "whisper"):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.feature_extractor = feature_extractor
+        self.model_name = model_name
+
+    @classmethod
+    def from_pretrained(cls, path: str):
+        from ..models.auto import AutoModelForSpeechSeq2Seq
+        from ..models.whisper import WhisperFeatureExtractor
+        from ..tokenization import AutoTokenizer
+
+        model = cls.__new__(cls)
+        model.model = AutoModelForSpeechSeq2Seq.from_pretrained(path)
+        model.tokenizer = AutoTokenizer.from_pretrained(path)
+        try:
+            model.feature_extractor = WhisperFeatureExtractor.from_pretrained(path)
+        except Exception:
+            model.feature_extractor = WhisperFeatureExtractor()
+        model.model_name = path
+        return model
+
+    def transcribe(self, audio, max_new_tokens: int = 128) -> str:
+        import numpy as np
+
+        feats = self.feature_extractor([np.asarray(audio, np.float32)], return_tensors="jax")
+        out = self.model.generate(self.model.params,
+                                  input_features=feats["input_features"],
+                                  max_new_tokens=max_new_tokens)
+        tokens = np.asarray(out)[0]
+        return self.tokenizer.decode(list(map(int, tokens)), skip_special_tokens=True)
+
+
+def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None):
     from aiohttp import web
 
     app = web.Application()
@@ -160,6 +228,22 @@ def build_app(engine: ServeEngine):
     async def health(request):
         return web.json_response({"status": "ok"})
 
+    async def audio_transcriptions(request):
+        if audio_engine is None:
+            return web.json_response(
+                {"error": "no transcription model loaded (pass --transcription-model)"},
+                status=400)
+        post = await request.post()
+        upload = post.get("file")
+        if upload is None:
+            return web.json_response({"error": "missing 'file' field"}, status=400)
+        data = upload.file.read()
+        loop = asyncio.get_event_loop()
+        audio = decode_wav(data)
+        text = await loop.run_in_executor(None, audio_engine.transcribe, audio)
+        return web.json_response({"text": text})
+
+    app.router.add_post("/v1/audio/transcriptions", audio_transcriptions)
     app.router.add_get("/v1/models", models)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/completions", completions)
@@ -167,7 +251,8 @@ def build_app(engine: ServeEngine):
     return app
 
 
-def serve(model_path: str, host: str = "127.0.0.1", port: int = 8000, **engine_kwargs):
+def serve(model_path: str, host: str = "127.0.0.1", port: int = 8000,
+          transcription_model: Optional[str] = None, **engine_kwargs):
     """Entry: load model+tokenizer, run the server (reference `transformers serve`)."""
     from aiohttp import web
 
@@ -178,7 +263,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8000, **engine_k
     model = AutoModelForCausalLM.from_pretrained(model_path)
     tokenizer = AutoTokenizer.from_pretrained(model_path)
     engine = ServeEngine(model, tokenizer, model_name=model_path, **engine_kwargs)
-    app = build_app(engine)
+    audio_engine = AudioEngine.from_pretrained(transcription_model) if transcription_model else None
+    app = build_app(engine, audio_engine)
     try:
         web.run_app(app, host=host, port=port)
     finally:
