@@ -169,3 +169,36 @@ def test_summarization_pipeline(tmp_path):
     pipe = pipeline("summarization", model=d, dtype="float32")
     out = pipe("summarize: a long story about nothing", max_new_tokens=6)
     assert isinstance(out[0]["summary_text"], str)
+
+
+def test_asr_temperature_fallback(tmp_path):
+    """ASR pipeline retries chunks at higher temperatures when quality checks
+    fail; with passing checks the greedy output is kept."""
+    import torch
+    import transformers as hf
+
+    torch.manual_seed(0)
+    cfg = hf.WhisperConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=80,
+        max_source_positions=1500, max_target_positions=64,
+        decoder_start_token_id=1, eos_token_id=2, pad_token_id=3,
+        suppress_tokens=[], begin_suppress_tokens=[], forced_decoder_ids=None)
+    d = str(tmp_path / "whisper_fb")
+    hf.WhisperForConditionalGeneration(cfg).eval().save_pretrained(d, safe_serialization=True)
+    make_tiny_tokenizer(d, vocab_size=64)
+    from transformers_tpu.models.whisper import WhisperFeatureExtractor
+
+    WhisperFeatureExtractor(feature_size=80).save_pretrained(d)
+    pipe = ttpu.pipeline("automatic-speech-recognition", model=d)
+    audio = np.random.default_rng(0).normal(size=16000).astype(np.float32)
+    greedy = pipe(audio, max_new_tokens=8)
+    # impossible thresholds force the full fallback ladder; still returns text
+    fb = pipe(audio, max_new_tokens=8, temperature=(0.0, 0.4, 0.8),
+              logprob_threshold=0.0)
+    assert isinstance(greedy["text"], str) and isinstance(fb["text"], str)
+    # permissive thresholds accept greedy: equals the plain greedy output
+    ok = pipe(audio, max_new_tokens=8, temperature=(0.0, 0.4),
+              logprob_threshold=-1e9, compression_ratio_threshold=1e9)
+    assert ok["text"] == greedy["text"]

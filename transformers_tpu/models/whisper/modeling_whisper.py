@@ -270,6 +270,7 @@ class WhisperForConditionalGeneration(WhisperPreTrainedModel):
         input_features=None,
         generation_config: Optional[GenerationConfig] = None,
         prng_key=None,
+        return_avg_logprobs: bool = False,
         **kwargs,
     ):
         """Single-chunk seq2seq generate (reference generation_whisper.py's
@@ -311,7 +312,10 @@ class WhisperForConditionalGeneration(WhisperPreTrainedModel):
                 pad_id=pad_id, suppress=suppress, begin_suppress=begin_suppress,
                 temperature=temperature, total_len=total_len)
         prompt_ids = jnp.broadcast_to(jnp.asarray(prompt, jnp.int32)[None, :], (b, prompt_len))
-        return store[sig](params, input_features, prompt_ids, prng_key)
+        ids, avg_logprobs = store[sig](params, input_features, prompt_ids, prng_key)
+        if return_avg_logprobs:
+            return ids, avg_logprobs
+        return ids
 
     def _build_seq2seq_generate(self, *, prompt_len, max_new, do_sample, eos_ids, pad_id,
                                 suppress, begin_suppress, temperature, total_len):
@@ -334,8 +338,13 @@ class WhisperForConditionalGeneration(WhisperPreTrainedModel):
 
         def sample(logits, key):
             if do_sample:
-                return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+            else:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # token logprob under the PROCESSED distribution (reference
+            # generate_with_fallback scores, generation_whisper.py:970)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return tok, jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
 
         def fn(params, input_features, prompt_ids, key):
             b = input_features.shape[0]
@@ -352,15 +361,17 @@ class WhisperForConditionalGeneration(WhisperPreTrainedModel):
                 params["model"]["decoder"], prompt_ids, cross_kv, cache, 0, mask)
             key, k0 = jax.random.split(key)
             logits = model.compute_logits(params, hidden[:, -1])
-            next_tok = sample(process_logits(logits, jnp.asarray(True)), k0)
+            next_tok, lp0 = sample(process_logits(logits, jnp.asarray(True)), k0)
             finished = is_eos(next_tok)
+            sum_logprob = lp0
+            n_tokens = jnp.ones_like(lp0)
 
             def cond(carry):
-                ids, mask, cache, g, key, tok, fin = carry
+                ids, mask, cache, g, key, tok, fin, slp, ntk = carry
                 return (g < max_new) & ~jnp.all(fin)
 
             def body(carry):
-                ids, mask, cache, g, key, tok, fin = carry
+                ids, mask, cache, g, key, tok, fin, slp, ntk = carry
                 slot = prompt_len + g - 1
                 ids = jax.lax.dynamic_update_slice(ids, tok[:, None], (0, slot))
                 mask = jax.lax.dynamic_update_slice(mask, jnp.ones((tok.shape[0], 1), jnp.int32), (0, slot))
@@ -368,15 +379,18 @@ class WhisperForConditionalGeneration(WhisperPreTrainedModel):
                     params["model"]["decoder"], tok[:, None], cross_kv, cache, slot, mask)
                 key, k = jax.random.split(key)
                 logits = model.compute_logits(params, hidden[:, -1])
-                sampled = sample(process_logits(logits, jnp.asarray(False)), k)
+                sampled, lp = sample(process_logits(logits, jnp.asarray(False)), k)
                 new_tok = jnp.where(fin, jnp.asarray(pad_id, jnp.int32), sampled)
+                slp = slp + jnp.where(fin, 0.0, lp)
+                ntk = ntk + jnp.where(fin, 0.0, 1.0)
                 fin = fin | is_eos(sampled)
-                return (ids, mask, cache, g + 1, key, new_tok, fin)
+                return (ids, mask, cache, g + 1, key, new_tok, fin, slp, ntk)
 
-            carry = (ids, mask, cache, jnp.asarray(1, jnp.int32), key, next_tok, finished)
-            ids, mask, cache, g, key, tok, fin = jax.lax.while_loop(cond, body, carry)
+            carry = (ids, mask, cache, jnp.asarray(1, jnp.int32), key, next_tok, finished,
+                     sum_logprob, n_tokens)
+            ids, mask, cache, g, key, tok, fin, slp, ntk = jax.lax.while_loop(cond, body, carry)
             ids = jax.lax.dynamic_update_slice(ids, tok[:, None], (0, prompt_len + g - 1))
-            return ids
+            return ids, slp / jnp.maximum(ntk, 1.0)
 
         return jax.jit(fn)
 

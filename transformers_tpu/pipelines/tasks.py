@@ -193,10 +193,27 @@ class AutomaticSpeechRecognitionPipeline(Pipeline):
     runs the reference's *sequential* long-form strategy: consecutive
     windows of chunk_length_s, each decoded by one jitted generate, texts
     concatenated (the seek loop of generation_whisper.py:970 at the pipeline
-    level — host control flow, device per-chunk programs)."""
+    level — host control flow, device per-chunk programs).
 
-    def _sanitize_parameters(self, chunk_length_s=None, **kwargs):
-        return {"chunk_length_s": chunk_length_s}, kwargs, {}
+    Temperature fallback (reference generate_with_fallback
+    generation_whisper.py:970): each chunk decodes greedily first, then
+    retries at increasing temperatures when the output fails quality checks —
+    zlib compression ratio > ``compression_ratio_threshold`` (repetition
+    loops) or mean token logprob < ``logprob_threshold``. The jitted
+    per-(temperature, shape) programs are cached, so fallback costs nothing
+    when the greedy pass is accepted."""
+
+    def _sanitize_parameters(self, chunk_length_s=None, temperature=None,
+                             compression_ratio_threshold=None,
+                             logprob_threshold=None, **kwargs):
+        fwd = {}
+        if temperature is not None:
+            fwd["temperature"] = temperature
+        if compression_ratio_threshold is not None:
+            fwd["compression_ratio_threshold"] = compression_ratio_threshold
+        if logprob_threshold is not None:
+            fwd["logprob_threshold"] = logprob_threshold
+        return {"chunk_length_s": chunk_length_s}, {**fwd, **kwargs}, {}
 
     def preprocess(self, audio, chunk_length_s=None):
         if isinstance(audio, dict):
@@ -208,15 +225,44 @@ class AutomaticSpeechRecognitionPipeline(Pipeline):
         feats = [dict(self.feature_extractor([c], return_tensors="jax")) for c in chunks if len(c)]
         return {"chunks": feats}
 
-    def _forward(self, model_inputs, **generate_kwargs):
+    def _forward(self, model_inputs, temperature=None,
+                 compression_ratio_threshold=2.4, logprob_threshold=-1.0,
+                 **generate_kwargs):
         generate_kwargs.setdefault("max_new_tokens", 128)
+        temps = temperature if isinstance(temperature, (tuple, list)) else (
+            (temperature,) if temperature is not None else (0.0,))
         tokens = []
         for feats in model_inputs["chunks"]:
-            out = self.model.generate(self.model.params,
-                                      input_features=feats["input_features"],
-                                      **generate_kwargs)
-            tokens.append(np.asarray(out)[0])
+            chosen = None
+            for t in temps:
+                out, avg_lp = self.model.generate(
+                    self.model.params, input_features=feats["input_features"],
+                    do_sample=t > 0, temperature=max(float(t), 1e-5),
+                    return_avg_logprobs=True, **generate_kwargs)
+                ids = np.asarray(out)[0]
+                chosen = ids
+                if len(temps) == 1:
+                    break
+                if self._chunk_acceptable(ids, float(np.asarray(avg_lp)[0]),
+                                          compression_ratio_threshold, logprob_threshold):
+                    break
+            tokens.append(chosen)
         return {"token_chunks": tokens}
+
+    def _chunk_acceptable(self, ids, avg_logprob, compression_ratio_threshold,
+                          logprob_threshold) -> bool:
+        """reference generation_whisper.py needs_fallback: repetition via zlib
+        compression ratio, confidence via mean token logprob."""
+        import zlib
+
+        if logprob_threshold is not None and avg_logprob < logprob_threshold:
+            return False
+        if compression_ratio_threshold is not None:
+            text = self.tokenizer.decode([int(t) for t in ids], skip_special_tokens=True)
+            raw = text.encode("utf-8")
+            if raw and len(raw) / len(zlib.compress(raw)) > compression_ratio_threshold:
+                return False
+        return True
 
     def postprocess(self, model_outputs, **kwargs):
         text = "".join(
