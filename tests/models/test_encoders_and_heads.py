@@ -212,3 +212,38 @@ def test_albert_parity(cls, arch, tmp_path):
         assert max_abs_diff(out.logits[MASK == 1], ref[MASK == 1]) < 3e-5
     else:
         assert max_abs_diff(out.logits, ref) < 3e-5
+
+
+MODERNBERT_TINY = dict(vocab_size=99, hidden_size=32, intermediate_size=48,
+                       num_hidden_layers=4, num_attention_heads=4,
+                       global_attn_every_n_layers=2, local_attention=8,
+                       max_position_embeddings=64, pad_token_id=0)
+LONG_IDS = np.array([[2, 5, 9, 3, 22, 7, 14, 8, 11, 4, 6, 13]], dtype=np.int64)
+
+
+@pytest.mark.parametrize("cls,arch,pooling", [
+    ("ModernBertForMaskedLM", "AutoModelForMaskedLM", None),
+    ("ModernBertForSequenceClassification", "AutoModelForSequenceClassification", "cls"),
+    ("ModernBertForSequenceClassification", "AutoModelForSequenceClassification", "mean"),
+    ("ModernBertForTokenClassification", None, None),
+])
+def test_modernbert_parity(cls, arch, pooling, tmp_path):
+    """Alternating bidirectional sliding/full layers + dual-theta rotary:
+    the 12-token input exceeds the local window (8) so the window mask is
+    exercised."""
+    d = str(tmp_path / "mbert")
+    cfg = dict(MODERNBERT_TINY)
+    if pooling:
+        cfg["classifier_pooling"] = pooling
+    tm = save_torch(d, cls, "ModernBertConfig", cfg)
+    if arch is None:
+        from transformers_tpu.models.modernbert import ModernBertForTokenClassification
+        model = ModernBertForTokenClassification.from_pretrained(d, dtype="float32")
+    else:
+        model = getattr(ttpu, arch).from_pretrained(d, dtype="float32")
+    assert not model.load_report.missing_keys
+    assert not model.load_report.unexpected_keys
+    mask = np.ones_like(LONG_IDS)
+    ref = run_torch(tm, input_ids=LONG_IDS, attention_mask=mask).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(LONG_IDS), attention_mask=jnp.asarray(mask))
+    assert max_abs_diff(out.logits, ref) < 3e-5

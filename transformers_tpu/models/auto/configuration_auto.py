@@ -39,6 +39,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertConfig"),
     "electra": ("electra", "ElectraConfig"),
     "albert": ("albert", "AlbertConfig"),
+    "modernbert": ("modernbert", "ModernBertConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
     "mamba": ("mamba", "MambaConfig"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaConfig"),

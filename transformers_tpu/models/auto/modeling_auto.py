@@ -36,6 +36,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertModelStandalone"),
     "electra": ("electra", "ElectraModelStandalone"),
     "albert": ("albert", "AlbertModelStandalone"),
+    "modernbert": ("modernbert", "ModernBertModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -93,6 +94,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertForSequenceClassification"),
     "electra": ("electra", "ElectraForSequenceClassification"),
     "albert": ("albert", "AlbertForSequenceClassification"),
+    "modernbert": ("modernbert", "ModernBertForSequenceClassification"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
@@ -101,6 +103,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2": ("qwen2", "Qwen2ForTokenClassification"),
     "bert": ("bert", "BertForTokenClassification"),
     "electra": ("electra", "ElectraForTokenClassification"),
+    "modernbert": ("modernbert", "ModernBertForTokenClassification"),
     "roberta": ("roberta", "RobertaForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
@@ -119,6 +122,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertForMaskedLM"),
     "electra": ("electra", "ElectraForMaskedLM"),
     "albert": ("albert", "AlbertForMaskedLM"),
+    "modernbert": ("modernbert", "ModernBertForMaskedLM"),
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),

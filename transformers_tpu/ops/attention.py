@@ -48,6 +48,13 @@ def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window):
         mask = causal_mask_bool(q_positions, kv_valid, sliding_window=sliding_window)
     else:
         mask = jnp.broadcast_to(kv_valid.astype(bool)[:, None, None, :], (b, 1, sq, skv))
+        if sliding_window is not None:
+            # bidirectional window, INCLUSIVE distance (reference
+            # masking_utils.py:141 sliding_window_bidirectional_overlay;
+            # ModernBERT local attention)
+            kv_pos = jnp.arange(skv, dtype=jnp.int32)[None, None, None, :]
+            dist = jnp.abs(q_positions[:, None, :, None] - kv_pos)
+            mask = mask & (dist <= sliding_window)
     return to_additive(mask, jnp.float32)
 
 
@@ -124,7 +131,9 @@ def flash_attention_dispatch(
     attention refuses output_attentions and falls back)."""
     from .pallas.flash_attention import flash_attention, flash_supported
 
-    if probs_sink is None and bias is None and sinks is None and flash_supported(q, k, v):
+    bidir_window = (not is_causal) and sliding_window is not None
+    if (probs_sink is None and bias is None and sinks is None
+            and not bidir_window and flash_supported(q, k, v)):
         return flash_attention(
             q, k, v,
             q_positions=q_positions, kv_valid=kv_valid,
