@@ -97,3 +97,28 @@ def test_train_loss(t5_ckpt):
     out = model(model.params, input_ids=jnp.asarray(IDS), attention_mask=jnp.asarray(MASK),
                 labels=jnp.asarray(labels))
     assert abs(float(out.loss) - ref) < 1e-4
+
+
+def test_mt5_routes_to_t5_skeleton(tmp_path):
+    """model_type 'mt5' (gated-gelu T5) loads through the t5 skeleton."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.MT5Config(vocab_size=99, d_model=32, d_kv=8, d_ff=64,
+                                 num_layers=2, num_decoder_layers=2, num_heads=4,
+                                 relative_attention_num_buckets=8,
+                                 decoder_start_token_id=0, pad_token_id=0, eos_token_id=1)
+    tm = transformers.MT5ForConditionalGeneration(cfg).eval()
+    d = str(tmp_path / "mt5")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = ttpu.AutoModelForSeq2SeqLM.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys
+    assert not m.load_report.unexpected_keys
+    ids = np.array([[3, 17, 9, 42]])
+    dec = np.array([[0, 5, 7]])
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids),
+                 decoder_input_ids=torch.from_numpy(dec)).logits.numpy()
+    out = m(m.params, input_ids=jnp.asarray(ids), decoder_input_ids=jnp.asarray(dec)).logits
+    assert np.abs(np.asarray(out) - ref).max() < 3e-5

@@ -53,6 +53,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperConfig"),
     "llava": ("llava", "LlavaConfig"),
     "t5": ("t5", "T5Config"),
+    "mt5": ("t5", "T5Config"),
     "bart": ("bart", "BartConfig"),
     "olmo2": ("olmo2", "Olmo2Config"),
     "starcoder2": ("starcoder2", "Starcoder2Config"),

@@ -46,6 +46,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
     "t5": ("t5", "T5EncoderModel"),
+    "mt5": ("t5", "T5EncoderModel"),
     "olmo2": ("olmo2", "Olmo2ModelStandalone"),
     "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
     "stablelm": ("stablelm", "StableLmModelStandalone"),
@@ -129,6 +130,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "t5": ("t5", "T5ForConditionalGeneration"),
+    "mt5": ("t5", "T5ForConditionalGeneration"),
     "bart": ("bart", "BartForConditionalGeneration"),
 }
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
