@@ -121,3 +121,30 @@ def test_image_processor_matches_reference():
     assert ours["pixel_values"].shape == theirs["pixel_values"].shape
     diff = np.abs(ours["pixel_values"] - theirs["pixel_values"]).mean()
     assert diff < 0.1, diff  # resize-filter differences only
+
+
+def test_multimodal_parity_nonsquare_grid(tmp_path):
+    """Non-square image grid: distinct t/h/w position rows — regression test
+    for the M-RoPE section-mixing order (reference splits by
+    mrope_section * 2, alternating axes within each half)."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.Qwen2VLConfig(**CFG)
+    tm = transformers.Qwen2VLForConditionalGeneration(cfg).eval()
+    d = str(tmp_path / "q2vl_ns")
+    tm.save_pretrained(d, safe_serialization=True)
+    from transformers_tpu.models.qwen2_vl import Qwen2VLForConditionalGeneration
+
+    model = Qwen2VLForConditionalGeneration.from_pretrained(d, dtype="float32")
+    grid = np.array([[1, 4, 8]], np.int64)  # 32 patches -> 8 image tokens
+    rng = np.random.default_rng(3)
+    patches = rng.normal(size=(32, 3 * 2 * 4 * 4)).astype(np.float32)
+    ids = np.array([[5, 95, *([97] * 8), 94, 9]], np.int64)
+    with torch.no_grad():
+        ref = tm(input_ids=torch.tensor(ids), pixel_values=torch.tensor(patches),
+                 image_grid_thw=torch.tensor(grid)).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(ids),
+                pixel_values=jnp.asarray(patches), image_grid_thw=grid)
+    assert np.abs(np.asarray(out.logits) - ref).max() < 3e-5

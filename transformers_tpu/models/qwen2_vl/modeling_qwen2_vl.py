@@ -196,7 +196,9 @@ class Qwen2VLTextModel(LlamaModel):
         cos, sin = compute_cos_sin(position_ids, self.inv_freq, self.attention_scaling,
                                    dtype=self.dtype)  # [3, B, S, D]
         section = self.config.mrope_section
-        sizes = [s * 2 for s in section]
+        # reference splits by mrope_section * 2 — the cat(freqs, freqs) table
+        # alternates t/h/w sections within EACH half ([t0 h1 w23 | t0 h1 w23])
+        sizes = list(section) + list(section)
         cos_parts = jnp.split(cos, np.cumsum(sizes)[:-1], axis=-1)
         sin_parts = jnp.split(sin, np.cumsum(sizes)[:-1], axis=-1)
         cos = jnp.concatenate([p[i % 3] for i, p in enumerate(cos_parts)], axis=-1)
@@ -305,9 +307,11 @@ class Qwen2VLForConditionalGeneration(Qwen2VLPreTrainedModel, GenerationMixin):
         WeightRule(pattern=r"^visual\.", rename="model.visual."),
     )
 
+    model_cls = Qwen2VLModel
+
     def __init__(self, config: Qwen2VLConfig, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.model = Qwen2VLModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype)
         text = config.text_config
         if not text.tie_word_embeddings:
             self.lm_head = Linear(text.hidden_size, text.vocab_size, False, dtype=self.dtype,
