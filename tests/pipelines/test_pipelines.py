@@ -202,3 +202,45 @@ def test_asr_temperature_fallback(tmp_path):
     ok = pipe(audio, max_new_tokens=8, temperature=(0.0, 0.4),
               logprob_threshold=-1e9, compression_ratio_threshold=1e9)
     assert ok["text"] == greedy["text"]
+
+
+def test_audio_classification_pipeline(tmp_path):
+    import torch
+    import transformers as hf
+
+    torch.manual_seed(0)
+    cfg = hf.Wav2Vec2Config(
+        vocab_size=32, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, conv_dim=(16, 32), conv_stride=(4, 2), conv_kernel=(8, 4),
+        num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2,
+        hidden_dropout=0.0, attention_dropout=0.0, num_labels=3,
+        id2label={0: "cat", 1: "dog", 2: "bird"}, label2id={"cat": 0, "dog": 1, "bird": 2})
+    d = str(tmp_path / "ac")
+    hf.Wav2Vec2ForSequenceClassification(cfg).eval().save_pretrained(d, safe_serialization=True)
+    from transformers_tpu.models.wav2vec2 import Wav2Vec2FeatureExtractor
+
+    Wav2Vec2FeatureExtractor(do_normalize=True).save_pretrained(d)
+    pipe = ttpu.pipeline("audio-classification", model=d)
+    audio = np.random.default_rng(0).normal(size=800).astype(np.float32)
+    out = pipe(audio, top_k=2)
+    assert len(out) == 2 and out[0]["label"] in ("cat", "dog", "bird")
+    assert out[0]["score"] >= out[1]["score"]
+
+
+def test_image_feature_extraction_pipeline(tmp_path):
+    import torch
+    import transformers as hf
+
+    torch.manual_seed(0)
+    cfg = hf.ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                       num_attention_heads=4, image_size=16, patch_size=8, num_channels=3)
+    d = str(tmp_path / "ife")
+    hf.ViTModel(cfg).eval().save_pretrained(d, safe_serialization=True)
+    json.dump({"image_processor_type": "ViTImageProcessor", "size": {"height": 16, "width": 16},
+               "do_resize": True, "do_normalize": True, "do_rescale": True,
+               "image_mean": [0.5, 0.5, 0.5], "image_std": [0.5, 0.5, 0.5]},
+              open(f"{d}/preprocessor_config.json", "w"))
+    pipe = ttpu.pipeline("image-feature-extraction", model=d)
+    img = np.random.default_rng(0).integers(0, 255, size=(3, 16, 16)).astype(np.uint8)
+    feats = pipe(img)
+    assert np.asarray(feats).shape[-1] == 32

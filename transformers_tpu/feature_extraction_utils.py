@@ -92,3 +92,23 @@ class SequenceFeatureExtractor:
             raw_speech = [raw_speech]
         return self.pad(
             [{self.model_input_names[0]: s} for s in raw_speech], **kwargs)
+
+
+class AutoFeatureExtractor:
+    """Type-dispatching loader (reference models/auto/feature_extraction_auto.py):
+    resolves ``feature_extractor_type`` from preprocessor_config.json."""
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path, **kwargs):
+        resolved = cached_file(str(pretrained_model_name_or_path), FEATURE_EXTRACTOR_NAME)
+        with open(resolved, encoding="utf-8") as f:
+            type_name = json.load(f).get("feature_extractor_type", "")
+        if "Whisper" in type_name:
+            from .models.whisper import WhisperFeatureExtractor
+
+            return WhisperFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "Wav2Vec2" in type_name or "Seamless" in type_name:
+            from .models.wav2vec2 import Wav2Vec2FeatureExtractor
+
+            return Wav2Vec2FeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        return SequenceFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)

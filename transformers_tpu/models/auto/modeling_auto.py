@@ -128,6 +128,12 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
 }
+MODEL_FOR_AUDIO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
+}
+MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "wav2vec2": ("wav2vec2", "Wav2Vec2ForCTC"),
+}
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "t5": ("t5", "T5ForConditionalGeneration"),
     "mt5": ("t5", "T5ForConditionalGeneration"),
@@ -243,3 +249,11 @@ class AutoModelForImageTextToText(_BaseAutoModelClass):
 
 class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForAudioClassification(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_AUDIO_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForCTC(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_CTC_MAPPING_NAMES

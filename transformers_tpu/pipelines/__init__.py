@@ -15,6 +15,8 @@ from .tasks import (
     AutomaticSpeechRecognitionPipeline,
     QuestionAnsweringPipeline,
     SummarizationPipeline,
+    AudioClassificationPipeline,
+    ImageFeatureExtractionPipeline,
     Text2TextGenerationPipeline,
     TranslationPipeline,
     ZeroShotClassificationPipeline,
@@ -50,6 +52,10 @@ SUPPORTED_TASKS = {
                                  "AutoModelForSequenceClassification", ("tokenizer",)),
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "audio-classification": (AudioClassificationPipeline,
+                             "AutoModelForAudioClassification", ("feature_extractor",)),
+    "image-feature-extraction": (ImageFeatureExtractionPipeline, "AutoModel", ("image_processor",)),
     "translation": (TranslationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
 }
 
@@ -97,7 +103,9 @@ def pipeline(
     if "feature_extractor" in needs and feature_extractor is None and src:
         from ..models.whisper import WhisperFeatureExtractor
 
-        feature_extractor = WhisperFeatureExtractor.from_pretrained(src)
+        from ..feature_extraction_utils import AutoFeatureExtractor
+
+        feature_extractor = AutoFeatureExtractor.from_pretrained(src)
     if "processor" in needs and processor is None and src:
         processor = ttpu.AutoProcessor.from_pretrained(src)
     return pipeline_cls(model=model, tokenizer=tokenizer, image_processor=image_processor,

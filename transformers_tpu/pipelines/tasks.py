@@ -143,6 +143,42 @@ class FeatureExtractionPipeline(Pipeline):
         return np.asarray(model_outputs.last_hidden_state).tolist()
 
 
+class AudioClassificationPipeline(Pipeline):
+    """reference pipelines/audio_classification.py: raw waveform ->
+    feature extractor -> audio classifier -> top-k labels."""
+
+    def preprocess(self, audio, **kwargs):
+        if isinstance(audio, dict):
+            audio = audio.get("array", audio.get("raw"))
+        audio = np.asarray(audio, np.float32)
+        return dict(self.feature_extractor([audio], return_tensors="jax"))
+
+    def _forward(self, model_inputs, **kwargs):
+        return self.model(self.model.params, **model_inputs)
+
+    def postprocess(self, model_outputs, top_k: int = 5, **kwargs):
+        probs = softmax_np(np.asarray(model_outputs.logits[0], np.float32))
+        id2label = getattr(self.model.config, "id2label", {}) or {}
+        order = np.argsort(-probs)[:top_k]
+        return [{"label": id2label.get(int(i), f"LABEL_{int(i)}"), "score": float(probs[i])}
+                for i in order]
+
+
+class ImageFeatureExtractionPipeline(Pipeline):
+    """reference pipelines/image_feature_extraction.py."""
+
+    def preprocess(self, image, **kwargs):
+        return dict(self.image_processor(image, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **kwargs):
+        return self.model(self.model.params, **model_inputs)
+
+    def postprocess(self, model_outputs, pool: bool = False, **kwargs):
+        if pool and getattr(model_outputs, "pooler_output", None) is not None:
+            return np.asarray(model_outputs.pooler_output).tolist()
+        return np.asarray(model_outputs.last_hidden_state).tolist()
+
+
 class ImageClassificationPipeline(Pipeline):
     """reference pipelines/image_classification.py."""
 
