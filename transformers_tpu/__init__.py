@@ -26,6 +26,7 @@ from .models.auto import (
     AutoModelForSequenceClassification,
     AutoModelForAudioClassification,
     AutoModelForCTC,
+    AutoModelForObjectDetection,
     AutoModelForSpeechSeq2Seq,
     AutoModelForTokenClassification,
     AutoModelForVision2Seq,

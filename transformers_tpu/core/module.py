@@ -306,6 +306,36 @@ class LayerNorm(Module):
         return h.astype(self.dtype)
 
 
+class BatchNorm(Module):
+    """Inference-mode BatchNorm over [N, C, *spatial] using running statistics
+    (torch BatchNorm2d.eval()). The running stats are ordinary params here —
+    fine-tuning uses them FROZEN, exactly the reference DETR recipe
+    (``replace_batch_norm`` -> DetrFrozenBatchNorm2d)."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5, *,
+                 dtype=jnp.float32, param_dtype=jnp.float32):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.num_features = num_features
+        self.eps = eps
+
+    def init(self, rng):
+        return {
+            "weight": jnp.ones((self.num_features,), self.param_dtype),
+            "bias": jnp.zeros((self.num_features,), self.param_dtype),
+            "running_mean": jnp.zeros((self.num_features,), self.param_dtype),
+            "running_var": jnp.ones((self.num_features,), self.param_dtype),
+        }
+
+    def __call__(self, params, x):
+        shape = (1, self.num_features) + (1,) * (x.ndim - 2)
+        mean = params["running_mean"].astype(jnp.float32).reshape(shape)
+        var = params["running_var"].astype(jnp.float32).reshape(shape)
+        w = params["weight"].astype(jnp.float32).reshape(shape)
+        b = params["bias"].astype(jnp.float32).reshape(shape)
+        h = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (h * w + b).astype(x.dtype)
+
+
 class GroupNorm(Module):
     """torch-compatible GroupNorm over [N, C, *spatial]: normalize within each
     of ``num_groups`` channel groups across (channels-in-group, *spatial)."""

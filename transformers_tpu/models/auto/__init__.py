@@ -10,6 +10,7 @@ from .modeling_auto import (
     AutoModelForSequenceClassification,
     AutoModelForAudioClassification,
     AutoModelForCTC,
+    AutoModelForObjectDetection,
     AutoModelForSpeechSeq2Seq,
     AutoModelForTokenClassification,
     AutoModelForVision2Seq,

@@ -40,6 +40,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "electra": ("electra", "ElectraConfig"),
     "albert": ("albert", "AlbertConfig"),
     "modernbert": ("modernbert", "ModernBertConfig"),
+    "resnet": ("resnet", "ResNetConfig"),
+    "detr": ("detr", "DetrConfig"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
     "mamba": ("mamba", "MambaConfig"),

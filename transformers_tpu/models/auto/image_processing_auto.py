@@ -15,6 +15,8 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip": ("siglip", "SiglipImageProcessor"),
     "llava": ("clip", "CLIPImageProcessor"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "detr": ("detr", "DetrImageProcessor"),
+    "resnet": ("vit", "ViTImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)
@@ -27,6 +29,9 @@ _CLASS_NAMES = {
     "SiglipImageProcessorFast": ("siglip", "SiglipImageProcessor"),
     "Qwen2VLImageProcessor": ("qwen2_vl", "Qwen2VLImageProcessor"),
     "Qwen2VLImageProcessorFast": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "DetrImageProcessor": ("detr", "DetrImageProcessor"),
+    "DetrImageProcessorFast": ("detr", "DetrImageProcessor"),
+    "ConvNextImageProcessor": ("vit", "ViTImageProcessor"),
 }
 
 

@@ -37,6 +37,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "electra": ("electra", "ElectraModelStandalone"),
     "albert": ("albert", "AlbertModelStandalone"),
     "modernbert": ("modernbert", "ModernBertModelStandalone"),
+    "resnet": ("resnet", "ResNetModelStandalone"),
+    "detr": ("detr", "DetrModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -127,6 +129,10 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
+    "resnet": ("resnet", "ResNetForImageClassification"),
+}
+MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "detr": ("detr", "DetrForObjectDetection"),
 }
 MODEL_FOR_AUDIO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
@@ -249,6 +255,10 @@ class AutoModelForImageTextToText(_BaseAutoModelClass):
 
 class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForObjectDetection(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES
 
 
 class AutoModelForAudioClassification(_BaseAutoModelClass):

@@ -16,6 +16,7 @@ from .tasks import (
     QuestionAnsweringPipeline,
     SummarizationPipeline,
     AudioClassificationPipeline,
+    ObjectDetectionPipeline,
     ImageFeatureExtractionPipeline,
     Text2TextGenerationPipeline,
     TranslationPipeline,
@@ -53,6 +54,8 @@ SUPPORTED_TASKS = {
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "object-detection": (ObjectDetectionPipeline, "AutoModelForObjectDetection",
+                         ("image_processor",)),
     "audio-classification": (AudioClassificationPipeline,
                              "AutoModelForAudioClassification", ("feature_extractor",)),
     "image-feature-extraction": (ImageFeatureExtractionPipeline, "AutoModel", ("image_processor",)),

@@ -143,6 +143,35 @@ class FeatureExtractionPipeline(Pipeline):
         return np.asarray(model_outputs.last_hidden_state).tolist()
 
 
+class ObjectDetectionPipeline(Pipeline):
+    """reference pipelines/object_detection.py: DETR-family detector ->
+    thresholded boxes in absolute pixel coordinates."""
+
+    def preprocess(self, image, **kwargs):
+        inputs = dict(self.image_processor(image, return_tensors="jax"))
+        h, w = inputs["pixel_values"].shape[-2:]
+        inputs["_target_size"] = (h, w)
+        return inputs
+
+    def _forward(self, model_inputs, **kwargs):
+        size = model_inputs.pop("_target_size")
+        out = self.model(self.model.params, **model_inputs)
+        out["_target_size"] = size
+        return out
+
+    def postprocess(self, model_outputs, threshold: float = 0.5, **kwargs):
+        size = model_outputs.pop("_target_size")
+        results = type(self.model).post_process_object_detection(
+            model_outputs, threshold=threshold, target_sizes=[size])[0]
+        id2label = getattr(self.model.config, "id2label", {}) or {}
+        return [{
+            "score": float(s),
+            "label": id2label.get(int(l), f"LABEL_{int(l)}"),
+            "box": {"xmin": float(b[0]), "ymin": float(b[1]),
+                    "xmax": float(b[2]), "ymax": float(b[3])},
+        } for s, l, b in zip(results["scores"], results["labels"], results["boxes"])]
+
+
 class AudioClassificationPipeline(Pipeline):
     """reference pipelines/audio_classification.py: raw waveform ->
     feature extractor -> audio classifier -> top-k labels."""
