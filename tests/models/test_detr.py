@@ -108,3 +108,23 @@ def test_object_detection_pipeline(tmp_path):
     assert isinstance(out, list)
     if out:
         assert {"score", "label", "box"} <= set(out[0].keys())
+
+
+def test_convnext_classification_parity(tmp_path):
+    """ConvNeXt: depthwise 7x7 + channels-last LN + layer scale."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.ConvNextConfig(num_channels=3, patch_size=4, num_stages=2,
+                                      hidden_sizes=[16, 32], depths=[2, 2], num_labels=3)
+    tm = transformers.ConvNextForImageClassification(cfg).eval()
+    d = str(tmp_path / "cnext")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = ttpu.AutoModelForImageClassification.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys
+    assert not m.load_report.unexpected_keys
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(PX[:, :, :32, :32])).logits.numpy()
+    out = m(m.params, pixel_values=jnp.asarray(PX[:, :, :32, :32])).logits
+    assert np.abs(np.asarray(out) - ref).max() < 3e-5

@@ -17,6 +17,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_vl": ("qwen2_vl", "Qwen2VLImageProcessor"),
     "detr": ("detr", "DetrImageProcessor"),
     "resnet": ("vit", "ViTImageProcessor"),
+    "convnext": ("vit", "ViTImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)

@@ -39,6 +39,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert": ("modernbert", "ModernBertModelStandalone"),
     "resnet": ("resnet", "ResNetModelStandalone"),
     "detr": ("detr", "DetrModelStandalone"),
+    "convnext": ("convnext", "ConvNextModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -130,6 +131,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
     "resnet": ("resnet", "ResNetForImageClassification"),
+    "convnext": ("convnext", "ConvNextForImageClassification"),
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "detr": ("detr", "DetrForObjectDetection"),
