@@ -27,6 +27,7 @@ from .models.auto import (
     AutoModelForAudioClassification,
     AutoModelForCTC,
     AutoModelForObjectDetection,
+    AutoModelForSemanticSegmentation,
     AutoModelForSpeechSeq2Seq,
     AutoModelForTokenClassification,
     AutoModelForVision2Seq,

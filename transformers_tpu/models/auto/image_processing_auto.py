@@ -18,6 +18,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "detr": ("detr", "DetrImageProcessor"),
     "resnet": ("vit", "ViTImageProcessor"),
     "convnext": ("vit", "ViTImageProcessor"),
+    "segformer": ("vit", "ViTImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)
@@ -33,6 +34,8 @@ _CLASS_NAMES = {
     "DetrImageProcessor": ("detr", "DetrImageProcessor"),
     "DetrImageProcessorFast": ("detr", "DetrImageProcessor"),
     "ConvNextImageProcessor": ("vit", "ViTImageProcessor"),
+    "SegformerImageProcessor": ("vit", "ViTImageProcessor"),
+    "SegformerImageProcessorFast": ("vit", "ViTImageProcessor"),
 }
 
 

@@ -40,6 +40,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "resnet": ("resnet", "ResNetModelStandalone"),
     "detr": ("detr", "DetrModelStandalone"),
     "convnext": ("convnext", "ConvNextModelStandalone"),
+    "segformer": ("segformer", "SegformerModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -132,6 +133,10 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
     "resnet": ("resnet", "ResNetForImageClassification"),
     "convnext": ("convnext", "ConvNextForImageClassification"),
+    "segformer": ("segformer", "SegformerForImageClassification"),
+}
+MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "segformer": ("segformer", "SegformerForSemanticSegmentation"),
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "detr": ("detr", "DetrForObjectDetection"),
@@ -257,6 +262,10 @@ class AutoModelForImageTextToText(_BaseAutoModelClass):
 
 class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForSemanticSegmentation(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES
 
 
 class AutoModelForObjectDetection(_BaseAutoModelClass):

@@ -1,0 +1,7 @@
+from .configuration_segformer import SegformerConfig
+from .modeling_segformer import (
+    SegformerForImageClassification,
+    SegformerForSemanticSegmentation,
+    SegformerModel,
+    SegformerModelStandalone,
+)

@@ -16,6 +16,7 @@ from .tasks import (
     QuestionAnsweringPipeline,
     SummarizationPipeline,
     AudioClassificationPipeline,
+    ImageSegmentationPipeline,
     ObjectDetectionPipeline,
     ImageFeatureExtractionPipeline,
     Text2TextGenerationPipeline,
@@ -54,6 +55,8 @@ SUPPORTED_TASKS = {
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "image-segmentation": (ImageSegmentationPipeline, "AutoModelForSemanticSegmentation",
+                           ("image_processor",)),
     "object-detection": (ObjectDetectionPipeline, "AutoModelForObjectDetection",
                          ("image_processor",)),
     "audio-classification": (AudioClassificationPipeline,

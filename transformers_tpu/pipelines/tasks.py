@@ -143,6 +143,41 @@ class FeatureExtractionPipeline(Pipeline):
         return np.asarray(model_outputs.last_hidden_state).tolist()
 
 
+class ImageSegmentationPipeline(Pipeline):
+    """reference pipelines/image_segmentation.py (semantic subtask): upsample
+    logits to the input size, argmax per pixel, one binary mask per present
+    class."""
+
+    def preprocess(self, image, **kwargs):
+        inputs = dict(self.image_processor(image, return_tensors="jax"))
+        inputs["_target_size"] = tuple(inputs["pixel_values"].shape[-2:])
+        return inputs
+
+    def _forward(self, model_inputs, **kwargs):
+        size = model_inputs.pop("_target_size")
+        out = self.model(self.model.params, **model_inputs)
+        out["_target_size"] = size
+        return out
+
+    def postprocess(self, model_outputs, **kwargs):
+        import jax
+
+        size = model_outputs.pop("_target_size")
+        logits = model_outputs.logits.astype("float32")
+        up = jax.image.resize(logits, (logits.shape[0], logits.shape[1], *size),
+                              method="bilinear")
+        seg = np.asarray(up.argmax(1)[0])
+        id2label = getattr(self.model.config, "id2label", {}) or {}
+        results = []
+        for label_id in np.unique(seg):
+            results.append({
+                "score": None,
+                "label": id2label.get(int(label_id), f"LABEL_{int(label_id)}"),
+                "mask": (seg == label_id),
+            })
+        return results
+
+
 class ObjectDetectionPipeline(Pipeline):
     """reference pipelines/object_detection.py: DETR-family detector ->
     thresholded boxes in absolute pixel coordinates."""
