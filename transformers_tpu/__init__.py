@@ -27,6 +27,7 @@ from .models.auto import (
     AutoModelForAudioClassification,
     AutoModelForCTC,
     AutoModelForObjectDetection,
+    AutoModelForDepthEstimation,
     AutoModelForSemanticSegmentation,
     AutoModelForSpeechSeq2Seq,
     AutoModelForTokenClassification,

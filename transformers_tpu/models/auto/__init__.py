@@ -11,6 +11,7 @@ from .modeling_auto import (
     AutoModelForAudioClassification,
     AutoModelForCTC,
     AutoModelForObjectDetection,
+    AutoModelForDepthEstimation,
     AutoModelForSemanticSegmentation,
     AutoModelForSpeechSeq2Seq,
     AutoModelForTokenClassification,

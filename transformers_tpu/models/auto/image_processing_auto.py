@@ -19,6 +19,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "resnet": ("vit", "ViTImageProcessor"),
     "convnext": ("vit", "ViTImageProcessor"),
     "segformer": ("vit", "ViTImageProcessor"),
+    "glpn": ("vit", "ViTImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)
@@ -36,6 +37,8 @@ _CLASS_NAMES = {
     "ConvNextImageProcessor": ("vit", "ViTImageProcessor"),
     "SegformerImageProcessor": ("vit", "ViTImageProcessor"),
     "SegformerImageProcessorFast": ("vit", "ViTImageProcessor"),
+    "GLPNImageProcessor": ("vit", "ViTImageProcessor"),
+    "GLPNImageProcessorFast": ("vit", "ViTImageProcessor"),
 }
 
 

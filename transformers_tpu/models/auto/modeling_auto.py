@@ -41,6 +41,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "detr": ("detr", "DetrModelStandalone"),
     "convnext": ("convnext", "ConvNextModelStandalone"),
     "segformer": ("segformer", "SegformerModelStandalone"),
+    "glpn": ("glpn", "GLPNModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -134,6 +135,9 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "resnet": ("resnet", "ResNetForImageClassification"),
     "convnext": ("convnext", "ConvNextForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
+}
+MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "glpn": ("glpn", "GLPNForDepthEstimation"),
 }
 MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("segformer", "SegformerForSemanticSegmentation"),
@@ -262,6 +266,10 @@ class AutoModelForImageTextToText(_BaseAutoModelClass):
 
 class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForDepthEstimation(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES
 
 
 class AutoModelForSemanticSegmentation(_BaseAutoModelClass):

@@ -16,6 +16,7 @@ from .tasks import (
     QuestionAnsweringPipeline,
     SummarizationPipeline,
     AudioClassificationPipeline,
+    DepthEstimationPipeline,
     ImageSegmentationPipeline,
     ObjectDetectionPipeline,
     ImageFeatureExtractionPipeline,
@@ -55,6 +56,8 @@ SUPPORTED_TASKS = {
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "depth-estimation": (DepthEstimationPipeline, "AutoModelForDepthEstimation",
+                         ("image_processor",)),
     "image-segmentation": (ImageSegmentationPipeline, "AutoModelForSemanticSegmentation",
                            ("image_processor",)),
     "object-detection": (ObjectDetectionPipeline, "AutoModelForObjectDetection",

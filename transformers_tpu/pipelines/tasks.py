@@ -143,6 +143,32 @@ class FeatureExtractionPipeline(Pipeline):
         return np.asarray(model_outputs.last_hidden_state).tolist()
 
 
+class DepthEstimationPipeline(Pipeline):
+    """reference pipelines/depth_estimation.py: depth map resized to the
+    input image size."""
+
+    def preprocess(self, image, **kwargs):
+        inputs = dict(self.image_processor(image, return_tensors="jax"))
+        inputs["_target_size"] = tuple(inputs["pixel_values"].shape[-2:])
+        return inputs
+
+    def _forward(self, model_inputs, **kwargs):
+        size = model_inputs.pop("_target_size")
+        out = self.model(self.model.params, **model_inputs)
+        out["_target_size"] = size
+        return out
+
+    def postprocess(self, model_outputs, **kwargs):
+        import jax
+
+        size = model_outputs.pop("_target_size")
+        depth = model_outputs.predicted_depth.astype("float32")[:, None]
+        depth = jax.image.resize(depth, (depth.shape[0], 1, *size), method="bilinear")
+        arr = np.asarray(depth[0, 0])
+        return {"predicted_depth": arr,
+                "depth": (255 * (arr - arr.min()) / max(arr.max() - arr.min(), 1e-6)).astype(np.uint8)}
+
+
 class ImageSegmentationPipeline(Pipeline):
     """reference pipelines/image_segmentation.py (semantic subtask): upsample
     logits to the input size, argmax per pixel, one binary mask per present
