@@ -28,6 +28,7 @@ from .models.auto import (
     AutoModelForCTC,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
+    AutoModelForVideoClassification,
     AutoModelForSemanticSegmentation,
     AutoModelForSpeechSeq2Seq,
     AutoModelForTokenClassification,

@@ -12,6 +12,7 @@ from .modeling_auto import (
     AutoModelForCTC,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
+    AutoModelForVideoClassification,
     AutoModelForSemanticSegmentation,
     AutoModelForSpeechSeq2Seq,
     AutoModelForTokenClassification,

@@ -42,6 +42,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "convnext": ("convnext", "ConvNextModelStandalone"),
     "segformer": ("segformer", "SegformerModelStandalone"),
     "glpn": ("glpn", "GLPNModelStandalone"),
+    "videomae": ("videomae", "VideoMAEModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -135,6 +136,9 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "resnet": ("resnet", "ResNetForImageClassification"),
     "convnext": ("convnext", "ConvNextForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
+}
+MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "videomae": ("videomae", "VideoMAEForVideoClassification"),
 }
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
@@ -266,6 +270,10 @@ class AutoModelForImageTextToText(_BaseAutoModelClass):
 
 class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForVideoClassification(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES
 
 
 class AutoModelForDepthEstimation(_BaseAutoModelClass):
