@@ -17,6 +17,7 @@ from .tasks import (
     SummarizationPipeline,
     AudioClassificationPipeline,
     DepthEstimationPipeline,
+    VideoClassificationPipeline,
     ImageSegmentationPipeline,
     ObjectDetectionPipeline,
     ImageFeatureExtractionPipeline,
@@ -56,6 +57,8 @@ SUPPORTED_TASKS = {
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "video-classification": (VideoClassificationPipeline, "AutoModelForVideoClassification",
+                             ("video_processor",)),
     "depth-estimation": (DepthEstimationPipeline, "AutoModelForDepthEstimation",
                          ("image_processor",)),
     "image-segmentation": (ImageSegmentationPipeline, "AutoModelForSemanticSegmentation",
@@ -117,5 +120,11 @@ def pipeline(
         feature_extractor = AutoFeatureExtractor.from_pretrained(src)
     if "processor" in needs and processor is None and src:
         processor = ttpu.AutoProcessor.from_pretrained(src)
+    video_processor = kwargs.pop("video_processor", None)
+    if "video_processor" in needs and video_processor is None and src:
+        from ..video_processing_utils import AutoVideoProcessor
+
+        video_processor = AutoVideoProcessor.from_pretrained(src)
     return pipeline_cls(model=model, tokenizer=tokenizer, image_processor=image_processor,
-                        feature_extractor=feature_extractor, processor=processor, **kwargs)
+                        feature_extractor=feature_extractor, processor=processor,
+                        video_processor=video_processor, **kwargs)

@@ -17,12 +17,13 @@ class Pipeline:
     override _sanitize_parameters to split kwargs between the three stages."""
 
     def __init__(self, model, tokenizer=None, image_processor=None, feature_extractor=None,
-                 processor=None, **kwargs):
+                 processor=None, video_processor=None, **kwargs):
         self.model = model
         self.tokenizer = tokenizer
         self.image_processor = image_processor
         self.feature_extractor = feature_extractor
         self.processor = processor
+        self.video_processor = video_processor
         self._init_kwargs = kwargs
 
     def _sanitize_parameters(self, **kwargs) -> tuple[dict, dict, dict]:

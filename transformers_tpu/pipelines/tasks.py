@@ -143,6 +143,30 @@ class FeatureExtractionPipeline(Pipeline):
         return np.asarray(model_outputs.last_hidden_state).tolist()
 
 
+class VideoClassificationPipeline(Pipeline):
+    """reference pipelines/video_classification.py: frames -> video processor
+    -> classifier -> top-k labels. Accepts a [T, C, H, W]/[T, H, W, C] array
+    or a video file path (stdlib-decodable formats via video_utils)."""
+
+    def preprocess(self, video, num_frames=None, **kwargs):
+        if isinstance(video, str):
+            from ..video_utils import load_video
+
+            video, _ = load_video(video, num_frames=num_frames)
+        feats = dict(self.video_processor(video, return_tensors="jax"))
+        return {"pixel_values": feats["pixel_values_videos"][0][None]}
+
+    def _forward(self, model_inputs, **kwargs):
+        return self.model(self.model.params, **model_inputs)
+
+    def postprocess(self, model_outputs, top_k: int = 5, **kwargs):
+        probs = softmax_np(np.asarray(model_outputs.logits[0], np.float32))
+        id2label = getattr(self.model.config, "id2label", {}) or {}
+        order = np.argsort(-probs)[:top_k]
+        return [{"label": id2label.get(int(i), f"LABEL_{int(i)}"), "score": float(probs[i])}
+                for i in order]
+
+
 class DepthEstimationPipeline(Pipeline):
     """reference pipelines/depth_estimation.py: depth map resized to the
     input image size."""
