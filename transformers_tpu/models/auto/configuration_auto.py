@@ -46,6 +46,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("segformer", "SegformerConfig"),
     "glpn": ("glpn", "GLPNConfig"),
     "videomae": ("videomae", "VideoMAEConfig"),
+    "owlvit": ("owlvit", "OwlViTConfig"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
     "mamba": ("mamba", "MambaConfig"),

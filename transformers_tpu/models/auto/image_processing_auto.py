@@ -20,6 +20,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "convnext": ("vit", "ViTImageProcessor"),
     "segformer": ("vit", "ViTImageProcessor"),
     "glpn": ("vit", "ViTImageProcessor"),
+    "owlvit": ("clip", "CLIPImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)
@@ -39,6 +40,8 @@ _CLASS_NAMES = {
     "SegformerImageProcessorFast": ("vit", "ViTImageProcessor"),
     "GLPNImageProcessor": ("vit", "ViTImageProcessor"),
     "GLPNImageProcessorFast": ("vit", "ViTImageProcessor"),
+    "OwlViTImageProcessor": ("clip", "CLIPImageProcessor"),
+    "OwlViTImageProcessorFast": ("clip", "CLIPImageProcessor"),
 }
 
 

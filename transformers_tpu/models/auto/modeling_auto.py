@@ -43,6 +43,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("segformer", "SegformerModelStandalone"),
     "glpn": ("glpn", "GLPNModelStandalone"),
     "videomae": ("videomae", "VideoMAEModelStandalone"),
+    "owlvit": ("owlvit", "OwlViTModelStandalone"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -136,6 +137,9 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "resnet": ("resnet", "ResNetForImageClassification"),
     "convnext": ("convnext", "ConvNextForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
+}
+MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "owlvit": ("owlvit", "OwlViTForObjectDetection"),
 }
 MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "videomae": ("videomae", "VideoMAEForVideoClassification"),
@@ -270,6 +274,10 @@ class AutoModelForImageTextToText(_BaseAutoModelClass):
 
 class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES
+
+
+class AutoModelForZeroShotObjectDetection(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES
 
 
 class AutoModelForVideoClassification(_BaseAutoModelClass):

@@ -18,6 +18,7 @@ from .tasks import (
     AudioClassificationPipeline,
     DepthEstimationPipeline,
     VideoClassificationPipeline,
+    ZeroShotObjectDetectionPipeline,
     ImageSegmentationPipeline,
     ObjectDetectionPipeline,
     ImageFeatureExtractionPipeline,
@@ -57,6 +58,9 @@ SUPPORTED_TASKS = {
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "zero-shot-object-detection": (ZeroShotObjectDetectionPipeline,
+                                   "AutoModelForZeroShotObjectDetection",
+                                   ("tokenizer", "image_processor")),
     "video-classification": (VideoClassificationPipeline, "AutoModelForVideoClassification",
                              ("video_processor",)),
     "depth-estimation": (DepthEstimationPipeline, "AutoModelForDepthEstimation",

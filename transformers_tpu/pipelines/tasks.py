@@ -143,6 +143,47 @@ class FeatureExtractionPipeline(Pipeline):
         return np.asarray(model_outputs.last_hidden_state).tolist()
 
 
+class ZeroShotObjectDetectionPipeline(Pipeline):
+    """reference pipelines/zero_shot_object_detection.py: OwlViT-family
+    detector queried with free-text labels."""
+
+    def preprocess(self, inputs, candidate_labels=None, **kwargs):
+        if isinstance(inputs, dict):
+            candidate_labels = inputs.get("candidate_labels", candidate_labels)
+            image = inputs["image"]
+        else:
+            image = inputs
+        if isinstance(candidate_labels, str):
+            candidate_labels = [l.strip() for l in candidate_labels.split(",")]
+        img = dict(self.image_processor(image, return_tensors="jax"))
+        text = self.tokenizer(list(candidate_labels), return_tensors="jax", padding=True)
+        return {"pixel_values": img["pixel_values"],
+                "input_ids": text["input_ids"],
+                "attention_mask": text.get("attention_mask"),
+                "_labels": list(candidate_labels),
+                "_target_size": tuple(img["pixel_values"].shape[-2:])}
+
+    def _forward(self, model_inputs, **kwargs):
+        labels = model_inputs.pop("_labels")
+        size = model_inputs.pop("_target_size")
+        out = self.model(self.model.params, **model_inputs)
+        out["_labels"] = labels
+        out["_target_size"] = size
+        return out
+
+    def postprocess(self, model_outputs, threshold: float = 0.1, **kwargs):
+        labels = model_outputs.pop("_labels")
+        size = model_outputs.pop("_target_size")
+        results = type(self.model).post_process_grounded_object_detection(
+            model_outputs, threshold=threshold, target_sizes=[size],
+            text_labels=[labels])[0]
+        return [{
+            "score": float(s), "label": t,
+            "box": {"xmin": float(b[0]), "ymin": float(b[1]),
+                    "xmax": float(b[2]), "ymax": float(b[3])},
+        } for s, t, b in zip(results["scores"], results["text_labels"], results["boxes"])]
+
+
 class VideoClassificationPipeline(Pipeline):
     """reference pipelines/video_classification.py: frames -> video processor
     -> classifier -> top-k labels. Accepts a [T, C, H, W]/[T, H, W, C] array
