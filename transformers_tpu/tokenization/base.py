@@ -107,12 +107,30 @@ class PreTrainedTokenizer:
                                        _raise_exceptions_for_missing_entries=False)
                 if spm_file:
                     break
-            if not spm_file:
-                raise OSError(f"No tokenizer.json or sentencepiece .model found at {path_or_repo}")
-            from .spm import spm_to_tokenizer_config
+            if spm_file:
+                from .spm import spm_to_tokenizer_config
 
-            with open(spm_file, "rb") as f:
-                engine = TokenizerEngine(spm_to_tokenizer_config(f.read()))
+                with open(spm_file, "rb") as f:
+                    engine = TokenizerEngine(spm_to_tokenizer_config(f.read()))
+            else:
+                # Legacy WordPiece fallback (reference BertConverter): build
+                # the engine from vocab.txt + tokenizer_config options.
+                vocab_file = cached_file(str(path_or_repo), "vocab.txt",
+                                         _raise_exceptions_for_missing_entries=False)
+                if not vocab_file:
+                    raise OSError(
+                        f"No tokenizer.json, sentencepiece .model, or vocab.txt found at {path_or_repo}")
+                cfg_file_ = cached_file(str(path_or_repo), TOKENIZER_CONFIG_FILE,
+                                        _raise_exceptions_for_missing_entries=False)
+                tok_cfg = {}
+                if cfg_file_:
+                    with open(cfg_file_, encoding="utf-8") as f:
+                        tok_cfg = json.load(f)
+                from .wordpiece_convert import vocab_txt_to_tokenizer_config
+
+                with open(vocab_file, encoding="utf-8") as f:
+                    lines = [l.rstrip("\n") for l in f if l.strip("\n") != ""]
+                engine = TokenizerEngine(vocab_txt_to_tokenizer_config(lines, tok_cfg))
         config = {}
         cfg_file = cached_file(str(path_or_repo), TOKENIZER_CONFIG_FILE,
                                _raise_exceptions_for_missing_entries=False)
