@@ -29,6 +29,7 @@ from .models.auto import (
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
     AutoModelForVideoClassification,
+    AutoModelForVisualQuestionAnswering,
     AutoModelForZeroShotObjectDetection,
     AutoModelForSemanticSegmentation,
     AutoModelForSpeechSeq2Seq,

@@ -29,6 +29,7 @@ class BaseModelOutputWithPooling(ModelOutput):
     pooler_output: Optional[Array] = None
     hidden_states: Optional[tuple] = None
     attentions: Optional[tuple] = None
+    past_key_values: Optional[Any] = None
 
 
 @dataclass
@@ -54,6 +55,7 @@ class CausalLMOutput(ModelOutput):
     logits: Optional[Array] = None
     hidden_states: Optional[tuple] = None
     attentions: Optional[tuple] = None
+    past_key_values: Optional[Any] = None
 
 
 @dataclass

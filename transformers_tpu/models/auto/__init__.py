@@ -13,6 +13,7 @@ from .modeling_auto import (
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
     AutoModelForVideoClassification,
+    AutoModelForVisualQuestionAnswering,
     AutoModelForZeroShotObjectDetection,
     AutoModelForSemanticSegmentation,
     AutoModelForSpeechSeq2Seq,

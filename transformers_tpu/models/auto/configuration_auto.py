@@ -47,6 +47,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNConfig"),
     "videomae": ("videomae", "VideoMAEConfig"),
     "owlvit": ("owlvit", "OwlViTConfig"),
+    "blip": ("blip", "BlipConfig"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
     "mamba": ("mamba", "MambaConfig"),

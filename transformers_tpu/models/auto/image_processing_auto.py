@@ -21,6 +21,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("vit", "ViTImageProcessor"),
     "glpn": ("vit", "ViTImageProcessor"),
     "owlvit": ("clip", "CLIPImageProcessor"),
+    "blip": ("blip", "BlipImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)

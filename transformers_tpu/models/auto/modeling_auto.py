@@ -44,6 +44,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNModelStandalone"),
     "videomae": ("videomae", "VideoMAEModelStandalone"),
     "owlvit": ("owlvit", "OwlViTModelStandalone"),
+    "blip": ("blip", "BlipModel"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
@@ -169,11 +170,16 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
+    "blip": ("blip", "BlipForConditionalGeneration"),
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"),
+    "blip": ("blip", "BlipForConditionalGeneration"),
+}
+MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "blip": ("blip", "BlipForQuestionAnswering"),
 }
 MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "clip": ("clip", "CLIPModel"),
@@ -270,6 +276,10 @@ class AutoModelForVision2Seq(_BaseAutoModelClass):
 
 class AutoModelForImageTextToText(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES
+
+
+class AutoModelForVisualQuestionAnswering(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES
 
 
 class AutoModelForZeroShotImageClassification(_BaseAutoModelClass):

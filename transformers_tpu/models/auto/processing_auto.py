@@ -11,6 +11,7 @@ from ...utils.hub import cached_file
 PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaProcessor"),
     "clip": ("clip", "CLIPProcessor"),
+    "blip": ("blip", "BlipProcessor"),
     "siglip": ("siglip", "SiglipProcessor"),
     "whisper": ("whisper", "WhisperProcessor"),
 }
@@ -18,6 +19,7 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 _CLASS_NAMES = {
     "LlavaProcessor": ("llava", "LlavaProcessor"),
     "CLIPProcessor": ("clip", "CLIPProcessor"),
+    "BlipProcessor": ("blip", "BlipProcessor"),
     "SiglipProcessor": ("siglip", "SiglipProcessor"),
     "WhisperProcessor": ("whisper", "WhisperProcessor"),
 }
