@@ -43,6 +43,8 @@ _CLASS_NAMES = {
     "GLPNImageProcessorFast": ("vit", "ViTImageProcessor"),
     "OwlViTImageProcessor": ("clip", "CLIPImageProcessor"),
     "OwlViTImageProcessorFast": ("clip", "CLIPImageProcessor"),
+    "BlipImageProcessor": ("blip", "BlipImageProcessor"),
+    "BlipImageProcessorFast": ("blip", "BlipImageProcessor"),
 }
 
 

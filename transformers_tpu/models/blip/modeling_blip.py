@@ -226,9 +226,11 @@ class _BlipGenerationMixin:
     """Shared jitted cross-decode entry for the two generating wrappers."""
 
     def _decode(self, params, prompt_ids, prompt_mask, encoder_hidden, encoder_mask,
-                gen: GenerationConfig, prng_key):
+                gen: GenerationConfig, prng_key, eos_override=None):
         text_cfg = self.config.text_config
-        eos_id = int(gen.eos_token_id if gen.eos_token_id is not None else text_cfg.sep_token_id)
+        # the reference wrappers always stop on sep_token_id (reference :924,
+        # :1148) — the checkpoint generation_config's eos does NOT apply
+        eos_id = int(eos_override if eos_override is not None else text_cfg.sep_token_id)
         pad_id = int(gen.pad_token_id if gen.pad_token_id is not None else text_cfg.pad_token_id)
         max_new = int(gen.max_new_tokens or gen.max_length or 20)
         do_sample = bool(gen.do_sample)
@@ -291,7 +293,8 @@ class BlipForConditionalGeneration(BlipPreTrainedModel, _BlipGenerationMixin):
         vision = self.vision_model(params["vision_model"], pixel_values)
         image_embeds = vision.last_hidden_state
         image_mask = jnp.ones(image_embeds.shape[:-1], jnp.int32)
-        return self._decode(params, prompt_ids, prompt_mask, image_embeds, image_mask, gen, prng_key)
+        return self._decode(params, prompt_ids, prompt_mask, image_embeds, image_mask,
+                            gen, prng_key, eos_override=kwargs.get("eos_token_id"))
 
 
 class BlipForQuestionAnswering(BlipPreTrainedModel, _BlipGenerationMixin):
@@ -340,7 +343,8 @@ class BlipForQuestionAnswering(BlipPreTrainedModel, _BlipGenerationMixin):
         b = question_embeds.shape[0]
         bos = jnp.full((b, 1), self.config.text_config.bos_token_id, jnp.int32)
         return self._decode(params, bos, jnp.ones((b, 1), jnp.int32),
-                            question_embeds, question_mask, gen, prng_key)
+                            question_embeds, question_mask, gen, prng_key,
+                            eos_override=kwargs.get("eos_token_id"))
 
 
 class BlipForImageTextRetrieval(BlipPreTrainedModel):

@@ -29,6 +29,8 @@ from .tasks import (
     FillMaskPipeline,
     ImageClassificationPipeline,
     ImageTextToTextPipeline,
+    ImageToTextPipeline,
+    VisualQuestionAnsweringPipeline,
     TextClassificationPipeline,
     TextGenerationPipeline,
     TokenClassificationPipeline,
@@ -57,7 +59,9 @@ SUPPORTED_TASKS = {
                                  "AutoModelForSequenceClassification", ("tokenizer",)),
     "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
     "summarization": (SummarizationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
-    "text2text-generation": (Text2TextGenerationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "image-to-text": (ImageToTextPipeline, "AutoModelForVision2Seq", ("processor",)),
+    "visual-question-answering": (VisualQuestionAnsweringPipeline,
+                                  "AutoModelForVisualQuestionAnswering", ("processor",)),
     "zero-shot-object-detection": (ZeroShotObjectDetectionPipeline,
                                    "AutoModelForZeroShotObjectDetection",
                                    ("tokenizer", "image_processor")),
@@ -78,6 +82,7 @@ SUPPORTED_TASKS = {
 TASK_ALIASES = {
     "sentiment-analysis": "text-classification",
     "ner": "token-classification",
+    "vqa": "visual-question-answering",
 }
 
 

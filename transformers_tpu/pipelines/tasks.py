@@ -589,3 +589,70 @@ class SummarizationPipeline(Text2TextGenerationPipeline):
 
 class TranslationPipeline(Text2TextGenerationPipeline):
     return_name = "translation"
+
+
+class ImageToTextPipeline(Pipeline):
+    """reference pipelines/image_to_text.py (BLIP-family captioners): image
+    (+ optional text prompt) -> generated caption, full sequence decoded with
+    special tokens skipped."""
+
+    def _sanitize_parameters(self, prompt=None, max_new_tokens=None, generate_kwargs=None, **kwargs):
+        fwd = dict(generate_kwargs or {})
+        if max_new_tokens is not None:
+            fwd["max_new_tokens"] = max_new_tokens
+        return {"prompt": prompt}, fwd, {}
+
+    def preprocess(self, image, prompt=None):
+        if isinstance(image, dict):
+            prompt = image.get("prompt", prompt)
+            image = image["image"]
+        return dict(self.processor(images=image, text=prompt, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **generate_kwargs):
+        generate_kwargs.setdefault("max_new_tokens", 32)
+        out = self.model.generate(self.model.params,
+                                  pixel_values=model_inputs["pixel_values"],
+                                  input_ids=model_inputs.get("input_ids"),
+                                  attention_mask=model_inputs.get("attention_mask"),
+                                  **generate_kwargs)
+        return {"sequences": np.asarray(out)}
+
+    def postprocess(self, model_outputs, **kwargs):
+        tok = self.processor.tokenizer if self.processor is not None else self.tokenizer
+        return [{"generated_text": tok.decode([int(t) for t in seq], skip_special_tokens=True)}
+                for seq in model_outputs["sequences"]]
+
+
+class VisualQuestionAnsweringPipeline(Pipeline):
+    """reference pipelines/visual_question_answering.py, generative route
+    (BLIP): encode image+question, decode the free-form answer."""
+
+    def __call__(self, image=None, question=None, **kwargs):
+        if isinstance(image, dict):
+            return super().__call__(image, **kwargs)
+        return super().__call__({"image": image, "question": question}, **kwargs)
+
+    def _sanitize_parameters(self, top_k=None, max_new_tokens=None, generate_kwargs=None, **kwargs):
+        fwd = dict(generate_kwargs or {})
+        if max_new_tokens is not None:
+            fwd["max_new_tokens"] = max_new_tokens
+        post = {} if top_k is None else {"top_k": top_k}
+        return {}, fwd, post
+
+    def preprocess(self, inputs, **kwargs):
+        return dict(self.processor(images=inputs["image"], text=inputs["question"],
+                                   return_tensors="jax"))
+
+    def _forward(self, model_inputs, **generate_kwargs):
+        generate_kwargs.setdefault("max_new_tokens", 16)
+        out = self.model.generate(self.model.params,
+                                  input_ids=model_inputs["input_ids"],
+                                  pixel_values=model_inputs["pixel_values"],
+                                  attention_mask=model_inputs.get("attention_mask"),
+                                  **generate_kwargs)
+        return {"sequences": np.asarray(out)}
+
+    def postprocess(self, model_outputs, **kwargs):
+        tok = self.processor.tokenizer if self.processor is not None else self.tokenizer
+        return [{"answer": tok.decode([int(t) for t in seq], skip_special_tokens=True)}
+                for seq in model_outputs["sequences"]]
