@@ -139,6 +139,38 @@ FAMILIES_RAW = {
         num_attention_heads=4, num_key_value_heads=2, head_dim=8,
         num_local_experts=4, num_experts_per_tok=2, sliding_window=4,
         max_position_embeddings=256, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "glm": ("GlmConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, pad_token_id=0, eos_token_id=2)),
+    "glm4": ("Glm4Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, pad_token_id=0, eos_token_id=2)),
+    "nemotron": ("NemotronConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        bos_token_id=1, eos_token_id=2)),
+    "persimmon": ("PersimmonConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=256, qk_layernorm=True,
+        bos_token_id=1, eos_token_id=2)),
+    "bloom": ("BloomConfig", dict(
+        vocab_size=99, hidden_size=32, n_layer=3, n_head=4, bos_token_id=1, eos_token_id=2)),
+    "bloom-postln": ("BloomConfig", dict(
+        vocab_size=99, hidden_size=32, n_layer=3, n_head=4,
+        apply_residual_connection_post_layernorm=True, bos_token_id=1, eos_token_id=2)),
+    "mpt": ("MptConfig", dict(
+        vocab_size=99, d_model=32, n_layers=3, n_heads=4, max_seq_len=256)),
+    "mpt-clip": ("MptConfig", dict(
+        vocab_size=99, d_model=32, n_layers=3, n_heads=4, max_seq_len=256,
+        attn_config={"clip_qkv": 0.5, "softmax_scale": 0.3})),
+    "gpt_neo": ("GPTNeoConfig", dict(
+        vocab_size=99, hidden_size=32, num_layers=4, num_heads=4,
+        attention_types=[[["global", "local"], 2]], window_size=4,
+        max_position_embeddings=256)),
+    "codegen": ("CodeGenConfig", dict(
+        vocab_size=99, n_embd=32, n_layer=3, n_head=4, n_positions=256, rotary_dim=4)),
     "deepseek_v3-noqlora": ("DeepseekV3Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, moe_intermediate_size=32,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
@@ -189,7 +221,9 @@ def test_logit_parity(family, tmp_path):
 
 @pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3", "phi3", "gpt2", "gpt_neox", "gptj", "cohere", "granite", "falcon-7b-style", "falcon-40b-style", "falcon-rw-style", "deepseek_v3", "gpt_oss", "opt", "opt-350m-style",
                                     "mixtral", "olmo2", "stablelm", "phi", "qwen2_moe",
-                                    "gemma3_text", "starcoder2"])
+                                    "gemma3_text", "starcoder2",
+                                    "glm", "glm4", "nemotron", "persimmon", "bloom",
+                                    "mpt", "gpt_neo", "codegen"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""

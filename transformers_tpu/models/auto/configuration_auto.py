@@ -24,6 +24,14 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma2": ("gemma2", "Gemma2Config"),
     "phi3": ("phi3", "Phi3Config"),
     "gpt2": ("gpt2", "GPT2Config"),
+    "glm": ("glm", "GlmConfig"),
+    "glm4": ("glm4", "Glm4Config"),
+    "nemotron": ("nemotron", "NemotronConfig"),
+    "persimmon": ("persimmon", "PersimmonConfig"),
+    "bloom": ("bloom", "BloomConfig"),
+    "mpt": ("mpt", "MptConfig"),
+    "gpt_neo": ("gpt_neo", "GPTNeoConfig"),
+    "codegen": ("codegen", "CodeGenConfig"),
     "gpt_neox": ("gpt_neox", "GPTNeoXConfig"),
     "gptj": ("gptj", "GPTJConfig"),
     "falcon": ("falcon", "FalconConfig"),

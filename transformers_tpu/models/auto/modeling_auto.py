@@ -63,6 +63,14 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3_text": ("gemma3", "Gemma3TextModelStandalone"),
     "smollm3": ("smollm3", "SmolLM3ModelStandalone"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeModelStandalone"),
+    "glm": ("glm", "GlmModelStandalone"),
+    "glm4": ("glm4", "Glm4ModelStandalone"),
+    "nemotron": ("nemotron", "NemotronModelStandalone"),
+    "persimmon": ("persimmon", "PersimmonModelStandalone"),
+    "bloom": ("bloom", "BloomModelStandalone"),
+    "mpt": ("mpt", "MptModelStandalone"),
+    "gpt_neo": ("gpt_neo", "GPTNeoModelStandalone"),
+    "codegen": ("codegen", "CodeGenModelStandalone"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
@@ -92,6 +100,14 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3_text": ("gemma3", "Gemma3ForCausalLM"),
     "smollm3": ("smollm3", "SmolLM3ForCausalLM"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeForCausalLM"),
+    "glm": ("glm", "GlmForCausalLM"),
+    "glm4": ("glm4", "Glm4ForCausalLM"),
+    "nemotron": ("nemotron", "NemotronForCausalLM"),
+    "persimmon": ("persimmon", "PersimmonForCausalLM"),
+    "bloom": ("bloom", "BloomForCausalLM"),
+    "mpt": ("mpt", "MptForCausalLM"),
+    "gpt_neo": ("gpt_neo", "GPTNeoForCausalLM"),
+    "codegen": ("codegen", "CodeGenForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForSequenceClassification"),

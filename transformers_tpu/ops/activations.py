@@ -33,6 +33,7 @@ ACT2FN = {
     "gelu_python": gelu_exact,
     "quick_gelu": quick_gelu,
     "relu": jax.nn.relu,
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
     "relu6": jax.nn.relu6,
     "sigmoid": jax.nn.sigmoid,
     "silu": jax.nn.silu,
