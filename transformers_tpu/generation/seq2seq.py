@@ -69,19 +69,23 @@ class EncoderDecoderGenerationMixin:
             prng_key = jax.random.key(0)
         has_enc_mask = attention_mask is not None
 
-        sig = (b, prompt_len, max_new, do_sample, eos_ids, pad_id, temperature, has_enc_mask)
+        forced_eos = gen.forced_eos_token_id
+        forced_eos = int(forced_eos) if forced_eos is not None else None
+
+        sig = (b, prompt_len, max_new, do_sample, eos_ids, pad_id, temperature, has_enc_mask,
+               forced_eos)
         store = getattr(self, "_s2s_gen_cache", None) or {}
         self._s2s_gen_cache = store
         if sig not in store:
             store[sig] = self._build_s2s_fn(prompt_len=prompt_len, max_new=max_new,
                                             total_len=total_len, do_sample=do_sample,
                                             eos_ids=eos_ids, pad_id=pad_id,
-                                            temperature=temperature)
+                                            temperature=temperature, forced_eos=forced_eos)
         prompt_ids = jnp.broadcast_to(jnp.asarray(prompt, jnp.int32)[None, :], (b, prompt_len))
         return store[sig](params, enc_input, attention_mask, prompt_ids, prng_key)
 
     def _build_s2s_fn(self, *, prompt_len, max_new, total_len, do_sample, eos_ids, pad_id,
-                      temperature):
+                      temperature, forced_eos=None):
         model = self
 
         def is_eos(tok):
@@ -90,11 +94,18 @@ class EncoderDecoderGenerationMixin:
                 done |= tok == e
             return done
 
-        def sample(logits, key):
+        def sample(logits, key, pos):
             logits = logits.astype(jnp.float32)
             if do_sample:
-                return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+            else:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if forced_eos is not None:
+                # ForcedEOSTokenLogitsProcessor: the token at max_length - 1
+                # is always eos (reference logits_process.py).
+                tok = jnp.where(jnp.asarray(pos) == total_len - 1,
+                                jnp.asarray(forced_eos, jnp.int32), tok)
+            return tok
 
         def fn(params, enc_input, enc_mask, prompt_ids, key):
             b = enc_input.shape[0]
@@ -107,7 +118,7 @@ class EncoderDecoderGenerationMixin:
 
             hidden, cache = model.decode_step(params, prompt_ids, cross_kv, cache, 0, mask, enc_mask)
             key, k0 = jax.random.split(key)
-            next_tok = sample(model.compute_logits(params, hidden[:, -1]), k0)
+            next_tok = sample(model.compute_logits(params, hidden[:, -1]), k0, prompt_len)
             finished = is_eos(next_tok)
 
             def cond(carry):
@@ -121,7 +132,7 @@ class EncoderDecoderGenerationMixin:
                 mask = jax.lax.dynamic_update_slice(mask, jnp.ones((b, 1), jnp.int32), (0, slot))
                 hidden, cache = model.decode_step(params, tok[:, None], cross_kv, cache, slot, mask, enc_mask)
                 key, k = jax.random.split(key)
-                sampled = sample(model.compute_logits(params, hidden[:, -1]), k)
+                sampled = sample(model.compute_logits(params, hidden[:, -1]), k, prompt_len + g)
                 new_tok = jnp.where(fin, jnp.asarray(pad_id, jnp.int32), sampled)
                 fin = fin | is_eos(sampled)
                 return (ids, mask, cache, g + 1, key, new_tok, fin)

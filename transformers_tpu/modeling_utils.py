@@ -74,6 +74,9 @@ class PreTrainedModel(Module):
     # (e.g. tied decoder duplicates) — regexes filtered from the load report
     # (reference modeling_utils.py _keys_to_ignore_on_load_unexpected).
     _keys_to_ignore_on_load_unexpected: tuple[str, ...] = ()
+    # Missing keys whose module init IS the reference value (frozen sinusoid
+    # position tables): materialized silently, not reported.
+    _keys_to_ignore_on_load_missing: tuple[str, ...] = ()
     # Declarative parallelism plan (regex -> PartitionSpec-vocabulary string),
     # the reference's per-model ``_tp_plan`` (models/llama/modeling_llama.py:424).
     _tp_plan: dict[str, str] = {}
@@ -195,6 +198,17 @@ class PreTrainedModel(Module):
         if still_missing:
             params = materialize_missing(model, params, still_missing, jax.random.key(seed))
             params = model.tie_weights(params)
+        # Keys whose init IS the correct value (frozen sinusoid tables etc.):
+        # materialized above, not reported (reference
+        # _keys_to_ignore_on_load_missing).
+        ignore_missing = getattr(model, "_keys_to_ignore_on_load_missing", ())
+        if ignore_missing:
+            import re
+
+            report.missing_keys = [
+                k for k in report.missing_keys
+                if not any(re.search(p, k) for p in ignore_missing)
+            ]
         report.log(cls.__name__)
         if quantization_config is not None:
             from .quantizers import quantize_params

@@ -24,6 +24,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma2": ("gemma2", "Gemma2Config"),
     "phi3": ("phi3", "Phi3Config"),
     "gpt2": ("gpt2", "GPT2Config"),
+    "mbart": ("mbart", "MBartConfig"),
+    "pegasus": ("pegasus", "PegasusConfig"),
+    "marian": ("marian", "MarianConfig"),
+    "m2m_100": ("m2m_100", "M2M100Config"),
     "glm": ("glm", "GlmConfig"),
     "glm4": ("glm4", "Glm4Config"),
     "nemotron": ("nemotron", "NemotronConfig"),

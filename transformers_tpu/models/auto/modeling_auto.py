@@ -180,6 +180,10 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "t5": ("t5", "T5ForConditionalGeneration"),
     "mt5": ("t5", "T5ForConditionalGeneration"),
     "bart": ("bart", "BartForConditionalGeneration"),
+    "mbart": ("mbart", "MBartForConditionalGeneration"),
+    "pegasus": ("pegasus", "PegasusForConditionalGeneration"),
+    "marian": ("marian", "MarianMTModel"),
+    "m2m_100": ("m2m_100", "M2M100ForConditionalGeneration"),
 }
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperForConditionalGeneration"),

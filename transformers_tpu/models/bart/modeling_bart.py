@@ -73,6 +73,10 @@ class BartAttention(Module):
 
 
 class BartEncoderLayer(Module):
+    # pre_norm=True is the mBART/Pegasus/M2M100 layout (norm before the
+    # sublayer); False is BART/Marian post-LN.
+    pre_norm = False
+
     def __init__(self, config, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
@@ -85,6 +89,13 @@ class BartEncoderLayer(Module):
         self.act = get_activation(config.activation_function)
 
     def __call__(self, params, hidden, attn_args):
+        if self.pre_norm:
+            h = self.self_attn_layer_norm(params["self_attn_layer_norm"], hidden)
+            h, _ = self.self_attn(params["self_attn"], h, attn_args)
+            hidden = hidden + h
+            h = self.final_layer_norm(params["final_layer_norm"], hidden)
+            h = self.fc2(params["fc2"], self.act(self.fc1(params["fc1"], h)))
+            return hidden + h
         h, _ = self.self_attn(params["self_attn"], hidden, attn_args)
         hidden = self.self_attn_layer_norm(params["self_attn_layer_norm"], hidden + h)
         h = self.fc2(params["fc2"], self.act(self.fc1(params["fc1"], hidden)))
@@ -92,6 +103,8 @@ class BartEncoderLayer(Module):
 
 
 class BartDecoderLayer(Module):
+    pre_norm = False
+
     def __init__(self, config, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
@@ -106,6 +119,17 @@ class BartDecoderLayer(Module):
         self.act = get_activation(config.activation_function)
 
     def __call__(self, params, hidden, attn_args, cross_args, cross_kv, cache, layer_idx, cache_position):
+        if self.pre_norm:
+            h = self.self_attn_layer_norm(params["self_attn_layer_norm"], hidden)
+            h, cache = self.self_attn(params["self_attn"], h, attn_args,
+                                      cache=cache, layer_idx=layer_idx, cache_position=cache_position)
+            hidden = hidden + h
+            h = self.encoder_attn_layer_norm(params["encoder_attn_layer_norm"], hidden)
+            h, _ = self.encoder_attn(params["encoder_attn"], h, cross_args, kv_precomputed=cross_kv)
+            hidden = hidden + h
+            h = self.final_layer_norm(params["final_layer_norm"], hidden)
+            h = self.fc2(params["fc2"], self.act(self.fc1(params["fc1"], h)))
+            return hidden + h, cache
         h, cache = self.self_attn(params["self_attn"], hidden, attn_args,
                                   cache=cache, layer_idx=layer_idx, cache_position=cache_position)
         hidden = self.self_attn_layer_norm(params["self_attn_layer_norm"], hidden + h)
@@ -116,46 +140,78 @@ class BartDecoderLayer(Module):
 
 
 class BartEncoder(Module):
+    layer_cls = BartEncoderLayer
+    pos_cls = BartLearnedPositionalEmbedding
+    use_layernorm_embedding = True
+    use_final_norm = False
+    # first real position index (M2M100 overrides to padding_idx + 1)
+    pos_start = 0
+
     def __init__(self, config: BartConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         d = config.d_model
-        self.embed_positions = BartLearnedPositionalEmbedding(config.max_position_embeddings, d, **kw)
-        self.layers = [BartEncoderLayer(config, **kw) for _ in range(config.encoder_layers)]
-        self.layernorm_embedding = LayerNorm(d, 1e-5, **kw)
+        self.embed_positions = self.make_positions(config, **kw)
+        self.layers = [self.layer_cls(config, **kw) for _ in range(config.encoder_layers)]
+        if self.use_layernorm_embedding:
+            self.layernorm_embedding = LayerNorm(d, 1e-5, **kw)
+        if self.use_final_norm:
+            self.layer_norm = LayerNorm(d, 1e-5, **kw)
         self.embed_scale = math.sqrt(d) if config.scale_embedding else 1.0
+
+    def make_positions(self, config, **kw):
+        return self.pos_cls(config.max_position_embeddings, config.d_model, **kw)
+
+    def encoder_positions(self, b, s, attention_mask):
+        return jnp.arange(s, dtype=jnp.int32)[None, :] + self.pos_start
 
     def __call__(self, params, inputs_embeds, attention_mask=None):
         b, s, _ = inputs_embeds.shape
-        positions = jnp.arange(s, dtype=jnp.int32)[None, :]
-        h = inputs_embeds * self.embed_scale + self.embed_positions(params["embed_positions"], positions)
-        h = self.layernorm_embedding(params["layernorm_embedding"], h)
+        positions = self.encoder_positions(b, s, attention_mask)
+        h = inputs_embeds * self.embed_scale + self.embed_positions(params.get("embed_positions", {}), positions)
+        if self.use_layernorm_embedding:
+            h = self.layernorm_embedding(params["layernorm_embedding"], h)
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, s), jnp.int32)
         attn_args = {"kv_valid": kv_valid, "is_causal": False}
         for i, layer in enumerate(self.layers):
             h = layer(params["layers"][str(i)], h, attn_args)
+        if self.use_final_norm:
+            h = self.layer_norm(params["layer_norm"], h)
         return h
 
 
 class BartDecoder(Module):
+    layer_cls = BartDecoderLayer
+    pos_cls = BartLearnedPositionalEmbedding
+    use_layernorm_embedding = True
+    use_final_norm = False
+    pos_start = 0
+
     def __init__(self, config: BartConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         d = config.d_model
-        self.embed_positions = BartLearnedPositionalEmbedding(config.max_position_embeddings, d, **kw)
-        self.layers = [BartDecoderLayer(config, **kw) for _ in range(config.decoder_layers)]
-        self.layernorm_embedding = LayerNorm(d, 1e-5, **kw)
+        self.embed_positions = self.make_positions(config, **kw)
+        self.layers = [self.layer_cls(config, **kw) for _ in range(config.decoder_layers)]
+        if self.use_layernorm_embedding:
+            self.layernorm_embedding = LayerNorm(d, 1e-5, **kw)
+        if self.use_final_norm:
+            self.layer_norm = LayerNorm(d, 1e-5, **kw)
         self.embed_scale = math.sqrt(d) if config.scale_embedding else 1.0
+
+    def make_positions(self, config, **kw):
+        return self.pos_cls(config.max_position_embeddings, config.d_model, **kw)
 
     def __call__(self, params, inputs_embeds, cross_kv, cache=None, cache_position=0,
                  attention_mask=None, encoder_mask=None):
         b, s, _ = inputs_embeds.shape
         positions = jnp.arange(s, dtype=jnp.int32) + jnp.asarray(cache_position, jnp.int32)
         h = inputs_embeds * self.embed_scale + self.embed_positions(
-            params["embed_positions"], positions[None, :])
-        h = self.layernorm_embedding(params["layernorm_embedding"], h)
+            params.get("embed_positions", {}), positions[None, :] + self.pos_start)
+        if self.use_layernorm_embedding:
+            h = self.layernorm_embedding(params["layernorm_embedding"], h)
         kv_len = cache.max_len if cache is not None else s
         q_positions = jnp.broadcast_to(positions[None, :], (b, s))
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
@@ -166,17 +222,22 @@ class BartDecoder(Module):
         for i, layer in enumerate(self.layers):
             h, cache = layer(params["layers"][str(i)], h, attn_args, cross_args,
                              cross_kv[i], cache, i, cache_position)
+        if self.use_final_norm:
+            h = self.layer_norm(params["layer_norm"], h)
         return h, cache
 
 
 class BartModel(Module):
+    encoder_cls = BartEncoder
+    decoder_cls = BartDecoder
+
     def __init__(self, config: BartConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.shared = Embedding(config.vocab_size, config.d_model,
                                 embedding_init=normal_init(config.init_std), **kw)
-        self.encoder = BartEncoder(config, **kw)
-        self.decoder = BartDecoder(config, **kw)
+        self.encoder = self.encoder_cls(config, **kw)
+        self.decoder = self.decoder_cls(config, **kw)
 
 
 class BartPreTrainedModel(PreTrainedModel):
@@ -187,14 +248,18 @@ class BartPreTrainedModel(PreTrainedModel):
 
 
 class BartForConditionalGeneration(BartPreTrainedModel, EncoderDecoderGenerationMixin):
+    model_cls = BartModel
+    use_final_logits_bias = True
+
     def __init__(self, config: BartConfig, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.model = BartModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype)
         self.vocab_size = config.vocab_size
 
     def init(self, rng):
         params = super().init(rng)
-        params["final_logits_bias"] = jnp.zeros((1, self.vocab_size), self.param_dtype)
+        if self.use_final_logits_bias:
+            params["final_logits_bias"] = jnp.zeros((1, self.vocab_size), self.param_dtype)
         return params
 
     def get_input_embedding_path(self):
@@ -220,7 +285,9 @@ class BartForConditionalGeneration(BartPreTrainedModel, EncoderDecoderGeneration
 
     def compute_logits(self, params, hidden):
         logits = self.model.shared.attend(params["model"]["shared"], hidden)
-        return logits + params["final_logits_bias"].astype(logits.dtype)
+        if self.use_final_logits_bias:
+            logits = logits + params["final_logits_bias"].astype(logits.dtype)
+        return logits
 
     def init_decoder_cache(self, batch_size: int, max_len: int, dtype=None) -> StaticKVCache:
         c = self.config
