@@ -55,6 +55,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "resnet": ("resnet", "ResNetConfig"),
     "detr": ("detr", "DetrConfig"),
     "convnext": ("convnext", "ConvNextConfig"),
+    "convnextv2": ("convnextv2", "ConvNextV2Config"),
+    "swin": ("swin", "SwinConfig"),
+    "deit": ("deit", "DeiTConfig"),
+    "dinov2": ("dinov2", "Dinov2Config"),
     "segformer": ("segformer", "SegformerConfig"),
     "glpn": ("glpn", "GLPNConfig"),
     "videomae": ("videomae", "VideoMAEConfig"),

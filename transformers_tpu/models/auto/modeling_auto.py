@@ -40,6 +40,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "resnet": ("resnet", "ResNetModelStandalone"),
     "detr": ("detr", "DetrModelStandalone"),
     "convnext": ("convnext", "ConvNextModelStandalone"),
+    "convnextv2": ("convnextv2", "ConvNextV2ModelStandalone"),
+    "swin": ("swin", "SwinModelStandalone"),
+    "deit": ("deit", "DeiTModelStandalone"),
+    "dinov2": ("dinov2", "Dinov2ModelStandalone"),
     "segformer": ("segformer", "SegformerModelStandalone"),
     "glpn": ("glpn", "GLPNModelStandalone"),
     "videomae": ("videomae", "VideoMAEModelStandalone"),
@@ -153,6 +157,10 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
     "resnet": ("resnet", "ResNetForImageClassification"),
     "convnext": ("convnext", "ConvNextForImageClassification"),
+    "convnextv2": ("convnextv2", "ConvNextV2ForImageClassification"),
+    "swin": ("swin", "SwinForImageClassification"),
+    "deit": ("deit", "DeiTForImageClassificationWithTeacher"),
+    "dinov2": ("dinov2", "Dinov2ForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
 }
 MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
