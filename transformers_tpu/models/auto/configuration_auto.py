@@ -66,6 +66,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip": ("blip", "BlipConfig"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
+    "hubert": ("hubert", "HubertConfig"),
+    "wavlm": ("wavlm", "WavLMConfig"),
     "mamba": ("mamba", "MambaConfig"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaConfig"),
     "vit": ("vit", "ViTConfig"),

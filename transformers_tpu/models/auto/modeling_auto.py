@@ -50,6 +50,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "owlvit": ("owlvit", "OwlViTModelStandalone"),
     "blip": ("blip", "BlipModel"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
+    "hubert": ("hubert", "HubertModelStandalone"),
+    "wavlm": ("wavlm", "WavLMModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
@@ -180,9 +182,13 @@ MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_AUDIO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
+    "hubert": ("hubert", "HubertForSequenceClassification"),
+    "wavlm": ("wavlm", "WavLMForSequenceClassification"),
 }
 MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForCTC"),
+    "hubert": ("hubert", "HubertForCTC"),
+    "wavlm": ("wavlm", "WavLMForCTC"),
 }
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "t5": ("t5", "T5ForConditionalGeneration"),
