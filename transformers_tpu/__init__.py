@@ -26,6 +26,7 @@ from .models.auto import (
     AutoModelForSequenceClassification,
     AutoModelForAudioClassification,
     AutoModelForCTC,
+    AutoModelForDocumentQuestionAnswering,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
     AutoModelForVideoClassification,

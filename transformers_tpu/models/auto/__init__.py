@@ -10,6 +10,7 @@ from .modeling_auto import (
     AutoModelForSequenceClassification,
     AutoModelForAudioClassification,
     AutoModelForCTC,
+    AutoModelForDocumentQuestionAnswering,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
     AutoModelForVideoClassification,

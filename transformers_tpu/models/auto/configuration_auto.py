@@ -28,6 +28,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pegasus": ("pegasus", "PegasusConfig"),
     "marian": ("marian", "MarianConfig"),
     "m2m_100": ("m2m_100", "M2M100Config"),
+    "paligemma": ("paligemma", "PaliGemmaConfig"),
+    "layoutlm": ("layoutlm", "LayoutLMConfig"),
+    "sam": ("sam", "SamConfig"),
+    "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),
     "glm4": ("glm4", "Glm4Config"),
     "nemotron": ("nemotron", "NemotronConfig"),

@@ -22,6 +22,11 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("vit", "ViTImageProcessor"),
     "owlvit": ("clip", "CLIPImageProcessor"),
     "blip": ("blip", "BlipImageProcessor"),
+    "sam": ("sam", "SamImageProcessor"),
+    "deit": ("vit", "ViTImageProcessor"),
+    "dinov2": ("vit", "ViTImageProcessor"),
+    "swin": ("vit", "ViTImageProcessor"),
+    "convnextv2": ("vit", "ViTImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class)
@@ -45,6 +50,13 @@ _CLASS_NAMES = {
     "OwlViTImageProcessorFast": ("clip", "CLIPImageProcessor"),
     "BlipImageProcessor": ("blip", "BlipImageProcessor"),
     "BlipImageProcessorFast": ("blip", "BlipImageProcessor"),
+    "SamImageProcessor": ("sam", "SamImageProcessor"),
+    "SamImageProcessorFast": ("sam", "SamImageProcessor"),
+    "DeiTImageProcessor": ("vit", "ViTImageProcessor"),
+    "DeiTImageProcessorFast": ("vit", "ViTImageProcessor"),
+    "BitImageProcessor": ("vit", "ViTImageProcessor"),
+    "BitImageProcessorFast": ("vit", "ViTImageProcessor"),
+    "ConvNextV2ImageProcessor": ("vit", "ViTImageProcessor"),
 }
 
 

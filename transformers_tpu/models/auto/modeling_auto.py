@@ -77,6 +77,9 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mpt": ("mpt", "MptModelStandalone"),
     "gpt_neo": ("gpt_neo", "GPTNeoModelStandalone"),
     "codegen": ("codegen", "CodeGenModelStandalone"),
+    "layoutlm": ("layoutlm", "LayoutLMModelStandalone"),
+    "sam": ("sam", "SamModel"),
+    "sam_vision_model": ("sam", "SamVisionModel"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
@@ -127,6 +130,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "albert": ("albert", "AlbertForSequenceClassification"),
     "modernbert": ("modernbert", "ModernBertForSequenceClassification"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
+    "layoutlm": ("layoutlm", "LayoutLMForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForTokenClassification"),
@@ -136,6 +140,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "electra": ("electra", "ElectraForTokenClassification"),
     "modernbert": ("modernbert", "ModernBertForTokenClassification"),
     "roberta": ("roberta", "RobertaForTokenClassification"),
+    "layoutlm": ("layoutlm", "LayoutLMForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForQuestionAnswering"),
@@ -185,6 +190,9 @@ MODEL_FOR_AUDIO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hubert": ("hubert", "HubertForSequenceClassification"),
     "wavlm": ("wavlm", "WavLMForSequenceClassification"),
 }
+MODEL_FOR_DOCUMENT_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "layoutlm": ("layoutlm", "LayoutLMForQuestionAnswering"),
+}
 MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForCTC"),
     "hubert": ("hubert", "HubertForCTC"),
@@ -211,6 +219,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_vl": ("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
+    "paligemma": ("paligemma", "PaliGemmaForConditionalGeneration"),
 }
 MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip": ("blip", "BlipForQuestionAnswering"),
@@ -346,3 +355,7 @@ class AutoModelForAudioClassification(_BaseAutoModelClass):
 
 class AutoModelForCTC(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_CTC_MAPPING_NAMES
+
+
+class AutoModelForDocumentQuestionAnswering(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_DOCUMENT_QUESTION_ANSWERING_MAPPING_NAMES

@@ -191,6 +191,9 @@ class LlamaModel(Module):
     scale_embeddings: bool = False
     # checkpoint name of the final norm ("final_layernorm" for Phi)
     norm_name: str = "norm"
+    # PaliGemma-style prefix-LM inference: queries attend to every valid kv
+    # slot (set False on the instance by composing models)
+    causal_attention: bool = True
 
     def __init__(self, config: LlamaConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
@@ -250,7 +253,7 @@ class LlamaModel(Module):
         q_positions = jnp.broadcast_to(q_positions, (b, s))
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
         attn_args = {"q_positions": q_positions, "kv_valid": kv_valid,
-                     "is_causal": True, "sliding_window": None}
+                     "is_causal": self.causal_attention, "sliding_window": None}
         # output_attentions channel: attention impls append [B, H, Q, KV]
         # probs here (forces the eager path — see ops/attention.py).
         probs_sink = [] if output_attentions else None

@@ -33,6 +33,8 @@ from .tasks import (
     VisualQuestionAnsweringPipeline,
     TextClassificationPipeline,
     TextGenerationPipeline,
+    DocumentQuestionAnsweringPipeline,
+    MaskGenerationPipeline,
     TokenClassificationPipeline,
     ZeroShotImageClassificationPipeline,
 )
@@ -77,6 +79,9 @@ SUPPORTED_TASKS = {
                              "AutoModelForAudioClassification", ("feature_extractor",)),
     "image-feature-extraction": (ImageFeatureExtractionPipeline, "AutoModel", ("image_processor",)),
     "translation": (TranslationPipeline, "AutoModelForSeq2SeqLM", ("tokenizer",)),
+    "document-question-answering": (DocumentQuestionAnsweringPipeline,
+                                    "AutoModelForDocumentQuestionAnswering", ("tokenizer",)),
+    "mask-generation": (MaskGenerationPipeline, "AutoModel", ("image_processor",)),
 }
 
 TASK_ALIASES = {

@@ -656,3 +656,220 @@ class VisualQuestionAnsweringPipeline(Pipeline):
         tok = self.processor.tokenizer if self.processor is not None else self.tokenizer
         return [{"answer": tok.decode([int(t) for t in seq], skip_special_tokens=True)}
                 for seq in model_outputs["sequences"]]
+
+
+class DocumentQuestionAnsweringPipeline(Pipeline):
+    """reference pipelines/document_question_answering.py.
+
+    Extractive QA over OCR'd document words with 2D boxes (LayoutLM).
+    ``word_boxes`` — a list of ``(word, [x0, y0, x1, y1])`` with coordinates
+    normalized to 0-1000 — must be provided (the reference shells out to
+    tesseract when absent; host OCR is out of scope here).
+    """
+
+    def __call__(self, image=None, question=None, word_boxes=None, **kwargs):
+        if isinstance(image, dict):
+            return super().__call__(image, **kwargs)
+        return super().__call__({"image": image, "question": question,
+                                 "word_boxes": word_boxes}, **kwargs)
+
+    def _sanitize_parameters(self, top_k=None, max_answer_len=None, **kwargs):
+        post = {}
+        if top_k is not None:
+            post["top_k"] = top_k
+        if max_answer_len is not None:
+            post["max_answer_len"] = max_answer_len
+        return {}, {}, post
+
+    def preprocess(self, inputs, **kwargs):
+        import jax.numpy as jnp
+
+        if not inputs.get("word_boxes"):
+            raise ValueError(
+                "document-question-answering requires word_boxes=[(word, box), ...] "
+                "with boxes normalized to 0-1000 (no in-tree OCR).")
+        tok = self.tokenizer
+        words = [w for w, _ in inputs["word_boxes"]]
+        boxes = [list(b) for _, b in inputs["word_boxes"]]
+        q_ids = tok(inputs["question"], add_special_tokens=False)["input_ids"]
+        ids = [tok.cls_token_id] + list(q_ids) + [tok.sep_token_id]
+        bbox = [[0, 0, 0, 0]] * len(ids)
+        type_ids = [0] * len(ids)
+        word_of_token = [-1] * len(ids)
+        for wi, (word, box) in enumerate(zip(words, boxes)):
+            sub = tok(word, add_special_tokens=False)["input_ids"]
+            ids += list(sub)
+            bbox += [box] * len(sub)
+            type_ids += [1] * len(sub)
+            word_of_token += [wi] * len(sub)
+        ids.append(tok.sep_token_id)
+        bbox.append([1000, 1000, 1000, 1000])
+        type_ids.append(1)
+        word_of_token.append(-1)
+        return {
+            "input_ids": jnp.asarray([ids], jnp.int32),
+            "bbox": jnp.asarray([bbox], jnp.int32),
+            "token_type_ids": jnp.asarray([type_ids], jnp.int32),
+            "words": words,
+            "word_of_token": np.asarray(word_of_token),
+        }
+
+    def _forward(self, model_inputs, **kwargs):
+        out = self.model(self.model.params,
+                         input_ids=model_inputs["input_ids"],
+                         bbox=model_inputs["bbox"],
+                         token_type_ids=model_inputs["token_type_ids"])
+        return {"start": np.asarray(out.start_logits)[0],
+                "end": np.asarray(out.end_logits)[0],
+                "words": model_inputs["words"],
+                "word_of_token": model_inputs["word_of_token"]}
+
+    def postprocess(self, model_outputs, top_k: int = 1, max_answer_len: int = 15):
+        start, end = model_outputs["start"], model_outputs["end"]
+        word_of = model_outputs["word_of_token"]
+        words = model_outputs["words"]
+        # restrict to context (word) tokens
+        context = word_of >= 0
+        neg = -np.inf
+        start = np.where(context, start, neg)
+        end = np.where(context, end, neg)
+        scores = start[:, None] + end[None, :]
+        mask = np.triu(np.ones_like(scores, dtype=bool))
+        mask &= np.tril(np.ones_like(scores, dtype=bool), k=max_answer_len - 1)
+        scores = np.where(mask, scores, neg)
+        order = np.argsort(-scores.reshape(-1))[:top_k]
+        results = []
+        for idx in order:
+            s, e = divmod(int(idx), scores.shape[1])
+            answer = " ".join(words[word_of[s]: word_of[e] + 1])
+            results.append({"answer": answer, "score": float(scores[s, e]),
+                            "start": int(word_of[s]), "end": int(word_of[e])})
+        return results[0] if top_k == 1 else results
+
+
+class MaskGenerationPipeline(Pipeline):
+    """reference pipelines/mask_generation.py (SAM automatic mask generation).
+
+    A grid of ``points_per_side`` x ``points_per_side`` query points is run
+    through SAM in batches; candidate masks are filtered by predicted IoU and
+    stability score at low resolution, deduplicated with box-NMS, and the
+    survivors upsampled to the original image size.
+    """
+
+    def __call__(self, image, **kwargs):
+        return super().__call__(image, **kwargs)
+
+    def _sanitize_parameters(self, points_per_side=None, points_per_batch=None,
+                             pred_iou_thresh=None, stability_score_thresh=None,
+                             stability_score_offset=None, box_nms_thresh=None,
+                             mask_threshold=None, **kwargs):
+        pre = {}
+        if points_per_side is not None:
+            pre["points_per_side"] = points_per_side
+        fwd = {}
+        if points_per_batch is not None:
+            fwd["points_per_batch"] = points_per_batch
+        post = {k: v for k, v in dict(
+            pred_iou_thresh=pred_iou_thresh,
+            stability_score_thresh=stability_score_thresh,
+            stability_score_offset=stability_score_offset,
+            box_nms_thresh=box_nms_thresh, mask_threshold=mask_threshold,
+        ).items() if v is not None}
+        return pre, fwd, post
+
+    def preprocess(self, image, points_per_side: int = 32):
+        import jax.numpy as jnp
+
+        feats = self.image_processor(image, return_tensors="jax")
+        original = feats["original_sizes"][0]
+        reshaped = feats["reshaped_input_sizes"][0]
+        # normalized center grid scaled to the reshaped frame (reference
+        # build_point_grid)
+        offset = 1.0 / (2 * points_per_side)
+        coords_1d = np.linspace(offset, 1.0 - offset, points_per_side)
+        grid = np.stack(np.meshgrid(coords_1d, coords_1d), axis=-1).reshape(-1, 2)
+        pts = np.zeros_like(grid)
+        pts[:, 0] = grid[:, 0] * reshaped[1]  # x
+        pts[:, 1] = grid[:, 1] * reshaped[0]  # y
+        return {"pixel_values": feats["pixel_values"], "points": pts,
+                "original_size": original, "reshaped_size": reshaped}
+
+    def _forward(self, model_inputs, points_per_batch: int = 64):
+        import jax.numpy as jnp
+
+        model = self.model
+        embeddings = model.get_image_embeddings(model.params, model_inputs["pixel_values"])
+        pts = model_inputs["points"]
+        all_masks, all_scores = [], []
+        for i in range(0, len(pts), points_per_batch):
+            chunk = pts[i : i + points_per_batch]
+            input_points = jnp.asarray(chunk, jnp.float32)[None, :, None, :]  # [1, pb, 1, 2]
+            labels = jnp.ones((1, len(chunk), 1), jnp.int32)
+            out = model(model.params, image_embeddings=embeddings,
+                        input_points=input_points, input_labels=labels,
+                        multimask_output=True)
+            all_masks.append(np.asarray(out.pred_masks[0]))   # [pb, 3, h, w]
+            all_scores.append(np.asarray(out.iou_scores[0]))  # [pb, 3]
+        masks = np.concatenate(all_masks, axis=0).reshape(-1, *all_masks[0].shape[-2:])
+        scores = np.concatenate(all_scores, axis=0).reshape(-1)
+        return {"low_res_masks": masks, "iou_scores": scores,
+                "original_size": model_inputs["original_size"],
+                "reshaped_size": model_inputs["reshaped_size"]}
+
+    @staticmethod
+    def _boxes_from_masks(masks: np.ndarray) -> np.ndarray:
+        """[N, H, W] bool -> [N, 4] xyxy (0-area boxes for empty masks)."""
+        n, h, w = masks.shape
+        any_x = masks.any(axis=1)  # [N, W]
+        any_y = masks.any(axis=2)  # [N, H]
+        x0 = np.where(any_x.any(-1), any_x.argmax(-1), 0)
+        x1 = np.where(any_x.any(-1), w - any_x[:, ::-1].argmax(-1), 0)
+        y0 = np.where(any_y.any(-1), any_y.argmax(-1), 0)
+        y1 = np.where(any_y.any(-1), h - any_y[:, ::-1].argmax(-1), 0)
+        return np.stack([x0, y0, x1, y1], axis=-1).astype(np.float32)
+
+    def postprocess(self, model_outputs, pred_iou_thresh: float = 0.88,
+                    stability_score_thresh: float = 0.95,
+                    stability_score_offset: float = 1.0,
+                    box_nms_thresh: float = 0.7, mask_threshold: float = 0.0):
+        logits = model_outputs["low_res_masks"]  # [N, h, w]
+        scores = model_outputs["iou_scores"]
+
+        keep = scores > pred_iou_thresh
+        # stability: IoU of the mask thresholded at +/- offset (reference
+        # amg.py compute_stability_score)
+        hi = (logits > mask_threshold + stability_score_offset).sum((-1, -2))
+        lo = (logits > mask_threshold - stability_score_offset).sum((-1, -2))
+        stability = hi / np.maximum(lo, 1)
+        keep &= stability > stability_score_thresh
+        binary = logits > mask_threshold
+        keep &= binary.any((-1, -2))
+        idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            return {"masks": [], "scores": []}
+        binary, scores = binary[idx], scores[idx]
+
+        # greedy box-NMS by score
+        boxes = self._boxes_from_masks(binary)
+        order = np.argsort(-scores)
+        kept = []
+        for i in order:
+            ok = True
+            for j in kept:
+                xx0 = max(boxes[i, 0], boxes[j, 0]); yy0 = max(boxes[i, 1], boxes[j, 1])
+                xx1 = min(boxes[i, 2], boxes[j, 2]); yy1 = min(boxes[i, 3], boxes[j, 3])
+                inter = max(0.0, xx1 - xx0) * max(0.0, yy1 - yy0)
+                a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                if inter / max(a + b - inter, 1e-6) > box_nms_thresh:
+                    ok = False
+                    break
+            if ok:
+                kept.append(i)
+        binary, scores = binary[kept], scores[kept]
+
+        full = self.image_processor.post_process_masks(
+            logits[idx][kept][None, :, None], [model_outputs["original_size"]],
+            [model_outputs["reshaped_size"]], mask_threshold=mask_threshold)[0][:, 0]
+        return {"masks": [np.asarray(m) for m in full],
+                "scores": [float(s) for s in scores]}

@@ -131,6 +131,12 @@ class PreTrainedTokenizer:
                 with open(vocab_file, encoding="utf-8") as f:
                     lines = [l.rstrip("\n") for l in f if l.strip("\n") != ""]
                 engine = TokenizerEngine(vocab_txt_to_tokenizer_config(lines, tok_cfg))
+                # BertTokenizer hardcodes these defaults in code, not config
+                # (reference tokenization_bert.py __init__ signature).
+                for attr, default in (("unk_token", "[UNK]"), ("sep_token", "[SEP]"),
+                                      ("pad_token", "[PAD]"), ("cls_token", "[CLS]"),
+                                      ("mask_token", "[MASK]")):
+                    kwargs.setdefault(attr, tok_cfg.get(attr, default))
         config = {}
         cfg_file = cached_file(str(path_or_repo), TOKENIZER_CONFIG_FILE,
                                _raise_exceptions_for_missing_entries=False)
@@ -207,6 +213,14 @@ class PreTrainedTokenizer:
     @property
     def unk_token_id(self):
         return self.convert_tokens_to_ids(self.unk_token) if self.unk_token else None
+
+    @property
+    def cls_token_id(self):
+        return self.convert_tokens_to_ids(self.cls_token) if self.cls_token else None
+
+    @property
+    def sep_token_id(self):
+        return self.convert_tokens_to_ids(self.sep_token) if self.sep_token else None
 
     @property
     def all_special_ids(self) -> list[int]:
