@@ -27,6 +27,8 @@ from .models.auto import (
     AutoModelForAudioClassification,
     AutoModelForCTC,
     AutoModelForDocumentQuestionAnswering,
+    AutoModelForKeypointDetection,
+    AutoModelForKeypointMatching,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
     AutoModelForVideoClassification,

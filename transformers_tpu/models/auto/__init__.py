@@ -11,6 +11,8 @@ from .modeling_auto import (
     AutoModelForAudioClassification,
     AutoModelForCTC,
     AutoModelForDocumentQuestionAnswering,
+    AutoModelForKeypointDetection,
+    AutoModelForKeypointMatching,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
     AutoModelForVideoClassification,

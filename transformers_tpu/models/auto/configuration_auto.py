@@ -31,6 +31,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "paligemma": ("paligemma", "PaliGemmaConfig"),
     "layoutlm": ("layoutlm", "LayoutLMConfig"),
     "sam": ("sam", "SamConfig"),
+    "superpoint": ("superpoint", "SuperPointConfig"),
+    "superglue": ("superglue", "SuperGlueConfig"),
     "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),
     "glm4": ("glm4", "Glm4Config"),

@@ -23,6 +23,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "owlvit": ("clip", "CLIPImageProcessor"),
     "blip": ("blip", "BlipImageProcessor"),
     "sam": ("sam", "SamImageProcessor"),
+    "superglue": ("superglue", "SuperGlueImageProcessor"),
     "deit": ("vit", "ViTImageProcessor"),
     "dinov2": ("vit", "ViTImageProcessor"),
     "swin": ("vit", "ViTImageProcessor"),
@@ -51,6 +52,8 @@ _CLASS_NAMES = {
     "BlipImageProcessor": ("blip", "BlipImageProcessor"),
     "BlipImageProcessorFast": ("blip", "BlipImageProcessor"),
     "SamImageProcessor": ("sam", "SamImageProcessor"),
+    "SuperGlueImageProcessor": ("superglue", "SuperGlueImageProcessor"),
+    "SuperPointImageProcessor": ("superglue", "SuperGlueImageProcessor"),
     "SamImageProcessorFast": ("sam", "SamImageProcessor"),
     "DeiTImageProcessor": ("vit", "ViTImageProcessor"),
     "DeiTImageProcessorFast": ("vit", "ViTImageProcessor"),

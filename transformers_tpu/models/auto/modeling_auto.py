@@ -79,6 +79,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "codegen": ("codegen", "CodeGenModelStandalone"),
     "layoutlm": ("layoutlm", "LayoutLMModelStandalone"),
     "sam": ("sam", "SamModel"),
+    "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
+    "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
@@ -359,3 +361,11 @@ class AutoModelForCTC(_BaseAutoModelClass):
 
 class AutoModelForDocumentQuestionAnswering(_BaseAutoModelClass):
     _model_mapping = MODEL_FOR_DOCUMENT_QUESTION_ANSWERING_MAPPING_NAMES
+
+
+class AutoModelForKeypointDetection(_BaseAutoModelClass):
+    _model_mapping = {"superpoint": ("superpoint", "SuperPointForKeypointDetection")}
+
+
+class AutoModelForKeypointMatching(_BaseAutoModelClass):
+    _model_mapping = {"superglue": ("superglue", "SuperGlueForKeypointMatching")}

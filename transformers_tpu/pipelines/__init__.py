@@ -34,6 +34,7 @@ from .tasks import (
     TextClassificationPipeline,
     TextGenerationPipeline,
     DocumentQuestionAnsweringPipeline,
+    KeypointMatchingPipeline,
     MaskGenerationPipeline,
     TokenClassificationPipeline,
     ZeroShotImageClassificationPipeline,
@@ -82,6 +83,8 @@ SUPPORTED_TASKS = {
     "document-question-answering": (DocumentQuestionAnsweringPipeline,
                                     "AutoModelForDocumentQuestionAnswering", ("tokenizer",)),
     "mask-generation": (MaskGenerationPipeline, "AutoModel", ("image_processor",)),
+    "keypoint-matching": (KeypointMatchingPipeline, "AutoModelForKeypointMatching",
+                          ("image_processor",)),
 }
 
 TASK_ALIASES = {

@@ -873,3 +873,42 @@ class MaskGenerationPipeline(Pipeline):
             [model_outputs["reshaped_size"]], mask_threshold=mask_threshold)[0][:, 0]
         return {"masks": [np.asarray(m) for m in full],
                 "scores": [float(s) for s in scores]}
+
+
+class KeypointMatchingPipeline(Pipeline):
+    """reference pipelines/keypoint_matching.py (SuperGlue)."""
+
+    def __call__(self, images, **kwargs):
+        # a single pair [img0, img1] or a list of pairs
+        if isinstance(images, (list, tuple)) and len(images) == 2 and not (
+                isinstance(images[0], (list, tuple))):
+            return super().__call__([list(images)], **kwargs)[0]
+        return super().__call__([list(p) for p in images], **kwargs)
+
+    def _sanitize_parameters(self, threshold=None, **kwargs):
+        post = {} if threshold is None else {"threshold": threshold}
+        return {}, {}, post
+
+    def preprocess(self, pair, **kwargs):
+        from ..image_processing_utils import load_image
+
+        arrays = [load_image(im) for im in pair]
+        feats = self.image_processor.preprocess([arrays], return_tensors="jax")
+        sizes = [(a.shape[-2], a.shape[-1]) for a in arrays]
+        return {"pixel_values": feats["pixel_values"], "target_sizes": [sizes]}
+
+    def _forward(self, model_inputs, **kwargs):
+        out = self.model(self.model.params, pixel_values=model_inputs["pixel_values"])
+        return {"outputs": out, "target_sizes": model_inputs["target_sizes"]}
+
+    def postprocess(self, model_outputs, threshold: float = 0.0):
+        res = self.image_processor.post_process_keypoint_matching(
+            model_outputs["outputs"], model_outputs["target_sizes"], threshold=threshold)[0]
+        matches = []
+        for kp0, kp1, s in zip(res["keypoints0"], res["keypoints1"], res["matching_scores"]):
+            matches.append({
+                "keypoint_image_0": {"x": float(kp0[0]), "y": float(kp0[1])},
+                "keypoint_image_1": {"x": float(kp1[0]), "y": float(kp1[1])},
+                "score": float(s),
+            })
+        return sorted(matches, key=lambda m: m["score"], reverse=True)
