@@ -371,7 +371,7 @@ class Conv(Module):
     physical layout at compile time."""
 
     def __init__(self, in_channels: int, out_channels: int, kernel_size, stride=1, padding=0,
-                 use_bias: bool = True, groups: int = 1, *, ndim: int = 2,
+                 use_bias: bool = True, groups: int = 1, *, ndim: int = 2, dilation=1,
                  dtype=jnp.float32, param_dtype=jnp.float32):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         to_tuple = lambda v: tuple(v) if isinstance(v, (tuple, list)) else (v,) * ndim
@@ -383,6 +383,7 @@ class Conv(Module):
         self.use_bias = use_bias
         self.groups = groups
         self.ndim = ndim
+        self.dilation = to_tuple(dilation)
 
     def init(self, rng):
         kw, kb = jax.random.split(rng)
@@ -407,6 +408,7 @@ class Conv(Module):
             params["weight"].astype(self.dtype),
             window_strides=self.stride,
             padding=padding,
+            rhs_dilation=self.dilation,
             dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
             feature_group_count=self.groups,
         )

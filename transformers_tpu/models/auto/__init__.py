@@ -13,6 +13,7 @@ from .modeling_auto import (
     AutoModelForDocumentQuestionAnswering,
     AutoModelForKeypointDetection,
     AutoModelForKeypointMatching,
+    AutoModelForTextToWaveform,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
     AutoModelForVideoClassification,

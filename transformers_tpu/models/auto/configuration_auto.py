@@ -32,6 +32,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "layoutlm": ("layoutlm", "LayoutLMConfig"),
     "sam": ("sam", "SamConfig"),
     "superpoint": ("superpoint", "SuperPointConfig"),
+    "vits": ("vits", "VitsConfig"),
     "superglue": ("superglue", "SuperGlueConfig"),
     "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),

@@ -80,6 +80,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "layoutlm": ("layoutlm", "LayoutLMModelStandalone"),
     "sam": ("sam", "SamModel"),
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
+    "vits": ("vits", "VitsModel"),
     "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
 }
@@ -369,3 +370,7 @@ class AutoModelForKeypointDetection(_BaseAutoModelClass):
 
 class AutoModelForKeypointMatching(_BaseAutoModelClass):
     _model_mapping = {"superglue": ("superglue", "SuperGlueForKeypointMatching")}
+
+
+class AutoModelForTextToWaveform(_BaseAutoModelClass):
+    _model_mapping = {"vits": ("vits", "VitsModel")}

@@ -35,6 +35,7 @@ from .tasks import (
     TextGenerationPipeline,
     DocumentQuestionAnsweringPipeline,
     KeypointMatchingPipeline,
+    TextToAudioPipeline,
     MaskGenerationPipeline,
     TokenClassificationPipeline,
     ZeroShotImageClassificationPipeline,
@@ -85,9 +86,11 @@ SUPPORTED_TASKS = {
     "mask-generation": (MaskGenerationPipeline, "AutoModel", ("image_processor",)),
     "keypoint-matching": (KeypointMatchingPipeline, "AutoModelForKeypointMatching",
                           ("image_processor",)),
+    "text-to-audio": (TextToAudioPipeline, "AutoModelForTextToWaveform", ("tokenizer",)),
 }
 
 TASK_ALIASES = {
+    "text-to-speech": "text-to-audio",
     "sentiment-analysis": "text-classification",
     "ner": "token-classification",
     "vqa": "visual-question-answering",

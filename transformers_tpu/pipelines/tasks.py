@@ -912,3 +912,27 @@ class KeypointMatchingPipeline(Pipeline):
                 "score": float(s),
             })
         return sorted(matches, key=lambda m: m["score"], reverse=True)
+
+
+class TextToAudioPipeline(Pipeline):
+    """reference pipelines/text_to_audio.py (VITS text-to-waveform)."""
+
+    def __call__(self, text, **kwargs):
+        return super().__call__(text, **kwargs)
+
+    def _sanitize_parameters(self, speaking_rate=None, **kwargs):
+        fwd = {} if speaking_rate is None else {"speaking_rate": speaking_rate}
+        return {}, fwd, {}
+
+    def preprocess(self, text, **kwargs):
+        return dict(self.tokenizer(text, return_tensors="jax"))
+
+    def _forward(self, model_inputs, **kwargs):
+        out = self.model(self.model.params, input_ids=model_inputs["input_ids"],
+                         attention_mask=model_inputs.get("attention_mask"), **kwargs)
+        return out
+
+    def postprocess(self, out):
+        n = int(np.asarray(out.sequence_lengths)[0])
+        return {"audio": np.asarray(out.waveform)[0][:n],
+                "sampling_rate": self.model.config.sampling_rate}
