@@ -107,6 +107,10 @@ class AutoFeatureExtractor:
             from .models.whisper import WhisperFeatureExtractor
 
             return WhisperFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "Clap" in type_name:
+            from .models.clap import ClapFeatureExtractor
+
+            return ClapFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
         if "Wav2Vec2" in type_name or "Seamless" in type_name:
             from .models.wav2vec2 import Wav2Vec2FeatureExtractor
 

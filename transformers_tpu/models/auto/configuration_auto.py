@@ -33,6 +33,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sam": ("sam", "SamConfig"),
     "superpoint": ("superpoint", "SuperPointConfig"),
     "vits": ("vits", "VitsConfig"),
+    "clap": ("clap", "ClapConfig"),
     "superglue": ("superglue", "SuperGlueConfig"),
     "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),

@@ -81,6 +81,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sam": ("sam", "SamModel"),
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
+    "clap": ("clap", "ClapModel"),
     "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
 }

@@ -36,6 +36,7 @@ from .tasks import (
     DocumentQuestionAnsweringPipeline,
     KeypointMatchingPipeline,
     TextToAudioPipeline,
+    ZeroShotAudioClassificationPipeline,
     MaskGenerationPipeline,
     TokenClassificationPipeline,
     ZeroShotImageClassificationPipeline,
@@ -87,6 +88,8 @@ SUPPORTED_TASKS = {
     "keypoint-matching": (KeypointMatchingPipeline, "AutoModelForKeypointMatching",
                           ("image_processor",)),
     "text-to-audio": (TextToAudioPipeline, "AutoModelForTextToWaveform", ("tokenizer",)),
+    "zero-shot-audio-classification": (ZeroShotAudioClassificationPipeline, "AutoModel",
+                                       ("tokenizer", "feature_extractor")),
 }
 
 TASK_ALIASES = {

@@ -936,3 +936,38 @@ class TextToAudioPipeline(Pipeline):
         n = int(np.asarray(out.sequence_lengths)[0])
         return {"audio": np.asarray(out.waveform)[0][:n],
                 "sampling_rate": self.model.config.sampling_rate}
+
+
+class ZeroShotAudioClassificationPipeline(Pipeline):
+    """reference pipelines/zero_shot_audio_classification.py (CLAP)."""
+
+    def __call__(self, audios, candidate_labels=None, **kwargs):
+        return super().__call__(audios, candidate_labels=candidate_labels, **kwargs)
+
+    def _sanitize_parameters(self, candidate_labels=None,
+                             hypothesis_template="This is a sound of {}.", **kwargs):
+        return {"candidate_labels": candidate_labels,
+                "hypothesis_template": hypothesis_template}, {}, {}
+
+    def preprocess(self, audio, candidate_labels=None,
+                   hypothesis_template="This is a sound of {}."):
+        feats = self.feature_extractor(audio, return_tensors="jax")
+        texts = [hypothesis_template.format(lbl) for lbl in candidate_labels]
+        enc = self.tokenizer(texts, return_tensors="jax", padding=True)
+        return {"input_features": feats["input_features"],
+                "input_ids": enc["input_ids"], "attention_mask": enc["attention_mask"],
+                "candidate_labels": candidate_labels}
+
+    def _forward(self, model_inputs, **kwargs):
+        out = self.model(self.model.params,
+                         input_ids=model_inputs["input_ids"],
+                         attention_mask=model_inputs["attention_mask"],
+                         input_features=model_inputs["input_features"])
+        return {"logits": np.asarray(out.logits_per_audio)[0],
+                "candidate_labels": model_inputs["candidate_labels"]}
+
+    def postprocess(self, model_outputs):
+        probs = softmax_np(model_outputs["logits"])
+        results = [{"score": float(s), "label": l}
+                   for s, l in zip(probs, model_outputs["candidate_labels"])]
+        return sorted(results, key=lambda r: -r["score"])
