@@ -34,6 +34,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "superpoint": ("superpoint", "SuperPointConfig"),
     "vits": ("vits", "VitsConfig"),
     "clap": ("clap", "ClapConfig"),
+    "deberta-v2": ("deberta_v2", "DebertaV2Config"),
     "superglue": ("superglue", "SuperGlueConfig"),
     "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),

@@ -82,6 +82,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
     "clap": ("clap", "ClapModel"),
+    "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),
     "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
 }
@@ -135,6 +136,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert": ("modernbert", "ModernBertForSequenceClassification"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
     "layoutlm": ("layoutlm", "LayoutLMForSequenceClassification"),
+    "deberta-v2": ("deberta_v2", "DebertaV2ForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForTokenClassification"),
@@ -145,6 +147,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert": ("modernbert", "ModernBertForTokenClassification"),
     "roberta": ("roberta", "RobertaForTokenClassification"),
     "layoutlm": ("layoutlm", "LayoutLMForTokenClassification"),
+    "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForQuestionAnswering"),
@@ -154,6 +157,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "roberta": ("roberta", "RobertaForQuestionAnswering"),
     "xlm-roberta": ("roberta", "RobertaForQuestionAnswering"),
     "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
+    "deberta-v2": ("deberta_v2", "DebertaV2ForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForMaskedLM"),
@@ -161,6 +165,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "xlm-roberta": ("roberta", "RobertaForMaskedLM"),
     "distilbert": ("distilbert", "DistilBertForMaskedLM"),
     "electra": ("electra", "ElectraForMaskedLM"),
+    "deberta-v2": ("deberta_v2", "DebertaV2ForMaskedLM"),
     "albert": ("albert", "AlbertForMaskedLM"),
     "modernbert": ("modernbert", "ModernBertForMaskedLM"),
 }
