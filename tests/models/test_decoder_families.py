@@ -171,6 +171,22 @@ FAMILIES_RAW = {
         max_position_embeddings=256)),
     "codegen": ("CodeGenConfig", dict(
         vocab_size=99, n_embd=32, n_layer=3, n_head=4, n_positions=256, rotary_dim=4)),
+    "olmo": ("OlmoConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        clip_qkv=0.5, eos_token_id=2)),
+    "olmoe": ("OlmoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True, eos_token_id=2)),
+    "dbrx": ("DbrxConfig", dict(
+        d_model=32, n_heads=4, n_layers=2, max_seq_len=256, vocab_size=99,
+        attn_config=dict(kv_n_heads=2, clip_qkv=1.0),
+        ffn_config=dict(ffn_hidden_size=32, moe_num_experts=4, moe_top_k=2))),
+    "helium": ("HeliumConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
     "deepseek_v3-noqlora": ("DeepseekV3Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, moe_intermediate_size=32,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
@@ -223,7 +239,8 @@ def test_logit_parity(family, tmp_path):
                                     "mixtral", "olmo2", "stablelm", "phi", "qwen2_moe",
                                     "gemma3_text", "starcoder2",
                                     "glm", "glm4", "nemotron", "persimmon", "bloom",
-                                    "mpt", "gpt_neo", "codegen"])
+                                    "mpt", "gpt_neo", "codegen",
+                                    "olmo", "olmoe", "dbrx", "helium"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""

@@ -190,7 +190,17 @@ def load_checkpoint_in_model(
                 seen.add(key)
 
     report.missing_keys = sorted(expected_keys - seen)
+    _ensure_module_slots(model, params)
     return params, report
+
+
+def _ensure_module_slots(module, params: dict) -> None:
+    """Insert empty dicts for parameter-free modules (weightless norms, fixed
+    position tables) so runtime ``params[name]`` access never KeyErrors."""
+    for name, child in module.children.items():
+        sub = params.setdefault(name, {})
+        if isinstance(sub, dict):
+            _ensure_module_slots(child, sub)
 
 
 def materialize_missing(model, params: dict, missing_keys: list[str], rng: Optional[jax.Array] = None) -> dict:

@@ -65,9 +65,9 @@ class Module:
             return params
         keys = jax.random.split(rng, len(names))
         for key, name in zip(keys, names):
-            sub = self._children[name].init(key)
-            if sub:
-                params[name] = sub
+            # keep empty subtrees: weightless modules (parameter-free norms,
+            # fixed position tables) still get their params[name] slot
+            params[name] = self._children[name].init(key)
         return params
 
     def init_abstract(self) -> Params:

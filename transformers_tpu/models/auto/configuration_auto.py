@@ -35,6 +35,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vits": ("vits", "VitsConfig"),
     "clap": ("clap", "ClapConfig"),
     "deberta-v2": ("deberta_v2", "DebertaV2Config"),
+    "olmo": ("olmo", "OlmoConfig"),
+    "olmoe": ("olmoe", "OlmoeConfig"),
+    "dbrx": ("dbrx", "DbrxConfig"),
+    "helium": ("helium", "HeliumConfig"),
     "superglue": ("superglue", "SuperGlueConfig"),
     "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),

@@ -83,6 +83,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vits": ("vits", "VitsModel"),
     "clap": ("clap", "ClapModel"),
     "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),
+    "olmo": ("olmo", "OlmoModelStandalone"),
+    "olmoe": ("olmoe", "OlmoeModelStandalone"),
+    "dbrx": ("dbrx", "DbrxModelStandalone"),
+    "helium": ("helium", "HeliumModelStandalone"),
     "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
 }
@@ -122,6 +126,10 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mpt": ("mpt", "MptForCausalLM"),
     "gpt_neo": ("gpt_neo", "GPTNeoForCausalLM"),
     "codegen": ("codegen", "CodeGenForCausalLM"),
+    "olmo": ("olmo", "OlmoForCausalLM"),
+    "olmoe": ("olmoe", "OlmoeForCausalLM"),
+    "dbrx": ("dbrx", "DbrxForCausalLM"),
+    "helium": ("helium", "HeliumForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForSequenceClassification"),
