@@ -39,6 +39,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "olmoe": ("olmoe", "OlmoeConfig"),
     "dbrx": ("dbrx", "DbrxConfig"),
     "helium": ("helium", "HeliumConfig"),
+    "trocr": ("trocr", "TrOCRConfig"),
+    "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderConfig"),
     "superglue": ("superglue", "SuperGlueConfig"),
     "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),

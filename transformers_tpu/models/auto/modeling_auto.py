@@ -87,6 +87,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "olmoe": ("olmoe", "OlmoeModelStandalone"),
     "dbrx": ("dbrx", "DbrxModelStandalone"),
     "helium": ("helium", "HeliumModelStandalone"),
+    "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderModel"),
     "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
 }
@@ -230,6 +231,7 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
+    "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderModel"),
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),

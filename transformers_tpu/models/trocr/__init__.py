@@ -1,0 +1,2 @@
+from .configuration_trocr import TrOCRConfig
+from .modeling_trocr import TrOCRDecoder, TrOCRForCausalLM
