@@ -187,6 +187,26 @@ FAMILIES_RAW = {
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
         num_attention_heads=4, num_key_value_heads=2, head_dim=8,
         max_position_embeddings=256, pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "arcee": ("ArceeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256)),
+    "ernie4_5": ("Ernie4_5Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        use_bias=True)),
+    "exaone4": ("Exaone4Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, sliding_window=4, sliding_window_pattern=2)),
+    "seed_oss": ("SeedOssConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256)),
+    "granitemoe": ("GraniteMoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2, embedding_multiplier=2.0,
+        logits_scaling=1.5, residual_multiplier=0.7, attention_multiplier=0.25)),
     "deepseek_v3-noqlora": ("DeepseekV3Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, moe_intermediate_size=32,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
@@ -240,7 +260,9 @@ def test_logit_parity(family, tmp_path):
                                     "gemma3_text", "starcoder2",
                                     "glm", "glm4", "nemotron", "persimmon", "bloom",
                                     "mpt", "gpt_neo", "codegen",
-                                    "olmo", "olmoe", "dbrx", "helium"])
+                                    "olmo", "olmoe", "dbrx", "helium",
+                                    "arcee", "ernie4_5", "exaone4", "seed_oss",
+                                    "granitemoe"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""

@@ -39,6 +39,11 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "olmoe": ("olmoe", "OlmoeConfig"),
     "dbrx": ("dbrx", "DbrxConfig"),
     "helium": ("helium", "HeliumConfig"),
+    "arcee": ("arcee", "ArceeConfig"),
+    "ernie4_5": ("ernie4_5", "Ernie4_5Config"),
+    "exaone4": ("exaone4", "Exaone4Config"),
+    "seed_oss": ("seed_oss", "SeedOssConfig"),
+    "granitemoe": ("granitemoe", "GraniteMoeConfig"),
     "trocr": ("trocr", "TrOCRConfig"),
     "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderConfig"),
     "superglue": ("superglue", "SuperGlueConfig"),

@@ -87,6 +87,11 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "olmoe": ("olmoe", "OlmoeModelStandalone"),
     "dbrx": ("dbrx", "DbrxModelStandalone"),
     "helium": ("helium", "HeliumModelStandalone"),
+    "arcee": ("arcee", "ArceeModelStandalone"),
+    "ernie4_5": ("ernie4_5", "Ernie4_5ModelStandalone"),
+    "exaone4": ("exaone4", "Exaone4ModelStandalone"),
+    "seed_oss": ("seed_oss", "SeedOssModelStandalone"),
+    "granitemoe": ("granitemoe", "GraniteMoeModelStandalone"),
     "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderModel"),
     "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
@@ -131,6 +136,11 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "olmoe": ("olmoe", "OlmoeForCausalLM"),
     "dbrx": ("dbrx", "DbrxForCausalLM"),
     "helium": ("helium", "HeliumForCausalLM"),
+    "arcee": ("arcee", "ArceeForCausalLM"),
+    "ernie4_5": ("ernie4_5", "Ernie4_5ForCausalLM"),
+    "exaone4": ("exaone4", "Exaone4ForCausalLM"),
+    "seed_oss": ("seed_oss", "SeedOssForCausalLM"),
+    "granitemoe": ("granitemoe", "GraniteMoeForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForSequenceClassification"),
