@@ -90,6 +90,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wavlm": ("wavlm", "WavLMConfig"),
     "mamba": ("mamba", "MambaConfig"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaConfig"),
+    "mamba2": ("mamba2", "Mamba2Config"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

@@ -54,6 +54,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wavlm": ("wavlm", "WavLMModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
+    "mamba2": ("mamba2", "Mamba2ModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -113,6 +114,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "opt": ("opt", "OPTForCausalLM"),
     "mamba": ("mamba", "MambaForCausalLM"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaForCausalLM"),
+    "mamba2": ("mamba2", "Mamba2ForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
