@@ -143,6 +143,35 @@ DynamicCache = StaticKVCache
 
 
 @partial(jax.tree_util.register_dataclass,
+         data_fields=["kv", "conv_states", "ssm_states"], meta_fields=["initialized"])
+@dataclass(frozen=True)
+class HybridCache:
+    """Cache for attention+SSM hybrid decoders (Bamba/Jamba/Zamba2/FalconH1 —
+    reference models/bamba HybridMambaAttentionDynamicCache analog).
+
+    ``kv`` holds preallocated KV buffers indexed by layer (None entries at
+    SSM layer indices); ``conv_states``/``ssm_states`` are per-layer
+    recurrent states (None entries at attention indices). ``initialized`` is
+    static metadata: False during prefill, True in the decode loop — the same
+    contract as the pure-Mamba cache."""
+
+    kv: StaticKVCache
+    conv_states: tuple
+    ssm_states: tuple
+    initialized: bool = False
+
+    @property
+    def max_len(self) -> int:
+        return self.kv.max_len
+
+    def update(self, layer_idx: int, k, v, pos) -> "HybridCache":
+        return replace(self, kv=self.kv.update(layer_idx, k, v, pos))
+
+    def layer(self, layer_idx: int):
+        return self.kv.layer(layer_idx)
+
+
+@partial(jax.tree_util.register_dataclass,
          data_fields=["keys", "values", "key_scales", "value_scales"],
          meta_fields=["layer_windows", "max_len"])
 @dataclass(frozen=True)

@@ -91,6 +91,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba": ("mamba", "MambaConfig"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaConfig"),
     "mamba2": ("mamba2", "Mamba2Config"),
+    "bamba": ("bamba", "BambaConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

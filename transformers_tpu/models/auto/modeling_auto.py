@@ -55,6 +55,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
     "mamba2": ("mamba2", "Mamba2ModelStandalone"),
+    "bamba": ("bamba", "BambaModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -115,6 +116,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba": ("mamba", "MambaForCausalLM"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaForCausalLM"),
     "mamba2": ("mamba2", "Mamba2ForCausalLM"),
+    "bamba": ("bamba", "BambaForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),

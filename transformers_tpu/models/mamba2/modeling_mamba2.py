@@ -95,6 +95,39 @@ def ssd_chunk_scan(x, dt, A, B, C, D, chunk_size, initial_state=None):
     return y, final_state
 
 
+def mamba2_view_from_hybrid(config):
+    """Adapter mapping Bamba-style ``mamba_*`` config fields (reference
+    configuration_bamba.py, also GraniteMoeHybrid/NemotronH) onto the
+    Mamba2Config attribute names `Mamba2Mixer` reads, so hybrid decoders can
+    instantiate the mixer directly."""
+    from types import SimpleNamespace
+
+    inter = int(config.mamba_expand * config.hidden_size)
+    head_dim = config.mamba_d_head
+    if head_dim == "auto":
+        head_dim = inter // config.mamba_n_heads
+    limit = getattr(config, "time_step_limit", None)
+    return SimpleNamespace(
+        hidden_size=config.hidden_size,
+        num_heads=config.mamba_n_heads,
+        head_dim=head_dim,
+        n_groups=config.mamba_n_groups,
+        state_size=config.mamba_d_state,
+        conv_kernel=config.mamba_d_conv,
+        intermediate_size=inter,
+        chunk_size=config.mamba_chunk_size,
+        time_step_limit=tuple(limit) if limit else (0.0, float("inf")),
+        layer_norm_epsilon=config.rms_norm_eps,
+        use_bias=getattr(config, "mamba_proj_bias", False),
+        use_conv_bias=getattr(config, "mamba_conv_bias", True),
+        hidden_act=config.hidden_act,
+        initializer_range=config.initializer_range,
+        time_step_min=getattr(config, "time_step_min", 0.001),
+        time_step_max=getattr(config, "time_step_max", 0.1),
+        time_step_floor=getattr(config, "time_step_floor", 1e-4),
+    )
+
+
 class Mamba2Mixer(Module):
     def __init__(self, config: Mamba2Config, layer_idx, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
