@@ -171,6 +171,34 @@ class HybridCache:
         return self.kv.layer(layer_idx)
 
 
+def init_hybrid_cache(*, batch_size: int, max_len: int, dtype, block_types,
+                      num_kv_heads: int, head_dim: int, conv_shape, ssm_shape,
+                      layer_windows=None) -> HybridCache:
+    """HybridCache with KV buffers at "attention" indices and conv/ssm
+    recurrent states elsewhere (None entries cost nothing as pytree leaves).
+
+    ``conv_shape``/``ssm_shape``: per-layer state shapes without the batch dim
+    (mamba1: conv [I,K] ssm [I,N]; mamba2: conv [conv_dim,K] ssm [H,P,N])."""
+    keys, values, conv, ssm = [], [], [], []
+    for t in block_types:
+        if t == "attention":
+            keys.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
+            values.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
+            conv.append(None)
+            ssm.append(None)
+        else:
+            keys.append(None)
+            values.append(None)
+            conv.append(jnp.zeros((batch_size,) + tuple(conv_shape), dtype))
+            ssm.append(jnp.zeros((batch_size,) + tuple(ssm_shape), jnp.float32))
+    kv = StaticKVCache(keys=tuple(keys), values=tuple(values),
+                       layer_windows=tuple(layer_windows) if layer_windows is not None
+                       else (None,) * len(block_types),
+                       max_len=max_len)
+    return HybridCache(kv=kv, conv_states=tuple(conv), ssm_states=tuple(ssm),
+                       initialized=False)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["keys", "values", "key_scales", "value_scales"],
          meta_fields=["layer_windows", "max_len"])

@@ -92,6 +92,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon_mamba": ("falcon_mamba", "FalconMambaConfig"),
     "mamba2": ("mamba2", "Mamba2Config"),
     "bamba": ("bamba", "BambaConfig"),
+    "jamba": ("jamba", "JambaConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

@@ -56,6 +56,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
     "mamba2": ("mamba2", "Mamba2ModelStandalone"),
     "bamba": ("bamba", "BambaModelStandalone"),
+    "jamba": ("jamba", "JambaModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -117,6 +118,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon_mamba": ("falcon_mamba", "FalconMambaForCausalLM"),
     "mamba2": ("mamba2", "Mamba2ForCausalLM"),
     "bamba": ("bamba", "BambaForCausalLM"),
+    "jamba": ("jamba", "JambaForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),

@@ -4,5 +4,5 @@ from .modeling_bamba import (
     BambaForCausalLM,
     BambaModel,
     BambaModelStandalone,
-    init_hybrid_cache,
+    mamba2_hybrid_cache,
 )

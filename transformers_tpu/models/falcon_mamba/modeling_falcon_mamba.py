@@ -25,7 +25,7 @@ def _weightless_rms(x, eps):
 
 
 class FalconMambaMixer(MambaMixer):
-    def normalize_dt_b_c(self, dt_in, B, C):
+    def normalize_dt_b_c(self, params, dt_in, B, C):
         eps = self.config.mixer_rms_eps
         return (_weightless_rms(dt_in, eps), _weightless_rms(B, eps),
                 _weightless_rms(C, eps))

@@ -1,21 +1,24 @@
-"""Bamba: Mamba2/attention hybrid decoder, TPU-native.
+"""Jamba: Mamba(v1)/attention hybrid MoE decoder, TPU-native.
 
-Semantics match reference src/transformers/models/bamba/modeling_bamba.py:
-interleaved Mamba2 mixers and GQA attention layers selected per
-``layers_block_type`` (:931), partial rotary (factor 0.5, :83-84), shared
-pre-norm residual block with ``input_layernorm``/``pre_ff_layernorm`` and a
-SwiGLU ``feed_forward`` (:835-894), final_layernorm (:944), untied lm_head.
-The mixer math is exactly `Mamba2Mixer` (:581-796 — "differences vs
-Mamba2Mixer" are cache plumbing only), reused here via the config adapter.
+Semantics match reference src/transformers/models/jamba/modeling_jamba.py:
+Mamba1 mixers with *weighted* RMS norms on dt/B/C after the x_proj split
+(:488-490, :558-560), rope-free GQA attention every ``attn_layer_period``-th
+layer (:151), a sparse-MoE feed-forward (softmax-then-topk, NO renormalize,
+:692-695) every ``expert_layer_period``-th layer, shared
+``input_layernorm``/``pre_ff_layernorm`` pre-norm block (:707-780),
+final_layernorm, untied lm_head. Checkpoint layout
+``model.layers.N.{self_attn|mamba,feed_forward[.router/.experts.E]}``.
 
-TPU-native: one `HybridCache` pytree carries preallocated KV buffers for the
-attention layers and O(1) conv/ssm recurrent states for the mamba layers, so
-the whole decode step — both layer kinds — jits into a single XLA program.
+TPU-native: the Mamba math is the shared associative-scan mixer
+(models/mamba), the MoE is the registry-dispatched dense/ragged grouped
+matmul (ops/moe.py), and one `HybridCache` pytree carries KV buffers +
+recurrent states so decode jits into a single program.
 """
 
 from __future__ import annotations
 
 from dataclasses import replace
+from types import SimpleNamespace
 from typing import Optional
 
 import jax.numpy as jnp
@@ -25,29 +28,100 @@ from ...core.module import Embedding, Linear, Module, RMSNorm, normal_init
 from ...generation.utils import GenerationMixin
 from ...modeling_outputs import BaseModelOutputWithPast, CausalLMOutputWithPast
 from ...modeling_utils import PreTrainedModel
-from ...ops.rope import compute_cos_sin, rope_inv_freq
+from ...ops.activations import get_activation
+from ...ops.moe import get_experts_fn, topk_routing
 from ..llama.modeling_llama import DECODER_TP_PLAN, LlamaAttention, LlamaMLP
-from ..mamba2.modeling_mamba2 import Mamba2Mixer, mamba2_view_from_hybrid
-from .configuration_bamba import BambaConfig
+from ..mamba.modeling_mamba import MambaMixer
+from .configuration_jamba import JambaConfig
 
 
-class BambaDecoderLayer(Module):
-    """Reference modeling_bamba.py:835. ``block_type`` picks the mixer."""
+def mamba1_view_from_jamba(config):
+    """Map Jamba's ``mamba_*`` config fields onto the MambaConfig names
+    `MambaMixer` reads (reference configuration_jamba.py)."""
+    return SimpleNamespace(
+        hidden_size=config.hidden_size,
+        intermediate_size=int(config.mamba_expand * config.hidden_size),
+        state_size=config.mamba_d_state,
+        conv_kernel=config.mamba_d_conv,
+        time_step_rank=config.mamba_dt_rank,
+        use_bias=config.mamba_proj_bias,
+        use_conv_bias=config.mamba_conv_bias,
+        hidden_act=config.hidden_act,
+        initializer_range=config.initializer_range,
+    )
+
+
+class JambaMambaMixer(MambaMixer):
+    """Mamba1 mixer + weighted dt/B/C RMS norms (reference :488-490)."""
+
+    def __init__(self, config: JambaConfig, layer_idx, *, dtype, param_dtype):
+        view = mamba1_view_from_jamba(config)
+        super().__init__(view, layer_idx, dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        self.dt_layernorm = RMSNorm(config.mamba_dt_rank, config.rms_norm_eps, **kw)
+        self.b_layernorm = RMSNorm(config.mamba_d_state, config.rms_norm_eps, **kw)
+        self.c_layernorm = RMSNorm(config.mamba_d_state, config.rms_norm_eps, **kw)
+
+    def normalize_dt_b_c(self, params, dt_in, B, C):
+        return (self.dt_layernorm(params["dt_layernorm"], dt_in),
+                self.b_layernorm(params["b_layernorm"], B),
+                self.c_layernorm(params["c_layernorm"], C))
+
+
+class JambaSparseMoeBlock(Module):
+    """Softmax-then-topk router WITHOUT renormalization (reference :692-695);
+    experts keep the ``experts.E.{gate,up,down}_proj`` checkpoint layout."""
+
+    def __init__(self, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.config = config
+        self.top_k = config.num_experts_per_tok
+        self.num_experts = config.num_experts
+        kw = dict(dtype=dtype, param_dtype=param_dtype,
+                  kernel_init=normal_init(config.initializer_range))
+        self.router = Linear(config.hidden_size, config.num_experts, False, **kw)
+        self.experts = [LlamaMLP(config, dtype=dtype, param_dtype=param_dtype)
+                        for _ in range(config.num_experts)]
+        self.act = get_activation(config.hidden_act)
+
+    def __call__(self, params, hidden):
+        b, s, h = hidden.shape
+        x = hidden.reshape(b * s, h)
+        router_logits = self.router(params["router"], x)
+        weights, idx = topk_routing(router_logits, self.top_k, renormalize=False)
+        w_gate = jnp.stack([params["experts"][str(e)]["gate_proj"]["weight"]
+                            for e in range(self.num_experts)])
+        w_up = jnp.stack([params["experts"][str(e)]["up_proj"]["weight"]
+                          for e in range(self.num_experts)])
+        w_down = jnp.stack([params["experts"][str(e)]["down_proj"]["weight"]
+                            for e in range(self.num_experts)])
+        experts_fn = get_experts_fn(getattr(self.config, "experts_implementation", None))
+        out = experts_fn(x.astype(self.dtype), w_gate.astype(self.dtype),
+                         w_up.astype(self.dtype), w_down.astype(self.dtype),
+                         weights, idx, self.act)
+        return out.reshape(b, s, h).astype(hidden.dtype)
+
+
+class JambaDecoderLayer(Module):
+    """Reference :707 (attention variant) / :745 (mamba variant)."""
 
     attention_cls = LlamaAttention
-    mlp_cls = LlamaMLP
 
-    def __init__(self, config, layer_idx: int, block_type: str, *, dtype, param_dtype):
+    def __init__(self, config, layer_idx: int, block_type: str, num_experts: int,
+                 *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.block_type = block_type
         self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, **kw)
         self.pre_ff_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, **kw)
-        self.feed_forward = self.mlp_cls(config, **kw)
+        if num_experts > 1:
+            self.feed_forward = JambaSparseMoeBlock(config, **kw)
+        else:
+            self.feed_forward = LlamaMLP(config, **kw)
         if block_type == "attention":
             self.self_attn = self.attention_cls(config, layer_idx, **kw)
         else:
-            self.mamba = Mamba2Mixer(mamba2_view_from_hybrid(config), layer_idx, **kw)
+            self.mamba = JambaMambaMixer(config, layer_idx, **kw)
 
     def __call__(self, params, hidden, cos, sin, attn_args, cache, cache_position,
                  mamba_mask):
@@ -65,23 +139,25 @@ class BambaDecoderLayer(Module):
         return residual + h, cache
 
 
-class BambaModel(Module):
-    """Reference modeling_bamba.py:922."""
+class JambaModel(Module):
+    """Reference JambaModel — NOTE: no positional embeddings at all (the
+    mamba layers carry position; attention is NoPE)."""
 
-    decoder_layer_cls = BambaDecoderLayer
+    decoder_layer_cls = JambaDecoderLayer
 
-    def __init__(self, config: BambaConfig, *, dtype, param_dtype):
+    def __init__(self, config: JambaConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.embed_tokens = Embedding(config.vocab_size, config.hidden_size,
                                       embedding_init=normal_init(config.initializer_range), **kw)
+        blocks = config.layers_block_type
+        n_exp = config.layers_num_experts
         self.layers = [
-            self.decoder_layer_cls(config, i, config.layers_block_type[i], **kw)
+            self.decoder_layer_cls(config, i, blocks[i], n_exp[i], **kw)
             for i in range(config.num_hidden_layers)
         ]
         self.final_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, **kw)
-        self.inv_freq, self.attention_scaling = rope_inv_freq(config)
 
     def __call__(self, params, input_ids=None, attention_mask=None, position_ids=None,
                  past_key_values: Optional[HybridCache] = None, cache_position=0,
@@ -91,12 +167,6 @@ class BambaModel(Module):
         hidden = inputs_embeds
         b, s, _ = hidden.shape
 
-        if position_ids is None:
-            position_ids = jnp.arange(s, dtype=jnp.int32)[None, :] + jnp.asarray(cache_position, jnp.int32)
-            position_ids = jnp.broadcast_to(position_ids, (b, s))
-        cos, sin = compute_cos_sin(position_ids, self.inv_freq, self.attention_scaling,
-                                   dtype=self.dtype)
-
         kv_len = past_key_values.max_len if past_key_values is not None else s
         q_positions = jnp.asarray(cache_position, jnp.int32) + jnp.arange(s, dtype=jnp.int32)[None, :]
         q_positions = jnp.broadcast_to(q_positions, (b, s))
@@ -104,7 +174,6 @@ class BambaModel(Module):
         attn_args = {"q_positions": q_positions, "kv_valid": kv_valid,
                      "is_causal": True, "sliding_window": None}
 
-        # mamba layers index CURRENT tokens only (no kv-length concept)
         mamba_mask = attention_mask
         if mamba_mask is not None and mamba_mask.shape[1] != s:
             mamba_mask = mamba_mask[:, :s] if not (
@@ -115,7 +184,7 @@ class BambaModel(Module):
         for i, layer in enumerate(self.layers):
             if output_hidden_states:
                 all_hidden.append(hidden)
-            hidden, cache = layer(params["layers"][str(i)], hidden, cos, sin,
+            hidden, cache = layer(params["layers"][str(i)], hidden, None, None,
                                   attn_args, cache, cache_position, mamba_mask)
         hidden = self.final_layernorm(params["final_layernorm"], hidden)
         if output_hidden_states:
@@ -128,25 +197,13 @@ class BambaModel(Module):
         )
 
 
-def mamba2_hybrid_cache(config, batch_size, max_len, dtype, block_types, mamba_view):
-    """Hybrid cache with Mamba2-shaped SSM states."""
-    v = mamba_view
-    conv_dim = v.intermediate_size + 2 * v.n_groups * v.state_size
-    return init_hybrid_cache(
-        batch_size=batch_size, max_len=max_len, dtype=dtype, block_types=block_types,
-        num_kv_heads=getattr(config, "num_key_value_heads", None) or config.num_attention_heads,
-        head_dim=getattr(config, "head_dim", None) or config.hidden_size // config.num_attention_heads,
-        conv_shape=(conv_dim, v.conv_kernel),
-        ssm_shape=(v.num_heads, v.head_dim, v.state_size))
-
-
-class BambaPreTrainedModel(PreTrainedModel):
-    config_class = BambaConfig
+class JambaPreTrainedModel(PreTrainedModel):
+    config_class = JambaConfig
     base_model_prefix = "model"
 
 
-class BambaForCausalLM(BambaPreTrainedModel, GenerationMixin):
-    model_cls = BambaModel
+class JambaForCausalLM(JambaPreTrainedModel, GenerationMixin):
+    model_cls = JambaModel
     _tp_plan = DECODER_TP_PLAN
 
     def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
@@ -191,15 +248,21 @@ class BambaForCausalLM(BambaPreTrainedModel, GenerationMixin):
 
     def init_cache(self, batch_size: int, max_len: int, dtype=None,
                    implementation: str = "static"):
-        return mamba2_hybrid_cache(self.config, batch_size, max_len, dtype or self.dtype,
-                                   self.config.layers_block_type,
-                                   mamba2_view_from_hybrid(self.config))
+        cfg = self.config
+        inter = int(cfg.mamba_expand * cfg.hidden_size)
+        return init_hybrid_cache(
+            batch_size=batch_size, max_len=max_len, dtype=dtype or self.dtype,
+            block_types=cfg.layers_block_type,
+            num_kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.hidden_size // cfg.num_attention_heads,
+            conv_shape=(inter, cfg.mamba_d_conv),
+            ssm_shape=(inter, cfg.mamba_d_state))
 
 
-class BambaModelStandalone(BambaPreTrainedModel):
+class JambaModelStandalone(JambaPreTrainedModel):
     def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.model = BambaModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = JambaModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
 
     def __call__(self, params, *args, **kwargs):
         return self.model(params["model"], *args, **kwargs)

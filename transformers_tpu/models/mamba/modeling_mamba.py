@@ -106,8 +106,9 @@ class MambaMixer(Module):
         params["D"] = jnp.ones((self.intermediate,), self.param_dtype)
         return params
 
-    def normalize_dt_b_c(self, dt_in, B, C):
-        """Hook for FalconMamba's weightless RMS norms on dt/B/C."""
+    def normalize_dt_b_c(self, params, dt_in, B, C):
+        """Hook for FalconMamba's weightless (and Jamba's weighted) RMS norms
+        on dt/B/C after the x_proj split."""
         return dt_in, B, C
 
     def _conv_full(self, params, x):  # x [B, L, I] -> causal depthwise conv
@@ -157,7 +158,7 @@ class MambaMixer(Module):
         dbc = self.x_proj(params["x_proj"], cx.astype(self.dtype))
         dt_in, B, C = jnp.split(
             dbc, [self.time_step_rank, self.time_step_rank + self.state_size], axis=-1)
-        dt_in, B, C = self.normalize_dt_b_c(dt_in, B, C)
+        dt_in, B, C = self.normalize_dt_b_c(params, dt_in, B, C)
         dt = jnp.einsum("blr,ri->bli", dt_in.astype(jnp.float32),
                         params["dt_proj"]["weight"].astype(jnp.float32))
         dt = jax.nn.softplus(dt + params["dt_proj"]["bias"].astype(jnp.float32)[None, None])
