@@ -30,6 +30,23 @@ FAMILIES = {
         expert_layer_period=2, expert_layer_offset=0,
         num_experts=4, num_experts_per_tok=2, max_position_embeddings=256,
         use_mamba_kernels=False)),
+    "granitemoehybrid": ("GraniteMoeHybridConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=48, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, shared_intermediate_size=48,
+        num_local_experts=4, num_experts_per_tok=2, mamba_n_heads=8, mamba_d_head=8,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2, mamba_n_groups=2,
+        mamba_chunk_size=4, embedding_multiplier=6.0, logits_scaling=3.0,
+        residual_multiplier=0.5, attention_multiplier=0.3,
+        layer_types=["mamba", "attention", "mamba", "attention"],
+        max_position_embeddings=256)),
+    "granitemoehybrid-rope-dense": ("GraniteMoeHybridConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=48, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, shared_intermediate_size=48,
+        num_local_experts=0, position_embedding_type="rope", mamba_n_heads=8,
+        mamba_d_head=8, mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        mamba_n_groups=2, mamba_chunk_size=4,
+        layer_types=["mamba", "attention", "mamba", "attention"],
+        max_position_embeddings=256)),
 }
 
 

@@ -93,6 +93,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba2": ("mamba2", "Mamba2Config"),
     "bamba": ("bamba", "BambaConfig"),
     "jamba": ("jamba", "JambaConfig"),
+    "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

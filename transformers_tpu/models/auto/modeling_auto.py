@@ -57,6 +57,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba2": ("mamba2", "Mamba2ModelStandalone"),
     "bamba": ("bamba", "BambaModelStandalone"),
     "jamba": ("jamba", "JambaModelStandalone"),
+    "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -119,6 +120,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba2": ("mamba2", "Mamba2ForCausalLM"),
     "bamba": ("bamba", "BambaForCausalLM"),
     "jamba": ("jamba", "JambaForCausalLM"),
+    "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
