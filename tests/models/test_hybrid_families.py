@@ -47,6 +47,22 @@ FAMILIES = {
         mamba_n_groups=2, mamba_chunk_size=4,
         layer_types=["mamba", "attention", "mamba", "attention"],
         max_position_embeddings=256)),
+    "falcon_h1": ("FalconH1Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, mamba_n_heads=4,
+        mamba_d_head=8, mamba_d_state=8, mamba_d_conv=4, mamba_d_ssm=32,
+        mamba_n_groups=2, mamba_chunk_size=4, max_position_embeddings=256,
+        embedding_multiplier=2.0, lm_head_multiplier=0.5,
+        mlp_multipliers=[0.5, 2.0], key_multiplier=0.7,
+        attention_in_multiplier=1.5, attention_out_multiplier=0.6,
+        ssm_multipliers=[0.9, 1.1, 0.8, 1.2, 1.3],
+        ssm_in_multiplier=1.4, ssm_out_multiplier=0.9)),
+    "falcon_h1-rmsnorm": ("FalconH1Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, mamba_n_heads=4,
+        mamba_d_head=8, mamba_d_state=8, mamba_d_conv=4, mamba_d_ssm=32,
+        mamba_n_groups=2, mamba_chunk_size=4, max_position_embeddings=256,
+        mamba_rms_norm=True, mamba_norm_before_gate=True)),
 }
 
 

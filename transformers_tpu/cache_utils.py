@@ -178,17 +178,21 @@ def init_hybrid_cache(*, batch_size: int, max_len: int, dtype, block_types,
     recurrent states elsewhere (None entries cost nothing as pytree leaves).
 
     ``conv_shape``/``ssm_shape``: per-layer state shapes without the batch dim
-    (mamba1: conv [I,K] ssm [I,N]; mamba2: conv [conv_dim,K] ssm [H,P,N])."""
+    (mamba1: conv [I,K] ssm [I,N]; mamba2: conv [conv_dim,K] ssm [H,P,N]).
+    Block type "parallel" (FalconH1-style layers running attention AND SSM on
+    the same index) allocates both."""
     keys, values, conv, ssm = [], [], [], []
     for t in block_types:
-        if t == "attention":
+        if t in ("attention", "parallel"):
             keys.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
             values.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
-            conv.append(None)
-            ssm.append(None)
         else:
             keys.append(None)
             values.append(None)
+        if t in ("attention",):
+            conv.append(None)
+            ssm.append(None)
+        else:
             conv.append(jnp.zeros((batch_size,) + tuple(conv_shape), dtype))
             ssm.append(jnp.zeros((batch_size,) + tuple(ssm_shape), jnp.float32))
     kv = StaticKVCache(keys=tuple(keys), values=tuple(values),

@@ -94,6 +94,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaConfig"),
     "jamba": ("jamba", "JambaConfig"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),
+    "falcon_h1": ("falcon_h1", "FalconH1Config"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

@@ -58,6 +58,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaModelStandalone"),
     "jamba": ("jamba", "JambaModelStandalone"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridModelStandalone"),
+    "falcon_h1": ("falcon_h1", "FalconH1ModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -121,6 +122,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaForCausalLM"),
     "jamba": ("jamba", "JambaForCausalLM"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridForCausalLM"),
+    "falcon_h1": ("falcon_h1", "FalconH1ForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),

@@ -143,12 +143,18 @@ class Mamba2Mixer(Module):
         self.chunk_size = config.chunk_size
         self.time_step_limit = config.time_step_limit
         self.eps = config.layer_norm_epsilon
+        # gated-norm variants (FalconH1: optional, grouped, norm-before-gate)
+        self.use_gated_norm = getattr(config, "use_gated_rms_norm", True)
+        self.norm_before_gate = getattr(config, "norm_before_gate", False)
+        self.norm_groups = getattr(config, "gated_norm_groups", 1)
+        out_bias = getattr(config, "out_proj_bias", None)
         kw = dict(dtype=dtype, param_dtype=param_dtype,
                   kernel_init=normal_init(config.initializer_range))
         self.in_proj = Linear(config.hidden_size,
                               self.intermediate + self.conv_dim + self.num_heads,
                               config.use_bias, **kw)
-        self.out_proj = Linear(self.intermediate, config.hidden_size, config.use_bias, **kw)
+        self.out_proj = Linear(self.intermediate, config.hidden_size,
+                               config.use_bias if out_bias is None else out_bias, **kw)
         self.act = get_activation(config.hidden_act)
         self.use_conv_bias = config.use_conv_bias
 
@@ -170,15 +176,34 @@ class Mamba2Mixer(Module):
                      + math.log(cfg.time_step_min))
         dt = jnp.clip(dt, cfg.time_step_floor, None)
         params["dt_bias"] = (dt + jnp.log(-jnp.expm1(-dt))).astype(self.param_dtype)
-        params["norm"] = {"weight": jnp.ones((self.intermediate,), self.param_dtype)}
+        if self.use_gated_norm:
+            params["norm"] = {"weight": jnp.ones((self.intermediate,), self.param_dtype)}
         return params
 
+    def project_in(self, params, hidden):
+        """Input projection hook (FalconH1 adds μP section multipliers)."""
+        return self.in_proj(params["in_proj"], hidden)
+
     def _gated_norm(self, params, y, gate):
-        """RMSNorm(y * silu(gate)) in fp32 (reference MambaRMSNormGated :106)."""
-        h = y.astype(jnp.float32) * jax.nn.silu(gate.astype(jnp.float32))
-        var = jnp.mean(jnp.square(h), axis=-1, keepdims=True)
-        h = h * jax.lax.rsqrt(var + self.eps)
-        return params["norm"]["weight"].astype(jnp.float32) * h
+        """RMSNorm(y * silu(gate)) in fp32 (reference MambaRMSNormGated :106);
+        FalconH1 variants: no norm (plain silu gating), grouped norm,
+        norm-before-gate ordering (falcon_h1 FalconH1RMSNormGated :248)."""
+        gate32 = jax.nn.silu(gate.astype(jnp.float32))
+        if not self.use_gated_norm:
+            return y.astype(jnp.float32) * gate32
+        h = y.astype(jnp.float32)
+        if not self.norm_before_gate:
+            h = h * gate32
+        b, s, d = h.shape
+        g = self.norm_groups
+        hg = h.reshape(b, s, g, d // g)
+        var = jnp.mean(jnp.square(hg), axis=-1, keepdims=True)
+        hg = hg * jax.lax.rsqrt(var + self.eps)
+        h = (params["norm"]["weight"].astype(jnp.float32).reshape(g, d // g) * hg
+             ).reshape(b, s, d)
+        if self.norm_before_gate:
+            h = h * gate32
+        return h
 
     def _conv_full(self, params, x):
         """Causal depthwise conv over [B, L, conv_dim]."""
@@ -200,7 +225,7 @@ class Mamba2Mixer(Module):
         b, s, _ = hidden.shape
         if attention_mask is not None:
             hidden = hidden * attention_mask[..., None].astype(hidden.dtype)
-        proj = self.in_proj(params["in_proj"], hidden)
+        proj = self.project_in(params, hidden)
         gate, x_b_c, dt = jnp.split(
             proj, [self.intermediate, self.intermediate + self.conv_dim], axis=-1)
         A = -jnp.exp(params["A_log"].astype(jnp.float32))   # [H]
