@@ -207,6 +207,18 @@ FAMILIES_RAW = {
         num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
         num_local_experts=4, num_experts_per_tok=2, embedding_multiplier=2.0,
         logits_scaling=1.5, residual_multiplier=0.7, attention_multiplier=0.25)),
+    "gpt_bigcode": ("GPTBigCodeConfig", dict(
+        vocab_size=99, n_embd=32, n_layer=3, n_head=4, n_positions=256,
+        multi_query=True)),
+    "gpt_bigcode-mha": ("GPTBigCodeConfig", dict(
+        vocab_size=99, n_embd=32, n_layer=3, n_head=4, n_positions=256,
+        multi_query=False)),
+    "biogpt": ("BioGptConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=256)),
+    "xglm": ("XGLMConfig", dict(
+        vocab_size=99, d_model=32, ffn_dim=64, num_layers=3, attention_heads=4,
+        max_position_embeddings=256, dropout=0.0)),
     "deepseek_v3-noqlora": ("DeepseekV3Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, moe_intermediate_size=32,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
@@ -262,7 +274,7 @@ def test_logit_parity(family, tmp_path):
                                     "mpt", "gpt_neo", "codegen",
                                     "olmo", "olmoe", "dbrx", "helium",
                                     "arcee", "ernie4_5", "exaone4", "seed_oss",
-                                    "granitemoe"])
+                                    "granitemoe", "gpt_bigcode", "biogpt", "xglm"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""
@@ -289,7 +301,7 @@ def test_cached_decode_matches_full(family, tmp_path):
         assert max_abs_diff(step.logits[:, 0], full.logits[:, t]) < 1e-4, f"{family} step {t}"
 
 
-@pytest.mark.parametrize("family", ["mistral", "gemma", "gpt2"])
+@pytest.mark.parametrize("family", ["mistral", "gemma", "gpt2", "gpt_bigcode", "biogpt", "xglm"])
 def test_greedy_generate_matches_torch(family, tmp_path):
     import torch
 

@@ -95,6 +95,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "jamba": ("jamba", "JambaConfig"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),
     "falcon_h1": ("falcon_h1", "FalconH1Config"),
+    "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeConfig"),
+    "biogpt": ("biogpt", "BioGptConfig"),
+    "xglm": ("xglm", "XGLMConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

@@ -59,6 +59,9 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "jamba": ("jamba", "JambaModelStandalone"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridModelStandalone"),
     "falcon_h1": ("falcon_h1", "FalconH1ModelStandalone"),
+    "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeModelStandalone"),
+    "biogpt": ("biogpt", "BioGptModelStandalone"),
+    "xglm": ("xglm", "XGLMModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -123,6 +126,9 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "jamba": ("jamba", "JambaForCausalLM"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridForCausalLM"),
     "falcon_h1": ("falcon_h1", "FalconH1ForCausalLM"),
+    "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeForCausalLM"),
+    "biogpt": ("biogpt", "BioGptForCausalLM"),
+    "xglm": ("xglm", "XGLMForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),

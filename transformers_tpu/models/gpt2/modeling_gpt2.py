@@ -93,13 +93,15 @@ class GPT2Block(Module):
 class GPT2Model(Module):
     """reference modeling_gpt2.py GPT2Model."""
 
+    block_cls = GPT2Block
+
     def __init__(self, config: GPT2Config, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.wte = Embedding(config.vocab_size, config.n_embd, embedding_init=normal_init(config.initializer_range), **kw)
         self.wpe = Embedding(config.n_positions, config.n_embd, embedding_init=normal_init(config.initializer_range), **kw)
-        self.h = [GPT2Block(config, i, **kw) for i in range(config.n_layer)]
+        self.h = [self.block_cls(config, i, **kw) for i in range(config.n_layer)]
         self.ln_f = LayerNorm(config.n_embd, config.layer_norm_epsilon, **kw)
 
     def __call__(
