@@ -109,6 +109,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaConfig"),
     "t5": ("t5", "T5Config"),
     "mt5": ("t5", "T5Config"),
+    "umt5": ("umt5", "UMT5Config"),
+    "switch_transformers": ("switch_transformers", "SwitchTransformersConfig"),
     "bart": ("bart", "BartConfig"),
     "olmo2": ("olmo2", "Olmo2Config"),
     "starcoder2": ("starcoder2", "Starcoder2Config"),

@@ -69,6 +69,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperModelStandalone"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
+    "umt5": ("umt5", "UMT5EncoderModel"),
+    "switch_transformers": ("switch_transformers", "SwitchTransformersEncoderModel"),
     "olmo2": ("olmo2", "Olmo2ModelStandalone"),
     "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
     "stablelm": ("stablelm", "StableLmModelStandalone"),
@@ -245,6 +247,8 @@ MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "t5": ("t5", "T5ForConditionalGeneration"),
     "mt5": ("t5", "T5ForConditionalGeneration"),
+    "umt5": ("umt5", "UMT5ForConditionalGeneration"),
+    "switch_transformers": ("switch_transformers", "SwitchTransformersForConditionalGeneration"),
     "bart": ("bart", "BartForConditionalGeneration"),
     "mbart": ("mbart", "MBartForConditionalGeneration"),
     "pegasus": ("pegasus", "PegasusForConditionalGeneration"),

@@ -200,14 +200,20 @@ class T5Block(Module):
 
 
 class T5Stack(Module):
+    # UMT5: every layer owns its relative_attention_bias, computed per layer
+    per_layer_bias = False
+
     def __init__(self, config: T5Config, is_decoder: bool, num_layers: int, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         self.is_decoder = is_decoder
         kw = dict(dtype=dtype, param_dtype=param_dtype)
-        self.block = [T5Block(config, has_bias=(i == 0), is_decoder=is_decoder, **kw)
-                      for i in range(num_layers)]
+        self.block = [self.make_block(config, i, num_layers, kw) for i in range(num_layers)]
         self.final_layer_norm = RMSNorm(config.d_model, config.layer_norm_epsilon, **kw)
+
+    def make_block(self, config, i, num_layers, kw):
+        has_bias = True if self.per_layer_bias else (i == 0)
+        return T5Block(config, has_bias=has_bias, is_decoder=self.is_decoder, **kw)
 
     def bias_params(self, params):
         return params["block"]["0"]["layer"]["0"]["SelfAttention"]
@@ -220,15 +226,16 @@ class T5Stack(Module):
         q_positions = jnp.asarray(cache_position, jnp.int32) + jnp.arange(s, dtype=jnp.int32)
         kv_positions = jnp.arange(kv_len, dtype=jnp.int32)
 
-        attn0 = self.block[0].layer[0].SelfAttention
-        rel_bias = attn0.compute_bias(self.bias_params(params), q_positions, kv_positions,
-                                      bidirectional=not self.is_decoder)
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
         if self.is_decoder:
             mask = causal_mask_bool(jnp.broadcast_to(q_positions[None, :], (b, s)), kv_valid)
         else:
             mask = kv_valid.astype(bool)[:, None, None, :]
-        self_bias = rel_bias + to_additive(mask, jnp.float32)
+        mask_bias = to_additive(mask, jnp.float32)
+        if not self.per_layer_bias:
+            attn0 = self.block[0].layer[0].SelfAttention
+            self_bias = attn0.compute_bias(self.bias_params(params), q_positions, kv_positions,
+                                           bidirectional=not self.is_decoder) + mask_bias
 
         cross_bias = None
         if self.is_decoder and cross_kv is not None:
@@ -239,6 +246,12 @@ class T5Stack(Module):
                 cross_bias = jnp.zeros((b, 1, 1, enc_len), jnp.float32)
 
         for i, block in enumerate(self.block):
+            if self.per_layer_bias:
+                attn = block.layer[0].SelfAttention
+                self_bias = attn.compute_bias(
+                    params["block"][str(i)]["layer"]["0"]["SelfAttention"],
+                    q_positions, kv_positions,
+                    bidirectional=not self.is_decoder) + mask_bias
             hidden, cache = block(params["block"][str(i)], hidden, self_bias, cross_bias,
                                   cross_kv[i] if cross_kv is not None else None,
                                   cache, i, cache_position)
@@ -257,13 +270,15 @@ class T5ForConditionalGeneration(T5PreTrainedModel, EncoderDecoderGenerationMixi
     """reference modeling_t5.py T5ForConditionalGeneration (shared embedding,
     scaled tied lm_head)."""
 
+    stack_cls = T5Stack
+
     def __init__(self, config: T5Config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.shared = Embedding(config.vocab_size, config.d_model,
                                 embedding_init=normal_init(1.0), **kw)
-        self.encoder = T5Stack(config, False, config.num_layers, **kw)
-        self.decoder = T5Stack(config, True, config.num_decoder_layers, **kw)
+        self.encoder = self.stack_cls(config, False, config.num_layers, **kw)
+        self.decoder = self.stack_cls(config, True, config.num_decoder_layers, **kw)
         if not config.tie_word_embeddings:
             self.lm_head = Linear(config.d_model, config.vocab_size, False, **kw)
 
