@@ -98,6 +98,11 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeConfig"),
     "biogpt": ("biogpt", "BioGptConfig"),
     "xglm": ("xglm", "XGLMConfig"),
+    "ernie": ("ernie", "ErnieConfig"),
+    "roformer": ("roformer", "RoFormerConfig"),
+    "fnet": ("fnet", "FNetConfig"),
+    "rembert": ("rembert", "RemBertConfig"),
+    "megatron-bert": ("megatron_bert", "MegatronBertConfig"),
     "vit": ("vit", "ViTConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

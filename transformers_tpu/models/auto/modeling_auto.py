@@ -62,6 +62,11 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeModelStandalone"),
     "biogpt": ("biogpt", "BioGptModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
+    "ernie": ("ernie", "ErnieModelStandalone"),
+    "roformer": ("roformer", "RoFormerModelStandalone"),
+    "fnet": ("fnet", "FNetModelStandalone"),
+    "rembert": ("rembert", "RemBertModelStandalone"),
+    "megatron-bert": ("megatron_bert", "MegatronBertModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -205,6 +210,11 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForMaskedLM"),
     "albert": ("albert", "AlbertForMaskedLM"),
     "modernbert": ("modernbert", "ModernBertForMaskedLM"),
+    "ernie": ("ernie", "ErnieForMaskedLM"),
+    "roformer": ("roformer", "RoFormerForMaskedLM"),
+    "fnet": ("fnet", "FNetForMaskedLM"),
+    "rembert": ("rembert", "RemBertForMaskedLM"),
+    "megatron-bert": ("megatron_bert", "MegatronBertForMaskedLM"),
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),

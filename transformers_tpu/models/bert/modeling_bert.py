@@ -136,9 +136,11 @@ class BertLayer(Module):
 
 
 class BertEncoder(Module):
+    layer_cls = BertLayer
+
     def __init__(self, config, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
-        self.layer = [BertLayer(config, dtype=dtype, param_dtype=param_dtype)
+        self.layer = [self.layer_cls(config, dtype=dtype, param_dtype=param_dtype)
                       for _ in range(config.num_hidden_layers)]
 
     def __call__(self, params, hidden, attn_args, output_hidden_states=False):
@@ -164,13 +166,14 @@ class BertPooler(Module):
 
 class BertModel(Module):
     embeddings_cls = BertEmbeddings
+    encoder_cls = BertEncoder
 
     def __init__(self, config: BertConfig, *, dtype, param_dtype, add_pooling_layer=True):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.embeddings = self.embeddings_cls(config, **kw)
-        self.encoder = BertEncoder(config, **kw)
+        self.encoder = self.encoder_cls(config, **kw)
         if add_pooling_layer:
             self.pooler = BertPooler(config, **kw)
         else:
