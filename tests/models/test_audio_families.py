@@ -33,6 +33,15 @@ CASES = {
     "wavlm-stable": ("WavLMForCTC", "WavLMConfig",
                      dict(num_buckets=32, max_bucket_distance=50,
                           feat_extract_norm="layer", do_stable_layer_norm=True)),
+    "unispeech": ("UniSpeechForCTC", "UniSpeechConfig", dict()),
+    "unispeech_sat": ("UniSpeechSatForCTC", "UniSpeechSatConfig", dict()),
+    "data2vec_audio": ("Data2VecAudioForCTC", "Data2VecAudioConfig",
+                       dict(feat_extract_norm="layer", conv_bias=False,
+                            num_conv_pos_embeddings=3, conv_pos_kernel_size=5,
+                            num_conv_pos_embedding_groups=4)),
+    "sew": ("SEWForCTC", "SEWConfig",
+            dict(conv_dim=(16, 32), conv_stride=(4, 2), conv_kernel=(8, 4),
+                 squeeze_factor=2)),
 }
 
 

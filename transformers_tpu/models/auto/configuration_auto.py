@@ -99,6 +99,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "biogpt": ("biogpt", "BioGptConfig"),
     "xglm": ("xglm", "XGLMConfig"),
     "ernie": ("ernie", "ErnieConfig"),
+    "unispeech": ("unispeech", "UniSpeechConfig"),
+    "unispeech-sat": ("unispeech_sat", "UniSpeechSatConfig"),
+    "data2vec-audio": ("data2vec", "Data2VecAudioConfig"),
+    "sew": ("sew", "SEWConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

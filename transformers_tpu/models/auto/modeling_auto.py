@@ -63,6 +63,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "biogpt": ("biogpt", "BioGptModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
     "ernie": ("ernie", "ErnieModelStandalone"),
+    "unispeech": ("unispeech", "UniSpeechModelStandalone"),
+    "unispeech-sat": ("unispeech_sat", "UniSpeechSatModelStandalone"),
+    "data2vec-audio": ("data2vec", "Data2VecAudioModelStandalone"),
+    "sew": ("sew", "SEWModelStandalone"),
     "roformer": ("roformer", "RoFormerModelStandalone"),
     "fnet": ("fnet", "FNetModelStandalone"),
     "rembert": ("rembert", "RemBertModelStandalone"),
@@ -253,6 +257,10 @@ MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForCTC"),
     "hubert": ("hubert", "HubertForCTC"),
     "wavlm": ("wavlm", "WavLMForCTC"),
+    "unispeech": ("unispeech", "UniSpeechForCTC"),
+    "unispeech-sat": ("unispeech_sat", "UniSpeechSatForCTC"),
+    "data2vec-audio": ("data2vec", "Data2VecAudioForCTC"),
+    "sew": ("sew", "SEWForCTC"),
 }
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "t5": ("t5", "T5ForConditionalGeneration"),

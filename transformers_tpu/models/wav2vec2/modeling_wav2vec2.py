@@ -85,6 +85,7 @@ class Wav2Vec2PositionalConvEmbedding(Module):
         self.groups = config.num_conv_pos_embedding_groups
         self.pad_remove = 1 if config.num_conv_pos_embeddings % 2 == 0 else 0
         self.act = get_activation(config.feat_extract_activation)
+        self.stride = 1  # SEW sets squeeze_factor
 
     def init(self, rng):
         c, k, g = self.hidden, self.kernel, self.groups
@@ -106,7 +107,7 @@ class Wav2Vec2PositionalConvEmbedding(Module):
         w = (g * v / norm).astype(self.dtype)
         x = jnp.swapaxes(hidden, 1, 2)  # [B, C, T]
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w, window_strides=(1,),
+            x.astype(self.dtype), w, window_strides=(self.stride,),
             padding=[(self.kernel // 2, self.kernel // 2)],
             dimension_numbers=("NCW", "OIW", "NCW"),
             feature_group_count=self.groups)
@@ -283,18 +284,24 @@ class Wav2Vec2ModelStandalone(Wav2Vec2PreTrainedModel):
 
 class Wav2Vec2ForCTC(Wav2Vec2PreTrainedModel):
     """CTC head (reference :1595-1720); loss via optax.ctc_loss with blank =
-    pad_token_id, lengths derived from the conv stack."""
+    pad_token_id, lengths derived from the conv stack. ``base_attr``/
+    ``model_cls`` hooks let UniSpeech/SEW/Data2VecAudio reuse this head."""
+
+    base_attr = "wav2vec2"
+    model_cls: type = None  # set below (class not yet defined)
 
     def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.wav2vec2 = Wav2Vec2Model(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        setattr(self, self.base_attr,
+                self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype))
         self.lm_head = Linear(config.output_hidden_size, config.vocab_size, True,
                               dtype=self.dtype, param_dtype=self.param_dtype,
                               kernel_init=normal_init(config.initializer_range))
 
     def __call__(self, params, input_values=None, attention_mask=None, labels=None,
                  **kwargs) -> CausalLMOutput:
-        out = self.wav2vec2(params["wav2vec2"], input_values, attention_mask, **kwargs)
+        out = getattr(self, self.base_attr)(params[self.base_attr], input_values,
+                                            attention_mask, **kwargs)
         logits = self.lm_head(params["lm_head"], out.last_hidden_state)
         loss = None
         if labels is not None:
@@ -322,11 +329,15 @@ class Wav2Vec2ForSequenceClassification(Wav2Vec2PreTrainedModel):
     """projector -> masked mean pool -> classifier (reference :1755-1790);
     optional weighted layer sum."""
 
+    base_attr = "wav2vec2"
+    model_cls: type = None
+
     def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   kernel_init=normal_init(config.initializer_range))
-        self.wav2vec2 = Wav2Vec2Model(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        setattr(self, self.base_attr,
+                self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype))
         self.projector = Linear(config.hidden_size, config.classifier_proj_size, True, **kw)
         self.classifier = Linear(config.classifier_proj_size, config.num_labels, True, **kw)
         self.use_weighted_layer_sum = config.use_weighted_layer_sum
@@ -340,8 +351,9 @@ class Wav2Vec2ForSequenceClassification(Wav2Vec2PreTrainedModel):
         return params
 
     def __call__(self, params, input_values=None, attention_mask=None, labels=None, **kwargs):
-        out = self.wav2vec2(params["wav2vec2"], input_values, attention_mask,
-                            output_hidden_states=self.use_weighted_layer_sum)
+        out = getattr(self, self.base_attr)(
+            params[self.base_attr], input_values, attention_mask,
+            output_hidden_states=self.use_weighted_layer_sum)
         if self.use_weighted_layer_sum:
             stacked = jnp.stack(out.hidden_states, axis=1)  # [B, L, T, C]
             w = jax.nn.softmax(params["layer_weights"].astype(jnp.float32))
@@ -362,3 +374,7 @@ class Wav2Vec2ForSequenceClassification(Wav2Vec2PreTrainedModel):
 
             loss = for_sequence_classification_loss(logits, labels, self.config)
         return SequenceClassifierOutput(loss=loss, logits=logits, hidden_states=out.hidden_states)
+
+
+Wav2Vec2ForCTC.model_cls = Wav2Vec2Model
+Wav2Vec2ForSequenceClassification.model_cls = Wav2Vec2Model
