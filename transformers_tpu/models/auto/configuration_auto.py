@@ -103,6 +103,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "unispeech-sat": ("unispeech_sat", "UniSpeechSatConfig"),
     "data2vec-audio": ("data2vec", "Data2VecAudioConfig"),
     "sew": ("sew", "SEWConfig"),
+    "longformer": ("longformer", "LongformerConfig"),
+    "big_bird": ("big_bird", "BigBirdConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

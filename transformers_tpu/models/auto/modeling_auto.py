@@ -67,6 +67,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "unispeech-sat": ("unispeech_sat", "UniSpeechSatModelStandalone"),
     "data2vec-audio": ("data2vec", "Data2VecAudioModelStandalone"),
     "sew": ("sew", "SEWModelStandalone"),
+    "longformer": ("longformer", "LongformerModelStandalone"),
+    "big_bird": ("big_bird", "BigBirdModelStandalone"),
     "roformer": ("roformer", "RoFormerModelStandalone"),
     "fnet": ("fnet", "FNetModelStandalone"),
     "rembert": ("rembert", "RemBertModelStandalone"),
@@ -219,6 +221,8 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "fnet": ("fnet", "FNetForMaskedLM"),
     "rembert": ("rembert", "RemBertForMaskedLM"),
     "megatron-bert": ("megatron_bert", "MegatronBertForMaskedLM"),
+    "longformer": ("longformer", "LongformerForMaskedLM"),
+    "big_bird": ("big_bird", "BigBirdForMaskedLM"),
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),

@@ -1,0 +1,34 @@
+"""Longformer config (reference src/transformers/models/longformer/configuration_longformer.py)."""
+
+from __future__ import annotations
+
+from ...configuration_utils import PretrainedConfig
+
+
+class LongformerConfig(PretrainedConfig):
+    model_type = "longformer"
+
+    def __init__(self, attention_window=512, sep_token_id=2, pad_token_id=1,
+                 bos_token_id=0, eos_token_id=2, vocab_size=30522, hidden_size=768,
+                 num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
+                 hidden_act="gelu", hidden_dropout_prob=0.1,
+                 attention_probs_dropout_prob=0.1, max_position_embeddings=512,
+                 type_vocab_size=2, initializer_range=0.02, layer_norm_eps=1e-12,
+                 onnx_export=False, **kwargs):
+        self.attention_window = attention_window
+        self.sep_token_id = sep_token_id
+        self.vocab_size = vocab_size
+        self.hidden_size = hidden_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.intermediate_size = intermediate_size
+        self.hidden_act = hidden_act
+        self.hidden_dropout_prob = hidden_dropout_prob
+        self.attention_probs_dropout_prob = attention_probs_dropout_prob
+        self.max_position_embeddings = max_position_embeddings
+        self.type_vocab_size = type_vocab_size
+        self.initializer_range = initializer_range
+        self.layer_norm_eps = layer_norm_eps
+        self.onnx_export = onnx_export
+        super().__init__(pad_token_id=pad_token_id, bos_token_id=bos_token_id,
+                         eos_token_id=eos_token_id, **kwargs)
