@@ -118,6 +118,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip_vision_model": ("siglip", "SiglipVisionConfig"),
     "whisper": ("whisper", "WhisperConfig"),
     "llava": ("llava", "LlavaConfig"),
+    "vipllava": ("vipllava", "VipLlavaConfig"),
     "t5": ("t5", "T5Config"),
     "mt5": ("t5", "T5Config"),
     "umt5": ("umt5", "UMT5Config"),
