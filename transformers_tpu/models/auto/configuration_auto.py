@@ -119,6 +119,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperConfig"),
     "llava": ("llava", "LlavaConfig"),
     "vipllava": ("vipllava", "VipLlavaConfig"),
+    "blip-2": ("blip_2", "Blip2Config"),
+    "instructblip": ("instructblip", "InstructBlipConfig"),
     "t5": ("t5", "T5Config"),
     "mt5": ("t5", "T5Config"),
     "umt5": ("umt5", "UMT5Config"),

@@ -1,0 +1,9 @@
+from .configuration_instructblip import (
+    InstructBlipConfig,
+    InstructBlipQFormerConfig,
+    InstructBlipVisionConfig,
+)
+from .modeling_instructblip import (
+    InstructBlipForConditionalGeneration,
+    InstructBlipQFormerModel,
+)
