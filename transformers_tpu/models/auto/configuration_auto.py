@@ -105,6 +105,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sew": ("sew", "SEWConfig"),
     "longformer": ("longformer", "LongformerConfig"),
     "big_bird": ("big_bird", "BigBirdConfig"),
+    "esm": ("esm", "EsmConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

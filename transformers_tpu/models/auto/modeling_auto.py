@@ -69,6 +69,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sew": ("sew", "SEWModelStandalone"),
     "longformer": ("longformer", "LongformerModelStandalone"),
     "big_bird": ("big_bird", "BigBirdModelStandalone"),
+    "esm": ("esm", "EsmModelStandalone"),
     "roformer": ("roformer", "RoFormerModelStandalone"),
     "fnet": ("fnet", "FNetModelStandalone"),
     "rembert": ("rembert", "RemBertModelStandalone"),
@@ -223,6 +224,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "megatron-bert": ("megatron_bert", "MegatronBertForMaskedLM"),
     "longformer": ("longformer", "LongformerForMaskedLM"),
     "big_bird": ("big_bird", "BigBirdForMaskedLM"),
+    "esm": ("esm", "EsmForMaskedLM"),
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
