@@ -106,6 +106,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "longformer": ("longformer", "LongformerConfig"),
     "big_bird": ("big_bird", "BigBirdConfig"),
     "esm": ("esm", "EsmConfig"),
+    "speech_to_text": ("speech_to_text", "Speech2TextConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -1,0 +1,5 @@
+from .configuration_speech_to_text import Speech2TextConfig
+from .modeling_speech_to_text import (
+    Speech2TextForConditionalGeneration,
+    Speech2TextModel,
+)
