@@ -32,6 +32,14 @@ FAMILIES = {
     "m2m_100": ("M2M100Config", dict(scale_embedding=True, activation_function="relu",
                                      pad_token_id=1, eos_token_id=2, bos_token_id=0,
                                      decoder_start_token_id=2)),
+    "plbart": ("PLBartConfig", dict(scale_embedding=True, activation_function="gelu")),
+    "blenderbot": ("BlenderbotConfig", dict(activation_function="gelu",
+                                            pad_token_id=0, bos_token_id=1,
+                                            eos_token_id=2, decoder_start_token_id=1)),
+    "blenderbot_small": ("BlenderbotSmallConfig", dict(activation_function="gelu",
+                                                       pad_token_id=0, bos_token_id=1,
+                                                       eos_token_id=2,
+                                                       decoder_start_token_id=1)),
 }
 
 IDS = np.array([[0, 5, 9, 3, 2], [0, 8, 15, 2, 1]], dtype=np.int64)

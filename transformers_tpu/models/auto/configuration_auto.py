@@ -107,6 +107,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "big_bird": ("big_bird", "BigBirdConfig"),
     "esm": ("esm", "EsmConfig"),
     "speech_to_text": ("speech_to_text", "Speech2TextConfig"),
+    "plbart": ("plbart", "PLBartConfig"),
+    "blenderbot": ("blenderbot", "BlenderbotConfig"),
+    "blenderbot-small": ("blenderbot_small", "BlenderbotSmallConfig"),
+    "led": ("led", "LEDConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -278,6 +278,10 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pegasus": ("pegasus", "PegasusForConditionalGeneration"),
     "marian": ("marian", "MarianMTModel"),
     "m2m_100": ("m2m_100", "M2M100ForConditionalGeneration"),
+    "plbart": ("plbart", "PLBartForConditionalGeneration"),
+    "blenderbot": ("blenderbot", "BlenderbotForConditionalGeneration"),
+    "blenderbot-small": ("blenderbot_small", "BlenderbotSmallForConditionalGeneration"),
+    "led": ("led", "LEDForConditionalGeneration"),
 }
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperForConditionalGeneration"),

@@ -187,6 +187,8 @@ class BartDecoder(Module):
     use_layernorm_embedding = True
     use_final_norm = False
     pos_start = 0
+    # BlenderbotSmall: layernorm_embedding on the embeds BEFORE adding positions
+    ln_embed_before_positions = False
 
     def __init__(self, config: BartConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
@@ -208,10 +210,15 @@ class BartDecoder(Module):
                  attention_mask=None, encoder_mask=None):
         b, s, _ = inputs_embeds.shape
         positions = jnp.arange(s, dtype=jnp.int32) + jnp.asarray(cache_position, jnp.int32)
-        h = inputs_embeds * self.embed_scale + self.embed_positions(
+        pos_embeds = self.embed_positions(
             params.get("embed_positions", {}), positions[None, :] + self.pos_start)
-        if self.use_layernorm_embedding:
-            h = self.layernorm_embedding(params["layernorm_embedding"], h)
+        h = inputs_embeds * self.embed_scale
+        if self.use_layernorm_embedding and self.ln_embed_before_positions:
+            h = self.layernorm_embedding(params["layernorm_embedding"], h) + pos_embeds
+        else:
+            h = h + pos_embeds
+            if self.use_layernorm_embedding:
+                h = self.layernorm_embedding(params["layernorm_embedding"], h)
         kv_len = cache.max_len if cache is not None else s
         q_positions = jnp.broadcast_to(positions[None, :], (b, s))
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)

@@ -1,0 +1,1 @@
+from .modeling_led import LEDConfig, LEDForConditionalGeneration
