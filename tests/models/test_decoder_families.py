@@ -219,6 +219,28 @@ FAMILIES_RAW = {
     "xglm": ("XGLMConfig", dict(
         vocab_size=99, d_model=32, ffn_dim=64, num_layers=3, attention_heads=4,
         max_position_embeddings=256, dropout=0.0)),
+    "cohere2": ("Cohere2Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, sliding_window=4,
+        sliding_window_pattern=2, logit_scale=0.25, max_position_embeddings=256,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "phimoe": ("PhimoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=256,
+        bos_token_id=1, eos_token_id=2)),
+    "glm4_moe": ("Glm4MoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1, max_position_embeddings=256,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "glm4_moe-qknorm": ("Glm4MoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8, use_qk_norm=True,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        n_shared_experts=1, first_k_dense_replace=1, max_position_embeddings=256,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
     "deepseek_v3-noqlora": ("DeepseekV3Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, moe_intermediate_size=32,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
@@ -274,7 +296,8 @@ def test_logit_parity(family, tmp_path):
                                     "mpt", "gpt_neo", "codegen",
                                     "olmo", "olmoe", "dbrx", "helium",
                                     "arcee", "ernie4_5", "exaone4", "seed_oss",
-                                    "granitemoe", "gpt_bigcode", "biogpt", "xglm"])
+                                    "granitemoe", "gpt_bigcode", "biogpt", "xglm",
+                                    "cohere2", "phimoe", "glm4_moe"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""

@@ -111,6 +111,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blenderbot": ("blenderbot", "BlenderbotConfig"),
     "blenderbot-small": ("blenderbot_small", "BlenderbotSmallConfig"),
     "led": ("led", "LEDConfig"),
+    "cohere2": ("cohere2", "Cohere2Config"),
+    "phimoe": ("phimoe", "PhimoeConfig"),
+    "glm4_moe": ("glm4_moe", "Glm4MoeConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -61,6 +61,9 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon_h1": ("falcon_h1", "FalconH1ModelStandalone"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeModelStandalone"),
     "biogpt": ("biogpt", "BioGptModelStandalone"),
+    "cohere2": ("cohere2", "Cohere2ModelStandalone"),
+    "phimoe": ("phimoe", "PhimoeModelStandalone"),
+    "glm4_moe": ("glm4_moe", "Glm4MoeModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
     "ernie": ("ernie", "ErnieModelStandalone"),
     "unispeech": ("unispeech", "UniSpeechModelStandalone"),
@@ -142,6 +145,9 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "falcon_h1": ("falcon_h1", "FalconH1ForCausalLM"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeForCausalLM"),
     "biogpt": ("biogpt", "BioGptForCausalLM"),
+    "cohere2": ("cohere2", "Cohere2ForCausalLM"),
+    "phimoe": ("phimoe", "PhimoeForCausalLM"),
+    "glm4_moe": ("glm4_moe", "Glm4MoeForCausalLM"),
     "xglm": ("xglm", "XGLMForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),

@@ -1,0 +1,1 @@
+from .modeling_cohere2 import Cohere2Config, Cohere2ForCausalLM
