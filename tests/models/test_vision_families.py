@@ -32,6 +32,18 @@ CASES = {
     "swin": ("SwinForImageClassification", "SwinConfig",
              dict(image_size=64, patch_size=4, embed_dim=16, depths=[2, 2, 2],
                   num_heads=[2, 2, 4], window_size=4, num_labels=5), 64),
+    "beit": ("BeitForImageClassification", "BeitConfig",
+             dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                  intermediate_size=64, image_size=16, patch_size=8,
+                  use_relative_position_bias=True, layer_scale_init_value=0.1,
+                  num_labels=5), 16),
+    "beit-shared-bias": ("BeitForImageClassification", "BeitConfig",
+                         dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                              intermediate_size=64, image_size=16, patch_size=8,
+                              use_shared_relative_position_bias=True,
+                              use_absolute_position_embeddings=True,
+                              use_mean_pooling=False, layer_scale_init_value=0.0,
+                              num_labels=5), 16),
     # NOTE: no use_absolute_embeddings oracle case — torch 4.57's Swin allocates
     # (num_patches + 1) absolute positions but adds them to num_patches tokens
     # (its own forward crashes); the v5 reference fixed the table to

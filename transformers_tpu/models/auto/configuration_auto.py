@@ -114,6 +114,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "cohere2": ("cohere2", "Cohere2Config"),
     "phimoe": ("phimoe", "PhimoeConfig"),
     "glm4_moe": ("glm4_moe", "Glm4MoeConfig"),
+    "beit": ("beit", "BeitConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -64,6 +64,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "cohere2": ("cohere2", "Cohere2ModelStandalone"),
     "phimoe": ("phimoe", "PhimoeModelStandalone"),
     "glm4_moe": ("glm4_moe", "Glm4MoeModelStandalone"),
+    "beit": ("beit", "BeitModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
     "ernie": ("ernie", "ErnieModelStandalone"),
     "unispeech": ("unispeech", "UniSpeechModelStandalone"),
@@ -240,6 +241,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "swin": ("swin", "SwinForImageClassification"),
     "deit": ("deit", "DeiTForImageClassificationWithTeacher"),
     "dinov2": ("dinov2", "Dinov2ForImageClassification"),
+    "beit": ("beit", "BeitForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
 }
 MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
