@@ -115,6 +115,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phimoe": ("phimoe", "PhimoeConfig"),
     "glm4_moe": ("glm4_moe", "Glm4MoeConfig"),
     "beit": ("beit", "BeitConfig"),
+    "dpt": ("dpt", "DPTConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),
