@@ -116,6 +116,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm4_moe": ("glm4_moe", "Glm4MoeConfig"),
     "beit": ("beit", "BeitConfig"),
     "dpt": ("dpt", "DPTConfig"),
+    "depth_anything": ("depth_anything", "DepthAnythingConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

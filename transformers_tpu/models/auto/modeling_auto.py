@@ -253,6 +253,7 @@ MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
     "dpt": ("dpt", "DPTForDepthEstimation"),
+    "depth_anything": ("depth_anything", "DepthAnythingForDepthEstimation"),
 }
 MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("segformer", "SegformerForSemanticSegmentation"),
