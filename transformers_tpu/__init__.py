@@ -32,6 +32,7 @@ from .models.auto import (
     AutoModelForTextToWaveform,
     AutoModelForObjectDetection,
     AutoModelForDepthEstimation,
+    AutoModelForTimeSeriesPrediction,
     AutoModelForVideoClassification,
     AutoModelForVisualQuestionAnswering,
     AutoModelForZeroShotObjectDetection,

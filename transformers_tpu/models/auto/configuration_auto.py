@@ -117,6 +117,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitConfig"),
     "dpt": ("dpt", "DPTConfig"),
     "depth_anything": ("depth_anything", "DepthAnythingConfig"),
+    "patchtst": ("patchtst", "PatchTSTConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -250,6 +250,9 @@ MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] =
 MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "videomae": ("videomae", "VideoMAEForVideoClassification"),
 }
+MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "patchtst": ("patchtst", "PatchTSTForPrediction"),
+}
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
     "dpt": ("dpt", "DPTForDepthEstimation"),
@@ -462,3 +465,7 @@ class AutoModelForKeypointMatching(_BaseAutoModelClass):
 
 class AutoModelForTextToWaveform(_BaseAutoModelClass):
     _model_mapping = {"vits": ("vits", "VitsModel")}
+
+
+class AutoModelForTimeSeriesPrediction(_BaseAutoModelClass):
+    _model_mapping = MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES
