@@ -118,6 +118,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dpt": ("dpt", "DPTConfig"),
     "depth_anything": ("depth_anything", "DepthAnythingConfig"),
     "patchtst": ("patchtst", "PatchTSTConfig"),
+    "owlv2": ("owlv2", "Owlv2Config"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -246,6 +246,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "owlvit": ("owlvit", "OwlViTForObjectDetection"),
+    "owlv2": ("owlv2", "Owlv2ForObjectDetection"),
 }
 MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "videomae": ("videomae", "VideoMAEForVideoClassification"),

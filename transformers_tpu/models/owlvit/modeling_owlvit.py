@@ -106,13 +106,13 @@ class OwlViTModelStandalone(OwlViTPreTrainedModel):
 
 
 class _BoxHead(Module):
-    def __init__(self, config, *, dtype, param_dtype):
+    def __init__(self, config, *, dtype, param_dtype, out_dim=4):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         w = config.vision_config.hidden_size
         kw = dict(dtype=dtype, param_dtype=param_dtype, kernel_init=normal_init(0.02))
         self.dense0 = Linear(w, w, True, **kw)
         self.dense1 = Linear(w, w, True, **kw)
-        self.dense2 = Linear(w, 4, True, **kw)
+        self.dense2 = Linear(w, out_dim, True, **kw)
 
     def __call__(self, params, x):
         x = jax.nn.gelu(self.dense0(params["dense0"], x), approximate=False)
@@ -158,10 +158,12 @@ def box_bias(num_h: int, num_w: int) -> np.ndarray:
 
 
 class OwlViTForObjectDetection(OwlViTPreTrainedModel):
+    base_attr = "owlvit"
+
     def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.owlvit = OwlViTModel(config, **kw)
+        setattr(self, self.base_attr, OwlViTModel(config, **kw))
         self.class_head = _ClassHead(config, **kw)
         self.box_head = _BoxHead(config, **kw)
         self.layer_norm = LayerNorm(config.vision_config.hidden_size,
@@ -172,17 +174,19 @@ class OwlViTForObjectDetection(OwlViTPreTrainedModel):
     def __call__(self, params, input_ids=None, pixel_values=None, attention_mask=None,
                  **kwargs) -> OwlViTObjectDetectionOutput:
         b = pixel_values.shape[0]
-        vision = self.owlvit.vision_model(params["owlvit"]["vision_model"],
-                                          jnp.asarray(pixel_values, self.dtype))
+        base = getattr(self, self.base_attr)
+        base_params = params[self.base_attr]
+        vision = base.vision_model(base_params["vision_model"],
+                                   jnp.asarray(pixel_values, self.dtype))
         # feature map: patch states * broadcast class token, layer-normed
         img = vision.last_hidden_state
         # post_layernorm over the FULL sequence (reference :1184)
-        img = self.owlvit.vision_model.post_layernorm(
-            params["owlvit"]["vision_model"]["post_layernorm"], img)
+        img = base.vision_model.post_layernorm(
+            base_params["vision_model"]["post_layernorm"], img)
         cls_tok = jnp.broadcast_to(img[:, :1], img[:, 1:].shape)
         image_feats = self.layer_norm(params["layer_norm"], img[:, 1:] * cls_tok)
 
-        query_embeds = self.owlvit.get_text_features(params["owlvit"], input_ids, attention_mask)
+        query_embeds = base.get_text_features(base_params, input_ids, attention_mask)
         max_queries = input_ids.shape[0] // b
         query_embeds = query_embeds.reshape(b, max_queries, -1)
         ids = jnp.asarray(input_ids).reshape(b, max_queries, -1)
