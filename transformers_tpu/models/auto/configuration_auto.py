@@ -119,6 +119,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "depth_anything": ("depth_anything", "DepthAnythingConfig"),
     "patchtst": ("patchtst", "PatchTSTConfig"),
     "owlv2": ("owlv2", "Owlv2Config"),
+    "git": ("git", "GitConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

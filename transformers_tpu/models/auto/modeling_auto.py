@@ -311,6 +311,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vipllava": ("vipllava", "VipLlavaForConditionalGeneration"),
     "blip-2": ("blip_2", "Blip2ForConditionalGeneration"),
     "instructblip": ("instructblip", "InstructBlipForConditionalGeneration"),
+    "git": ("git", "GitForCausalLM"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),

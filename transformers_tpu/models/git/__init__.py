@@ -1,0 +1,2 @@
+from .configuration_git import GitConfig, GitVisionConfig
+from .modeling_git import GitForCausalLM, GitModel
