@@ -120,6 +120,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "patchtst": ("patchtst", "PatchTSTConfig"),
     "owlv2": ("owlv2", "Owlv2Config"),
     "git": ("git", "GitConfig"),
+    "encodec": ("encodec", "EncodecConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -108,6 +108,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
     "clap": ("clap", "ClapModel"),
+    "encodec": ("encodec", "EncodecModel"),
     "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),
     "olmo": ("olmo", "OlmoModelStandalone"),
     "olmoe": ("olmoe", "OlmoeModelStandalone"),
