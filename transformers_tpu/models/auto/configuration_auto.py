@@ -121,6 +121,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "owlv2": ("owlv2", "Owlv2Config"),
     "git": ("git", "GitConfig"),
     "encodec": ("encodec", "EncodecConfig"),
+    "musicgen": ("musicgen", "MusicgenConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -107,6 +107,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sam": ("sam", "SamModel"),
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
+    "musicgen": ("musicgen", "MusicgenForConditionalGeneration"),
     "clap": ("clap", "ClapModel"),
     "encodec": ("encodec", "EncodecModel"),
     "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),

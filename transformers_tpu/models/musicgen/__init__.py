@@ -1,0 +1,5 @@
+from .configuration_musicgen import MusicgenConfig, MusicgenDecoderConfig
+from .modeling_musicgen import (
+    MusicgenForCausalLM,
+    MusicgenForConditionalGeneration,
+)
