@@ -32,6 +32,11 @@ CASES = {
     "swin": ("SwinForImageClassification", "SwinConfig",
              dict(image_size=64, patch_size=4, embed_dim=16, depths=[2, 2, 2],
                   num_heads=[2, 2, 4], window_size=4, num_labels=5), 64),
+    "mobilenet_v2": ("MobileNetV2ForImageClassification", "MobileNetV2Config",
+                     dict(image_size=32, depth_multiplier=0.25, num_labels=5), 32),
+    "mobilenet_v2-notf": ("MobileNetV2ForImageClassification", "MobileNetV2Config",
+                          dict(image_size=32, depth_multiplier=0.25, tf_padding=False,
+                               num_labels=5), 32),
     "beit": ("BeitForImageClassification", "BeitConfig",
              dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
                   intermediate_size=64, image_size=16, patch_size=8,

@@ -122,6 +122,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "git": ("git", "GitConfig"),
     "encodec": ("encodec", "EncodecConfig"),
     "musicgen": ("musicgen", "MusicgenConfig"),
+    "mobilenet_v2": ("mobilenet_v2", "MobileNetV2Config"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

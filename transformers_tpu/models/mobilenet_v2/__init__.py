@@ -1,0 +1,6 @@
+from .configuration_mobilenet_v2 import MobileNetV2Config
+from .modeling_mobilenet_v2 import (
+    MobileNetV2ForImageClassification,
+    MobileNetV2Model,
+    MobileNetV2ModelStandalone,
+)
