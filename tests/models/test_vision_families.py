@@ -37,6 +37,12 @@ CASES = {
     "mobilenet_v2-notf": ("MobileNetV2ForImageClassification", "MobileNetV2Config",
                           dict(image_size=32, depth_multiplier=0.25, tf_padding=False,
                                num_labels=5), 32),
+    "regnet": ("RegNetForImageClassification", "RegNetConfig",
+               dict(hidden_sizes=[8, 16, 24, 32], depths=[1, 1, 2, 1],
+                    embedding_size=8, groups_width=4, num_labels=5), 32),
+    "regnet-x": ("RegNetForImageClassification", "RegNetConfig",
+                 dict(hidden_sizes=[8, 16], depths=[1, 2], embedding_size=8,
+                      groups_width=4, layer_type="x", num_labels=5), 32),
     "beit": ("BeitForImageClassification", "BeitConfig",
              dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
                   intermediate_size=64, image_size=16, patch_size=8,

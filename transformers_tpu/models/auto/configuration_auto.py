@@ -123,6 +123,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "encodec": ("encodec", "EncodecConfig"),
     "musicgen": ("musicgen", "MusicgenConfig"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2Config"),
+    "regnet": ("regnet", "RegNetConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

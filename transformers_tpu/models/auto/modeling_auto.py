@@ -66,6 +66,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm4_moe": ("glm4_moe", "Glm4MoeModelStandalone"),
     "beit": ("beit", "BeitModelStandalone"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ModelStandalone"),
+    "regnet": ("regnet", "RegNetModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
     "ernie": ("ernie", "ErnieModelStandalone"),
     "unispeech": ("unispeech", "UniSpeechModelStandalone"),
@@ -246,6 +247,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dinov2": ("dinov2", "Dinov2ForImageClassification"),
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
+    "regnet": ("regnet", "RegNetForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
 }
 MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
