@@ -43,6 +43,12 @@ CASES = {
     "regnet-x": ("RegNetForImageClassification", "RegNetConfig",
                  dict(hidden_sizes=[8, 16], depths=[1, 2], embedding_size=8,
                       groups_width=4, layer_type="x", num_labels=5), 32),
+    "efficientnet": ("EfficientNetForImageClassification", "EfficientNetConfig",
+                     dict(width_coefficient=0.5, depth_coefficient=0.5, image_size=32,
+                          num_block_repeats=[1, 1, 1], in_channels=[32, 16, 24],
+                          out_channels=[16, 24, 40], strides=[1, 2, 2],
+                          kernel_sizes=[3, 5, 3], expand_ratios=[1, 6, 6],
+                          hidden_dim=640, num_labels=5), 32),
     "beit": ("BeitForImageClassification", "BeitConfig",
              dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
                   intermediate_size=64, image_size=16, patch_size=8,

@@ -124,6 +124,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "musicgen": ("musicgen", "MusicgenConfig"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2Config"),
     "regnet": ("regnet", "RegNetConfig"),
+    "efficientnet": ("efficientnet", "EfficientNetConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

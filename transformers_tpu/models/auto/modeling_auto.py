@@ -67,6 +67,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitModelStandalone"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ModelStandalone"),
     "regnet": ("regnet", "RegNetModelStandalone"),
+    "efficientnet": ("efficientnet", "EfficientNetModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
     "ernie": ("ernie", "ErnieModelStandalone"),
     "unispeech": ("unispeech", "UniSpeechModelStandalone"),
@@ -248,6 +249,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "regnet": ("regnet", "RegNetForImageClassification"),
+    "efficientnet": ("efficientnet", "EfficientNetForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
 }
 MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
