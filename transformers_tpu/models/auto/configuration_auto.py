@@ -125,6 +125,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2Config"),
     "regnet": ("regnet", "RegNetConfig"),
     "efficientnet": ("efficientnet", "EfficientNetConfig"),
+    "qwen2_audio": ("qwen2_audio", "Qwen2AudioConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

@@ -111,6 +111,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
     "musicgen": ("musicgen", "MusicgenForConditionalGeneration"),
+    "qwen2_audio": ("qwen2_audio", "Qwen2AudioForConditionalGeneration"),
     "clap": ("clap", "ClapModel"),
     "encodec": ("encodec", "EncodecModel"),
     "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),
@@ -320,6 +321,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip-2": ("blip_2", "Blip2ForConditionalGeneration"),
     "instructblip": ("instructblip", "InstructBlipForConditionalGeneration"),
     "git": ("git", "GitForCausalLM"),
+    "qwen2_audio": ("qwen2_audio", "Qwen2AudioForConditionalGeneration"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLForConditionalGeneration"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),

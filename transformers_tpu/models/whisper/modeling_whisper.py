@@ -79,10 +79,11 @@ class WhisperEncoderLayer(Module):
         self.final_layer_norm = LayerNorm(d, 1e-5, **kw)
         self.act = get_activation(config.activation_function)
 
-    def __call__(self, params, hidden):
+    def __call__(self, params, hidden, attn_args=None):
         residual = hidden
         h = self.self_attn_layer_norm(params["self_attn_layer_norm"], hidden)
-        h, _ = self.self_attn(params["self_attn"], h, attn_args={"is_causal": False})
+        h, _ = self.self_attn(params["self_attn"], h,
+                              attn_args=attn_args or {"is_causal": False})
         hidden = residual + h
         residual = hidden
         h = self.final_layer_norm(params["final_layer_norm"], hidden)
