@@ -142,6 +142,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vipllava": ("vipllava", "VipLlavaConfig"),
     "blip-2": ("blip_2", "Blip2Config"),
     "instructblip": ("instructblip", "InstructBlipConfig"),
+    "longt5": ("longt5", "LongT5Config"),
     "t5": ("t5", "T5Config"),
     "mt5": ("t5", "T5Config"),
     "umt5": ("umt5", "UMT5Config"),

@@ -86,6 +86,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip": ("siglip", "SiglipModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
+    "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
     "umt5": ("umt5", "UMT5EncoderModel"),
@@ -292,6 +293,7 @@ MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sew": ("sew", "SEWForCTC"),
 }
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "longt5": ("longt5", "LongT5ForConditionalGeneration"),
     "t5": ("t5", "T5ForConditionalGeneration"),
     "mt5": ("t5", "T5ForConditionalGeneration"),
     "umt5": ("umt5", "UMT5ForConditionalGeneration"),
