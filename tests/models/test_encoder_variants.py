@@ -40,6 +40,14 @@ FAMILIES = {
     "megatron-bert": ("MegatronBertConfig", "MegatronBertForMaskedLM", dict(
         vocab_size=99, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
         intermediate_size=64, max_position_embeddings=64)),
+    # pure renames of the roberta skeleton (reference modular_camembert.py /
+    # modular_xlm_roberta.py)
+    "camembert": ("CamembertConfig", "CamembertForMaskedLM", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64, pad_token_id=1)),
+    "xlm-roberta": ("XLMRobertaConfig", "XLMRobertaForMaskedLM", dict(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64, pad_token_id=1)),
 }
 
 

@@ -68,6 +68,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertConfig"),
     "roberta": ("roberta", "RobertaConfig"),
     "xlm-roberta": ("roberta", "RobertaConfig"),
+    "camembert": ("roberta", "RobertaConfig"),
     "distilbert": ("distilbert", "DistilBertConfig"),
     "electra": ("electra", "ElectraConfig"),
     "albert": ("albert", "AlbertConfig"),

@@ -33,6 +33,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertModelStandalone"),
     "roberta": ("roberta", "RobertaModelStandalone"),
     "xlm-roberta": ("roberta", "RobertaModelStandalone"),
+    "camembert": ("roberta", "RobertaModelStandalone"),
     "distilbert": ("distilbert", "DistilBertModelStandalone"),
     "electra": ("electra", "ElectraModelStandalone"),
     "albert": ("albert", "AlbertModelStandalone"),
@@ -193,6 +194,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForSequenceClassification"),
     "roberta": ("roberta", "RobertaForSequenceClassification"),
     "xlm-roberta": ("roberta", "RobertaForSequenceClassification"),
+    "camembert": ("roberta", "RobertaForSequenceClassification"),
     "distilbert": ("distilbert", "DistilBertForSequenceClassification"),
     "electra": ("electra", "ElectraForSequenceClassification"),
     "albert": ("albert", "AlbertForSequenceClassification"),
@@ -209,6 +211,8 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "electra": ("electra", "ElectraForTokenClassification"),
     "modernbert": ("modernbert", "ModernBertForTokenClassification"),
     "roberta": ("roberta", "RobertaForTokenClassification"),
+    "xlm-roberta": ("roberta", "RobertaForTokenClassification"),
+    "camembert": ("roberta", "RobertaForTokenClassification"),
     "layoutlm": ("layoutlm", "LayoutLMForTokenClassification"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
 }
@@ -219,6 +223,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForQuestionAnswering"),
     "roberta": ("roberta", "RobertaForQuestionAnswering"),
     "xlm-roberta": ("roberta", "RobertaForQuestionAnswering"),
+    "camembert": ("roberta", "RobertaForQuestionAnswering"),
     "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForQuestionAnswering"),
 }
@@ -226,6 +231,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
     "xlm-roberta": ("roberta", "RobertaForMaskedLM"),
+    "camembert": ("roberta", "RobertaForMaskedLM"),
     "distilbert": ("distilbert", "DistilBertForMaskedLM"),
     "electra": ("electra", "ElectraForMaskedLM"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForMaskedLM"),
