@@ -108,6 +108,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "big_bird": ("big_bird", "BigBirdConfig"),
     "esm": ("esm", "EsmConfig"),
     "speech_to_text": ("speech_to_text", "Speech2TextConfig"),
+    "speecht5": ("speecht5", "SpeechT5Config"),
+    "hifigan": ("speecht5", "SpeechT5HifiGanConfig"),
     "plbart": ("plbart", "PLBartConfig"),
     "blenderbot": ("blenderbot", "BlenderbotConfig"),
     "blenderbot-small": ("blenderbot_small", "BlenderbotSmallConfig"),

@@ -317,6 +317,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperForConditionalGeneration"),
     "speech_to_text": ("speech_to_text", "Speech2TextForConditionalGeneration"),
+    "speecht5": ("speecht5", "SpeechT5ForSpeechToText"),
 }
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
@@ -485,6 +486,10 @@ class AutoModelForKeypointMatching(_BaseAutoModelClass):
 
 class AutoModelForTextToWaveform(_BaseAutoModelClass):
     _model_mapping = {"vits": ("vits", "VitsModel")}
+
+
+class AutoModelForTextToSpectrogram(_BaseAutoModelClass):
+    _model_mapping = {"speecht5": ("speecht5", "SpeechT5ForTextToSpeech")}
 
 
 class AutoModelForTimeSeriesPrediction(_BaseAutoModelClass):

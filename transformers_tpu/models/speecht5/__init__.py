@@ -1,0 +1,7 @@
+from .configuration_speecht5 import SpeechT5Config, SpeechT5HifiGanConfig
+from .modeling_speecht5 import (
+    SpeechT5ForSpeechToSpeech,
+    SpeechT5ForSpeechToText,
+    SpeechT5ForTextToSpeech,
+    SpeechT5HifiGan,
+)
