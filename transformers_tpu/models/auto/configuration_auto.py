@@ -109,6 +109,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "esm": ("esm", "EsmConfig"),
     "speech_to_text": ("speech_to_text", "Speech2TextConfig"),
     "speecht5": ("speecht5", "SpeechT5Config"),
+    "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "hifigan": ("speecht5", "SpeechT5HifiGanConfig"),
     "plbart": ("plbart", "PLBartConfig"),
     "blenderbot": ("blenderbot", "BlenderbotConfig"),

@@ -323,8 +323,10 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
     "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderModel"),
+    "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "vipllava": ("vipllava", "VipLlavaForConditionalGeneration"),
     "blip-2": ("blip_2", "Blip2ForConditionalGeneration"),

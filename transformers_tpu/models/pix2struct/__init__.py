@@ -1,0 +1,6 @@
+from .configuration_pix2struct import (
+    Pix2StructConfig,
+    Pix2StructTextConfig,
+    Pix2StructVisionConfig,
+)
+from .modeling_pix2struct import Pix2StructForConditionalGeneration
