@@ -111,6 +111,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "speecht5": ("speecht5", "SpeechT5Config"),
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
+    "informer": ("informer", "InformerConfig"),
     "hifigan": ("speecht5", "SpeechT5HifiGanConfig"),
     "plbart": ("plbart", "PLBartConfig"),
     "blenderbot": ("blenderbot", "BlenderbotConfig"),

@@ -270,6 +270,7 @@ MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "patchtst": ("patchtst", "PatchTSTForPrediction"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerForPrediction"),
+    "informer": ("informer", "InformerForPrediction"),
 }
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
