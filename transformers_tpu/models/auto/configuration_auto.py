@@ -112,6 +112,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
+    "autoformer": ("autoformer", "AutoformerConfig"),
     "hifigan": ("speecht5", "SpeechT5HifiGanConfig"),
     "plbart": ("plbart", "PLBartConfig"),
     "blenderbot": ("blenderbot", "BlenderbotConfig"),

@@ -271,6 +271,7 @@ MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "patchtst": ("patchtst", "PatchTSTForPrediction"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerForPrediction"),
     "informer": ("informer", "InformerForPrediction"),
+    "autoformer": ("autoformer", "AutoformerForPrediction"),
 }
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
