@@ -110,6 +110,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "speech_to_text": ("speech_to_text", "Speech2TextConfig"),
     "speecht5": ("speecht5", "SpeechT5Config"),
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
+    "fuyu": ("fuyu", "FuyuConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
     "autoformer": ("autoformer", "AutoformerConfig"),

@@ -173,6 +173,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm4": ("glm4", "Glm4ForCausalLM"),
     "nemotron": ("nemotron", "NemotronForCausalLM"),
     "persimmon": ("persimmon", "PersimmonForCausalLM"),
+    "fuyu": ("fuyu", "FuyuForCausalLM"),
     "bloom": ("bloom", "BloomForCausalLM"),
     "mpt": ("mpt", "MptForCausalLM"),
     "gpt_neo": ("gpt_neo", "GPTNeoForCausalLM"),
@@ -330,6 +331,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
+    "fuyu": ("fuyu", "FuyuForCausalLM"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "vipllava": ("vipllava", "VipLlavaForConditionalGeneration"),
     "blip-2": ("blip_2", "Blip2ForConditionalGeneration"),
