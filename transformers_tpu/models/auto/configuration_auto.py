@@ -111,6 +111,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "speecht5": ("speecht5", "SpeechT5Config"),
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "fuyu": ("fuyu", "FuyuConfig"),
+    "mobilevit": ("mobilevit", "MobileViTConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
     "autoformer": ("autoformer", "AutoformerConfig"),

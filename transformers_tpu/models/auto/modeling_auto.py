@@ -67,6 +67,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm4_moe": ("glm4_moe", "Glm4MoeModelStandalone"),
     "beit": ("beit", "BeitModelStandalone"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ModelStandalone"),
+    "mobilevit": ("mobilevit", "MobileViTModelStandalone"),
     "regnet": ("regnet", "RegNetModelStandalone"),
     "efficientnet": ("efficientnet", "EfficientNetModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
@@ -257,6 +258,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dinov2": ("dinov2", "Dinov2ForImageClassification"),
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
+    "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
     "regnet": ("regnet", "RegNetForImageClassification"),
     "efficientnet": ("efficientnet", "EfficientNetForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
@@ -280,6 +282,7 @@ MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "depth_anything": ("depth_anything", "DepthAnythingForDepthEstimation"),
 }
 MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "mobilevit": ("mobilevit", "MobileViTForSemanticSegmentation"),
     "segformer": ("segformer", "SegformerForSemanticSegmentation"),
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {

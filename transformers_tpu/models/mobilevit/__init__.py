@@ -1,0 +1,6 @@
+from .configuration_mobilevit import MobileViTConfig
+from .modeling_mobilevit import (
+    MobileViTForImageClassification,
+    MobileViTForSemanticSegmentation,
+    MobileViTModelStandalone,
+)
