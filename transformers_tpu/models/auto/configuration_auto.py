@@ -112,6 +112,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "fuyu": ("fuyu", "FuyuConfig"),
     "mobilevit": ("mobilevit", "MobileViTConfig"),
+    "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
     "autoformer": ("autoformer", "AutoformerConfig"),
