@@ -113,6 +113,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "fuyu": ("fuyu", "FuyuConfig"),
     "mobilevit": ("mobilevit", "MobileViTConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
+    "rwkv": ("rwkv", "RwkvConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
     "autoformer": ("autoformer", "AutoformerConfig"),

@@ -176,6 +176,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "persimmon": ("persimmon", "PersimmonForCausalLM"),
     "fuyu": ("fuyu", "FuyuForCausalLM"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaForCausalLM"),
+    "rwkv": ("rwkv", "RwkvForCausalLM"),
     "bloom": ("bloom", "BloomForCausalLM"),
     "mpt": ("mpt", "MptForCausalLM"),
     "gpt_neo": ("gpt_neo", "GPTNeoForCausalLM"),
