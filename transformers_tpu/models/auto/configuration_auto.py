@@ -154,6 +154,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip-2": ("blip_2", "Blip2Config"),
     "instructblip": ("instructblip", "InstructBlipConfig"),
     "longt5": ("longt5", "LongT5Config"),
+    "bigbird_pegasus": ("bigbird_pegasus", "BigBirdPegasusConfig"),
     "t5": ("t5", "T5Config"),
     "mt5": ("t5", "T5Config"),
     "umt5": ("umt5", "UMT5Config"),

@@ -309,6 +309,7 @@ MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "longt5": ("longt5", "LongT5ForConditionalGeneration"),
+    "bigbird_pegasus": ("bigbird_pegasus", "BigBirdPegasusForConditionalGeneration"),
     "t5": ("t5", "T5ForConditionalGeneration"),
     "mt5": ("t5", "T5ForConditionalGeneration"),
     "umt5": ("umt5", "UMT5ForConditionalGeneration"),
