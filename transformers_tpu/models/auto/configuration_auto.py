@@ -114,6 +114,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilevit": ("mobilevit", "MobileViTConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),
+    "xlnet": ("xlnet", "XLNetConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
     "autoformer": ("autoformer", "AutoformerConfig"),

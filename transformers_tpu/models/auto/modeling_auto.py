@@ -32,6 +32,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mixtral": ("mixtral", "MixtralModelStandalone"),
     "bert": ("bert", "BertModelStandalone"),
     "roberta": ("roberta", "RobertaModelStandalone"),
+    "xlnet": ("xlnet", "XLNetModelStandalone"),
     "xlm-roberta": ("roberta", "RobertaModelStandalone"),
     "camembert": ("roberta", "RobertaModelStandalone"),
     "distilbert": ("distilbert", "DistilBertModelStandalone"),
@@ -197,6 +198,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2": ("qwen2", "Qwen2ForSequenceClassification"),
     "bert": ("bert", "BertForSequenceClassification"),
     "roberta": ("roberta", "RobertaForSequenceClassification"),
+    "xlnet": ("xlnet", "XLNetForSequenceClassification"),
     "xlm-roberta": ("roberta", "RobertaForSequenceClassification"),
     "camembert": ("roberta", "RobertaForSequenceClassification"),
     "distilbert": ("distilbert", "DistilBertForSequenceClassification"),
@@ -215,6 +217,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "electra": ("electra", "ElectraForTokenClassification"),
     "modernbert": ("modernbert", "ModernBertForTokenClassification"),
     "roberta": ("roberta", "RobertaForTokenClassification"),
+    "xlnet": ("xlnet", "XLNetForTokenClassification"),
     "xlm-roberta": ("roberta", "RobertaForTokenClassification"),
     "camembert": ("roberta", "RobertaForTokenClassification"),
     "layoutlm": ("layoutlm", "LayoutLMForTokenClassification"),
@@ -226,6 +229,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2": ("qwen2", "Qwen2ForQuestionAnswering"),
     "bert": ("bert", "BertForQuestionAnswering"),
     "roberta": ("roberta", "RobertaForQuestionAnswering"),
+    "xlnet": ("xlnet", "XLNetForQuestionAnsweringSimple"),
     "xlm-roberta": ("roberta", "RobertaForQuestionAnswering"),
     "camembert": ("roberta", "RobertaForQuestionAnswering"),
     "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
