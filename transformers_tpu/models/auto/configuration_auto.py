@@ -111,6 +111,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "speecht5": ("speecht5", "SpeechT5Config"),
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "fuyu": ("fuyu", "FuyuConfig"),
+    "kosmos-2": ("kosmos2", "Kosmos2Config"),
     "mobilevit": ("mobilevit", "MobileViTConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),

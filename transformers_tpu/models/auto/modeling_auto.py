@@ -176,6 +176,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "nemotron": ("nemotron", "NemotronForCausalLM"),
     "persimmon": ("persimmon", "PersimmonForCausalLM"),
     "fuyu": ("fuyu", "FuyuForCausalLM"),
+    "kosmos-2": ("kosmos2", "Kosmos2ForConditionalGeneration"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaForCausalLM"),
     "rwkv": ("rwkv", "RwkvForCausalLM"),
     "bloom": ("bloom", "BloomForCausalLM"),
@@ -342,6 +343,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "fuyu": ("fuyu", "FuyuForCausalLM"),
+    "kosmos-2": ("kosmos2", "Kosmos2ForConditionalGeneration"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "vipllava": ("vipllava", "VipLlavaForConditionalGeneration"),
     "blip-2": ("blip_2", "Blip2ForConditionalGeneration"),
