@@ -112,6 +112,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "fuyu": ("fuyu", "FuyuConfig"),
     "kosmos-2": ("kosmos2", "Kosmos2Config"),
+    "llava_next": ("llava_next", "LlavaNextConfig"),
     "mobilevit": ("mobilevit", "MobileViTConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),

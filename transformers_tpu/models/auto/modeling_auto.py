@@ -345,6 +345,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "fuyu": ("fuyu", "FuyuForCausalLM"),
     "kosmos-2": ("kosmos2", "Kosmos2ForConditionalGeneration"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
+    "llava_next": ("llava_next", "LlavaNextForConditionalGeneration"),
     "vipllava": ("vipllava", "VipLlavaForConditionalGeneration"),
     "blip-2": ("blip_2", "Blip2ForConditionalGeneration"),
     "instructblip": ("instructblip", "InstructBlipForConditionalGeneration"),
