@@ -118,6 +118,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_audio": ("qwen2_audio", "Qwen2AudioForConditionalGeneration"),
     "clap": ("clap", "ClapModel"),
     "encodec": ("encodec", "EncodecModel"),
+    "mimi": ("mimi", "MimiModel"),
     "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),
     "olmo": ("olmo", "OlmoModelStandalone"),
     "olmoe": ("olmoe", "OlmoeModelStandalone"),
