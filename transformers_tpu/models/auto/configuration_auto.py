@@ -115,6 +115,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "kosmos-2": ("kosmos2", "Kosmos2Config"),
     "llava_next": ("llava_next", "LlavaNextConfig"),
     "mobilevit": ("mobilevit", "MobileViTConfig"),
+    "table-transformer": ("table_transformer", "TableTransformerConfig"),
+    "yolos": ("yolos", "YolosConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),
     "xlnet": ("xlnet", "XLNetConfig"),

@@ -295,6 +295,8 @@ MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "detr": ("detr", "DetrForObjectDetection"),
+    "table-transformer": ("table_transformer", "TableTransformerForObjectDetection"),
+    "yolos": ("yolos", "YolosForObjectDetection"),
 }
 MODEL_FOR_AUDIO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
