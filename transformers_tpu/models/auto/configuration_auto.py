@@ -120,6 +120,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),
     "xlnet": ("xlnet", "XLNetConfig"),
+    "squeezebert": ("squeezebert", "SqueezeBertConfig"),
+    "convbert": ("convbert", "ConvBertConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
     "autoformer": ("autoformer", "AutoformerConfig"),

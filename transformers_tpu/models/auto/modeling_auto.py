@@ -33,6 +33,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertModelStandalone"),
     "roberta": ("roberta", "RobertaModelStandalone"),
     "xlnet": ("xlnet", "XLNetModelStandalone"),
+    "squeezebert": ("squeezebert", "SqueezeBertModelStandalone"),
+    "convbert": ("convbert", "ConvBertModelStandalone"),
     "xlm-roberta": ("roberta", "RobertaModelStandalone"),
     "camembert": ("roberta", "RobertaModelStandalone"),
     "distilbert": ("distilbert", "DistilBertModelStandalone"),
@@ -201,6 +203,8 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForSequenceClassification"),
     "roberta": ("roberta", "RobertaForSequenceClassification"),
     "xlnet": ("xlnet", "XLNetForSequenceClassification"),
+    "squeezebert": ("squeezebert", "SqueezeBertForSequenceClassification"),
+    "convbert": ("convbert", "ConvBertForSequenceClassification"),
     "xlm-roberta": ("roberta", "RobertaForSequenceClassification"),
     "camembert": ("roberta", "RobertaForSequenceClassification"),
     "distilbert": ("distilbert", "DistilBertForSequenceClassification"),
@@ -220,6 +224,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert": ("modernbert", "ModernBertForTokenClassification"),
     "roberta": ("roberta", "RobertaForTokenClassification"),
     "xlnet": ("xlnet", "XLNetForTokenClassification"),
+    "squeezebert": ("squeezebert", "SqueezeBertForTokenClassification"),
     "xlm-roberta": ("roberta", "RobertaForTokenClassification"),
     "camembert": ("roberta", "RobertaForTokenClassification"),
     "layoutlm": ("layoutlm", "LayoutLMForTokenClassification"),
@@ -232,6 +237,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForQuestionAnswering"),
     "roberta": ("roberta", "RobertaForQuestionAnswering"),
     "xlnet": ("xlnet", "XLNetForQuestionAnsweringSimple"),
+    "squeezebert": ("squeezebert", "SqueezeBertForQuestionAnswering"),
     "xlm-roberta": ("roberta", "RobertaForQuestionAnswering"),
     "camembert": ("roberta", "RobertaForQuestionAnswering"),
     "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
@@ -240,6 +246,8 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
+    "squeezebert": ("squeezebert", "SqueezeBertForMaskedLM"),
+    "convbert": ("convbert", "ConvBertForMaskedLM"),
     "xlm-roberta": ("roberta", "RobertaForMaskedLM"),
     "camembert": ("roberta", "RobertaForMaskedLM"),
     "distilbert": ("distilbert", "DistilBertForMaskedLM"),
