@@ -122,6 +122,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "xlnet": ("xlnet", "XLNetConfig"),
     "squeezebert": ("squeezebert", "SqueezeBertConfig"),
     "convbert": ("convbert", "ConvBertConfig"),
+    "mobilebert": ("mobilebert", "MobileBertConfig"),
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerConfig"),
     "informer": ("informer", "InformerConfig"),
     "autoformer": ("autoformer", "AutoformerConfig"),

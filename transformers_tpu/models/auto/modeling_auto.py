@@ -35,6 +35,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "xlnet": ("xlnet", "XLNetModelStandalone"),
     "squeezebert": ("squeezebert", "SqueezeBertModelStandalone"),
     "convbert": ("convbert", "ConvBertModelStandalone"),
+    "mobilebert": ("mobilebert", "MobileBertModelStandalone"),
     "xlm-roberta": ("roberta", "RobertaModelStandalone"),
     "camembert": ("roberta", "RobertaModelStandalone"),
     "distilbert": ("distilbert", "DistilBertModelStandalone"),
@@ -205,6 +206,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "xlnet": ("xlnet", "XLNetForSequenceClassification"),
     "squeezebert": ("squeezebert", "SqueezeBertForSequenceClassification"),
     "convbert": ("convbert", "ConvBertForSequenceClassification"),
+    "mobilebert": ("mobilebert", "MobileBertForSequenceClassification"),
     "xlm-roberta": ("roberta", "RobertaForSequenceClassification"),
     "camembert": ("roberta", "RobertaForSequenceClassification"),
     "distilbert": ("distilbert", "DistilBertForSequenceClassification"),
@@ -238,6 +240,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "roberta": ("roberta", "RobertaForQuestionAnswering"),
     "xlnet": ("xlnet", "XLNetForQuestionAnsweringSimple"),
     "squeezebert": ("squeezebert", "SqueezeBertForQuestionAnswering"),
+    "mobilebert": ("mobilebert", "MobileBertForQuestionAnswering"),
     "xlm-roberta": ("roberta", "RobertaForQuestionAnswering"),
     "camembert": ("roberta", "RobertaForQuestionAnswering"),
     "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
@@ -248,6 +251,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "roberta": ("roberta", "RobertaForMaskedLM"),
     "squeezebert": ("squeezebert", "SqueezeBertForMaskedLM"),
     "convbert": ("convbert", "ConvBertForMaskedLM"),
+    "mobilebert": ("mobilebert", "MobileBertForMaskedLM"),
     "xlm-roberta": ("roberta", "RobertaForMaskedLM"),
     "camembert": ("roberta", "RobertaForMaskedLM"),
     "distilbert": ("distilbert", "DistilBertForMaskedLM"),
