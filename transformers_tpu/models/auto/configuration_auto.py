@@ -117,6 +117,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilevit": ("mobilevit", "MobileViTConfig"),
     "table-transformer": ("table_transformer", "TableTransformerConfig"),
     "yolos": ("yolos", "YolosConfig"),
+    "poolformer": ("poolformer", "PoolFormerConfig"),
+    "bit": ("bit", "BitConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),
     "xlnet": ("xlnet", "XLNetConfig"),

@@ -72,6 +72,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitModelStandalone"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ModelStandalone"),
     "mobilevit": ("mobilevit", "MobileViTModelStandalone"),
+    "poolformer": ("poolformer", "PoolFormerModelStandalone"),
+    "bit": ("bit", "BitModelStandalone"),
     "regnet": ("regnet", "RegNetModelStandalone"),
     "efficientnet": ("efficientnet", "EfficientNetModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
@@ -279,6 +281,8 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
+    "poolformer": ("poolformer", "PoolFormerForImageClassification"),
+    "bit": ("bit", "BitForImageClassification"),
     "regnet": ("regnet", "RegNetForImageClassification"),
     "efficientnet": ("efficientnet", "EfficientNetForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),

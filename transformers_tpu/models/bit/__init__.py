@@ -1,0 +1,2 @@
+from .configuration_bit import BitConfig
+from .modeling_bit import BitForImageClassification, BitModelStandalone
