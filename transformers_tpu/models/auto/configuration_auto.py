@@ -119,6 +119,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "yolos": ("yolos", "YolosConfig"),
     "poolformer": ("poolformer", "PoolFormerConfig"),
     "bit": ("bit", "BitConfig"),
+    "pvt": ("pvt", "PvtConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),
     "xlnet": ("xlnet", "XLNetConfig"),

@@ -74,6 +74,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilevit": ("mobilevit", "MobileViTModelStandalone"),
     "poolformer": ("poolformer", "PoolFormerModelStandalone"),
     "bit": ("bit", "BitModelStandalone"),
+    "pvt": ("pvt", "PvtModelStandalone"),
     "regnet": ("regnet", "RegNetModelStandalone"),
     "efficientnet": ("efficientnet", "EfficientNetModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
@@ -283,6 +284,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
     "poolformer": ("poolformer", "PoolFormerForImageClassification"),
     "bit": ("bit", "BitForImageClassification"),
+    "pvt": ("pvt", "PvtForImageClassification"),
     "regnet": ("regnet", "RegNetForImageClassification"),
     "efficientnet": ("efficientnet", "EfficientNetForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
