@@ -1,0 +1,34 @@
+"""Swin V2 parity vs torch: cosine attention + continuous position bias +
+post-norm blocks."""
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import transformers_tpu as ttpu  # noqa: E402
+
+PX = np.random.default_rng(0).normal(size=(2, 3, 64, 64)).astype(np.float32)
+
+
+def test_classification_parity(tmp_path):
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.Swinv2Config(
+        image_size=64, patch_size=4, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 4], window_size=4, num_labels=3,
+        attn_implementation="eager")
+    tm = transformers.Swinv2ForImageClassification(cfg).eval()
+    d = str(tmp_path / "sv2")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = ttpu.AutoModelForImageClassification.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    assert not m.load_report.unexpected_keys, m.load_report.unexpected_keys
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(PX)).logits.numpy()
+    out = m(m.params, pixel_values=jnp.asarray(PX))
+    assert np.abs(np.asarray(out.logits) - ref).max() < 5e-5

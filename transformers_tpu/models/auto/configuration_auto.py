@@ -120,6 +120,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "poolformer": ("poolformer", "PoolFormerConfig"),
     "bit": ("bit", "BitConfig"),
     "pvt": ("pvt", "PvtConfig"),
+    "swinv2": ("swinv2", "Swinv2Config"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),
     "xlnet": ("xlnet", "XLNetConfig"),

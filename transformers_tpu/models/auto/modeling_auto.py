@@ -75,6 +75,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "poolformer": ("poolformer", "PoolFormerModelStandalone"),
     "bit": ("bit", "BitModelStandalone"),
     "pvt": ("pvt", "PvtModelStandalone"),
+    "swinv2": ("swinv2", "Swinv2ModelStandalone"),
     "regnet": ("regnet", "RegNetModelStandalone"),
     "efficientnet": ("efficientnet", "EfficientNetModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
@@ -285,6 +286,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "poolformer": ("poolformer", "PoolFormerForImageClassification"),
     "bit": ("bit", "BitForImageClassification"),
     "pvt": ("pvt", "PvtForImageClassification"),
+    "swinv2": ("swinv2", "Swinv2ForImageClassification"),
     "regnet": ("regnet", "RegNetForImageClassification"),
     "efficientnet": ("efficientnet", "EfficientNetForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
