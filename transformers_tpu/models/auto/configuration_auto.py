@@ -121,6 +121,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bit": ("bit", "BitConfig"),
     "pvt": ("pvt", "PvtConfig"),
     "swinv2": ("swinv2", "Swinv2Config"),
+    "cvt": ("cvt", "CvtConfig"),
     "recurrent_gemma": ("recurrent_gemma", "RecurrentGemmaConfig"),
     "rwkv": ("rwkv", "RwkvConfig"),
     "xlnet": ("xlnet", "XLNetConfig"),

@@ -76,6 +76,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bit": ("bit", "BitModelStandalone"),
     "pvt": ("pvt", "PvtModelStandalone"),
     "swinv2": ("swinv2", "Swinv2ModelStandalone"),
+    "cvt": ("cvt", "CvtModelStandalone"),
     "regnet": ("regnet", "RegNetModelStandalone"),
     "efficientnet": ("efficientnet", "EfficientNetModelStandalone"),
     "xglm": ("xglm", "XGLMModelStandalone"),
@@ -287,6 +288,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bit": ("bit", "BitForImageClassification"),
     "pvt": ("pvt", "PvtForImageClassification"),
     "swinv2": ("swinv2", "Swinv2ForImageClassification"),
+    "cvt": ("cvt", "CvtForImageClassification"),
     "regnet": ("regnet", "RegNetForImageClassification"),
     "efficientnet": ("efficientnet", "EfficientNetForImageClassification"),
     "segformer": ("segformer", "SegformerForImageClassification"),
