@@ -117,6 +117,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilevit": ("mobilevit", "MobileViTConfig"),
     "table-transformer": ("table_transformer", "TableTransformerConfig"),
     "yolos": ("yolos", "YolosConfig"),
+    "levit": ("levit", "LevitConfig"),
     "poolformer": ("poolformer", "PoolFormerConfig"),
     "bit": ("bit", "BitConfig"),
     "pvt": ("pvt", "PvtConfig"),

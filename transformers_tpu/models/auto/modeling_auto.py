@@ -72,6 +72,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitModelStandalone"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ModelStandalone"),
     "mobilevit": ("mobilevit", "MobileViTModelStandalone"),
+    "levit": ("levit", "LevitModelStandalone"),
     "poolformer": ("poolformer", "PoolFormerModelStandalone"),
     "bit": ("bit", "BitModelStandalone"),
     "pvt": ("pvt", "PvtModelStandalone"),
@@ -284,6 +285,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
+    "levit": ("levit", "LevitForImageClassification"),
     "poolformer": ("poolformer", "PoolFormerForImageClassification"),
     "bit": ("bit", "BitForImageClassification"),
     "pvt": ("pvt", "PvtForImageClassification"),

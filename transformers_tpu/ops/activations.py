@@ -42,6 +42,8 @@ ACT2FN = {
     "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
     "leaky_relu": jax.nn.leaky_relu,
     "linear": lambda x: x,
+    "hard_swish": jax.nn.hard_swish,
+    "hardswish": jax.nn.hard_swish,
 }
 
 
