@@ -25,6 +25,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi3": ("phi3", "Phi3Config"),
     "gpt2": ("gpt2", "GPT2Config"),
     "mbart": ("mbart", "MBartConfig"),
+    "mvp": ("mvp", "MvpConfig"),
     "pegasus": ("pegasus", "PegasusConfig"),
     "marian": ("marian", "MarianConfig"),
     "m2m_100": ("m2m_100", "M2M100Config"),

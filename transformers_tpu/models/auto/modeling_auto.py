@@ -204,6 +204,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoe": ("granitemoe", "GraniteMoeForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "bart": ("bart", "BartForSequenceClassification"),
+    "mvp": ("mvp", "MvpForSequenceClassification"),
     "llama": ("llama", "LlamaForSequenceClassification"),
     "mistral": ("mistral", "MistralForSequenceClassification"),
     "qwen2": ("qwen2", "Qwen2ForSequenceClassification"),
@@ -239,6 +241,8 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "bart": ("bart", "BartForQuestionAnswering"),
+    "mvp": ("mvp", "MvpForQuestionAnswering"),
     "llama": ("llama", "LlamaForQuestionAnswering"),
     "mistral": ("mistral", "MistralForQuestionAnswering"),
     "qwen2": ("qwen2", "Qwen2ForQuestionAnswering"),
@@ -348,6 +352,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "switch_transformers": ("switch_transformers", "SwitchTransformersForConditionalGeneration"),
     "bart": ("bart", "BartForConditionalGeneration"),
     "mbart": ("mbart", "MBartForConditionalGeneration"),
+    "mvp": ("mvp", "MvpForConditionalGeneration"),
     "pegasus": ("pegasus", "PegasusForConditionalGeneration"),
     "marian": ("marian", "MarianMTModel"),
     "m2m_100": ("m2m_100", "M2M100ForConditionalGeneration"),

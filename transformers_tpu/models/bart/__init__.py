@@ -1,6 +1,8 @@
 from .configuration_bart import BartConfig
 from .modeling_bart import (
     BartForConditionalGeneration,
+    BartForQuestionAnswering,
+    BartForSequenceClassification,
     BartModel,
     BartPreTrainedModel,
 )

@@ -16,7 +16,9 @@ import numpy as np
 from ...cache_utils import StaticKVCache, init_static_cache
 from ...core.module import Embedding, LayerNorm, Linear, Module, normal_init
 from ...generation.seq2seq import EncoderDecoderGenerationMixin
-from ...modeling_outputs import BaseModelOutput, Seq2SeqLMOutput
+from ...modeling_outputs import (BaseModelOutput,
+                                 QuestionAnsweringModelOutput,
+                                 Seq2SeqLMOutput, SequenceClassifierOutput)
 from ...modeling_utils import PreTrainedModel
 from ...ops.activations import get_activation
 from ...ops.attention import get_attention_fn
@@ -326,3 +328,113 @@ class BartForConditionalGeneration(BartPreTrainedModel, EncoderDecoderGeneration
             loss = for_masked_lm_loss(logits, labels, self.config.vocab_size)
         return Seq2SeqLMOutput(loss=loss, logits=logits, past_key_values=cache,
                                encoder_last_hidden_state=encoder_outputs.last_hidden_state)
+
+
+def shift_tokens_right(input_ids, pad_token_id, decoder_start_token_id):
+    """Reference modeling_bart.py shift_tokens_right: prepend start token,
+    drop last, replace -100 with pad."""
+    shifted = jnp.concatenate(
+        [jnp.full((input_ids.shape[0], 1), decoder_start_token_id, input_ids.dtype),
+         input_ids[:, :-1]], axis=1)
+    return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+class BartClassificationHead(Module):
+    """dense -> tanh -> out_proj (reference BartClassificationHead)."""
+
+    def __init__(self, input_dim, inner_dim, num_classes, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        self.dense = Linear(input_dim, inner_dim, True, **kw)
+        self.out_proj = Linear(inner_dim, num_classes, True, **kw)
+
+    def __call__(self, params, x):
+        return self.out_proj(params["out_proj"],
+                             jnp.tanh(self.dense(params["dense"], x)))
+
+
+class _BartSeq2SeqBackbone(Module):
+    """Shared forward for the classification/QA heads: full encoder-decoder
+    pass with decoder_input_ids defaulting to shift_tokens_right(input_ids)
+    (reference BartModel.forward)."""
+
+    def run(self, params, model, config, input_ids, attention_mask,
+            decoder_input_ids, decoder_attention_mask):
+        if decoder_input_ids is None:
+            decoder_input_ids = shift_tokens_right(
+                input_ids, config.pad_token_id, config.decoder_start_token_id)
+        embeds = model.shared(params["model"]["shared"], input_ids)
+        enc = model.encoder(params["model"]["encoder"], embeds, attention_mask)
+        cross_kv = []
+        for i, layer in enumerate(model.decoder.layers):
+            cross_kv.append(layer.encoder_attn.kv(
+                params["model"]["decoder"]["layers"][str(i)]["encoder_attn"], enc))
+        dec_embeds = model.shared(params["model"]["shared"], decoder_input_ids)
+        hidden, _ = model.decoder(params["model"]["decoder"], dec_embeds,
+                                  tuple(cross_kv), None, 0,
+                                  decoder_attention_mask, attention_mask)
+        return hidden
+
+
+class BartForSequenceClassification(BartPreTrainedModel, _BartSeq2SeqBackbone):
+    """Pools the decoder hidden state at the LAST eos token
+    (reference BartForSequenceClassification)."""
+
+    model_cls = BartModel
+
+    def __init__(self, config: BartConfig, *, dtype=jnp.float32, param_dtype=None):
+        super().__init__(config, dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, **kw)
+        self.classification_head = BartClassificationHead(
+            config.d_model, config.d_model, config.num_labels, **kw)
+
+    def __call__(self, params, input_ids=None, attention_mask=None,
+                 decoder_input_ids=None, decoder_attention_mask=None,
+                 labels=None, **kwargs):
+        hidden = self.run(params, self.model, self.config, input_ids,
+                          attention_mask, decoder_input_ids,
+                          decoder_attention_mask)
+        ids = decoder_input_ids if decoder_input_ids is not None else input_ids
+        eos_mask = ids == self.config.eos_token_id
+        s = ids.shape[1]
+        last_eos = jnp.where(eos_mask, jnp.arange(s)[None, :], -1).max(axis=1)
+        pooled = jnp.take_along_axis(
+            hidden, last_eos[:, None, None].clip(0), axis=1)[:, 0]
+        logits = self.classification_head(params["classification_head"], pooled)
+        loss = None
+        if labels is not None:
+            from ...loss import for_sequence_classification_loss
+
+            loss = for_sequence_classification_loss(logits, labels, self.config)
+        return SequenceClassifierOutput(loss=loss, logits=logits)
+
+
+class BartForQuestionAnswering(BartPreTrainedModel, _BartSeq2SeqBackbone):
+    """Span head over the decoder output (reference BartForQuestionAnswering)."""
+
+    model_cls = BartModel
+
+    def __init__(self, config: BartConfig, *, dtype=jnp.float32, param_dtype=None):
+        super().__init__(config, dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, **kw)
+        self.qa_outputs = Linear(config.d_model, 2, True, **kw)
+
+    def __call__(self, params, input_ids=None, attention_mask=None,
+                 decoder_input_ids=None, decoder_attention_mask=None,
+                 start_positions=None, end_positions=None, **kwargs):
+        hidden = self.run(params, self.model, self.config, input_ids,
+                          attention_mask, decoder_input_ids,
+                          decoder_attention_mask)
+        logits = self.qa_outputs(params["qa_outputs"], hidden)
+        start_logits = logits[..., 0]
+        end_logits = logits[..., 1]
+        loss = None
+        if start_positions is not None and end_positions is not None:
+            from ...loss import for_question_answering_loss
+
+            loss = for_question_answering_loss(start_logits, end_logits,
+                                               start_positions, end_positions)
+        return QuestionAnsweringModelOutput(loss=loss, start_logits=start_logits,
+                                            end_logits=end_logits)
