@@ -26,6 +26,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt2": ("gpt2", "GPT2Config"),
     "mbart": ("mbart", "MBartConfig"),
     "mvp": ("mvp", "MvpConfig"),
+    "pegasus_x": ("pegasus_x", "PegasusXConfig"),
     "pegasus": ("pegasus", "PegasusConfig"),
     "marian": ("marian", "MarianConfig"),
     "m2m_100": ("m2m_100", "M2M100Config"),

@@ -353,6 +353,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bart": ("bart", "BartForConditionalGeneration"),
     "mbart": ("mbart", "MBartForConditionalGeneration"),
     "mvp": ("mvp", "MvpForConditionalGeneration"),
+    "pegasus_x": ("pegasus_x", "PegasusXForConditionalGeneration"),
     "pegasus": ("pegasus", "PegasusForConditionalGeneration"),
     "marian": ("marian", "MarianMTModel"),
     "m2m_100": ("m2m_100", "M2M100ForConditionalGeneration"),

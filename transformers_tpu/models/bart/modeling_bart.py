@@ -38,17 +38,18 @@ class BartLearnedPositionalEmbedding(Embedding):
 
 
 class BartAttention(Module):
-    def __init__(self, embed_dim, num_heads, config, *, dtype, param_dtype):
+    def __init__(self, embed_dim, num_heads, config, *, use_bias=True,
+                 dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         self.num_heads = num_heads
         self.head_dim = embed_dim // num_heads
         self.scale = self.head_dim**-0.5
         kw = dict(dtype=dtype, param_dtype=param_dtype, kernel_init=normal_init(config.init_std))
-        self.q_proj = Linear(embed_dim, embed_dim, True, **kw)
-        self.k_proj = Linear(embed_dim, embed_dim, True, **kw)
-        self.v_proj = Linear(embed_dim, embed_dim, True, **kw)
-        self.out_proj = Linear(embed_dim, embed_dim, True, **kw)
+        self.q_proj = Linear(embed_dim, embed_dim, use_bias, **kw)
+        self.k_proj = Linear(embed_dim, embed_dim, use_bias, **kw)
+        self.v_proj = Linear(embed_dim, embed_dim, use_bias, **kw)
+        self.out_proj = Linear(embed_dim, embed_dim, use_bias, **kw)
 
     def kv(self, params, hidden):
         b, s, _ = hidden.shape
