@@ -25,6 +25,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi3": ("phi3", "Phi3Config"),
     "gpt2": ("gpt2", "GPT2Config"),
     "mbart": ("mbart", "MBartConfig"),
+    "moonshine": ("moonshine", "MoonshineConfig"),
     "mvp": ("mvp", "MvpConfig"),
     "pegasus_x": ("pegasus_x", "PegasusXConfig"),
     "pegasus": ("pegasus", "PegasusConfig"),
