@@ -1,0 +1,3 @@
+from .configuration_altclip import (AltCLIPConfig, AltCLIPTextConfig,
+                                    AltCLIPVisionConfig)
+from .modeling_altclip import AltCLIPModel

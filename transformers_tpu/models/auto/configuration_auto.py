@@ -160,6 +160,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rembert": ("rembert", "RemBertConfig"),
     "megatron-bert": ("megatron_bert", "MegatronBertConfig"),
     "vit": ("vit", "ViTConfig"),
+    "altclip": ("altclip", "AltCLIPConfig"),
+    "chinese_clip": ("chinese_clip", "ChineseCLIPConfig"),
     "clip": ("clip", "CLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),
     "clip_vision_model": ("clip", "CLIPVisionConfig"),

@@ -94,6 +94,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rembert": ("rembert", "RemBertModelStandalone"),
     "megatron-bert": ("megatron_bert", "MegatronBertModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
+    "altclip": ("altclip", "AltCLIPModel"),
+    "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
@@ -394,6 +396,8 @@ MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = 
     "blip": ("blip", "BlipForQuestionAnswering"),
 }
 MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "altclip": ("altclip", "AltCLIPModel"),
+    "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
 }

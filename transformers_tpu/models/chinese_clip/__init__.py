@@ -1,0 +1,4 @@
+from .configuration_chinese_clip import (ChineseCLIPConfig,
+                                         ChineseCLIPTextConfig,
+                                         ChineseCLIPVisionConfig)
+from .modeling_chinese_clip import ChineseCLIPModel
