@@ -160,6 +160,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rembert": ("rembert", "RemBertConfig"),
     "megatron-bert": ("megatron_bert", "MegatronBertConfig"),
     "vit": ("vit", "ViTConfig"),
+    "align": ("align", "AlignConfig"),
     "altclip": ("altclip", "AltCLIPConfig"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPConfig"),
     "clip": ("clip", "CLIPConfig"),

@@ -94,6 +94,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rembert": ("rembert", "RemBertModelStandalone"),
     "megatron-bert": ("megatron_bert", "MegatronBertModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
+    "align": ("align", "AlignModel"),
     "altclip": ("altclip", "AltCLIPModel"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
@@ -396,6 +397,7 @@ MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = 
     "blip": ("blip", "BlipForQuestionAnswering"),
 }
 MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "align": ("align", "AlignModel"),
     "altclip": ("altclip", "AltCLIPModel"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
