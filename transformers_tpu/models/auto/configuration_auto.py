@@ -164,6 +164,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "altclip": ("altclip", "AltCLIPConfig"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPConfig"),
     "clip": ("clip", "CLIPConfig"),
+    "groupvit": ("groupvit", "GroupViTConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),
     "clip_vision_model": ("clip", "CLIPVisionConfig"),
     "siglip": ("siglip", "SiglipConfig"),

@@ -98,6 +98,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "altclip": ("altclip", "AltCLIPModel"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
+    "groupvit": ("groupvit", "GroupViTModel"),
     "siglip": ("siglip", "SiglipModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
@@ -401,6 +402,7 @@ MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str
     "altclip": ("altclip", "AltCLIPModel"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
+    "groupvit": ("groupvit", "GroupViTModel"),
     "siglip": ("siglip", "SiglipModel"),
 }
 
