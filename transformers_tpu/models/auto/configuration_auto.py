@@ -165,6 +165,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "chinese_clip": ("chinese_clip", "ChineseCLIPConfig"),
     "clip": ("clip", "CLIPConfig"),
     "groupvit": ("groupvit", "GroupViTConfig"),
+    "xclip": ("x_clip", "XCLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),
     "clip_vision_model": ("clip", "CLIPVisionConfig"),
     "siglip": ("siglip", "SiglipConfig"),

@@ -99,6 +99,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
     "groupvit": ("groupvit", "GroupViTModel"),
+    "xclip": ("x_clip", "XCLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
@@ -403,6 +404,7 @@ MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
     "groupvit": ("groupvit", "GroupViTModel"),
+    "xclip": ("x_clip", "XCLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
 }
 

@@ -1,0 +1,2 @@
+from .configuration_x_clip import XCLIPConfig, XCLIPTextConfig, XCLIPVisionConfig
+from .modeling_x_clip import XCLIPModel
