@@ -29,6 +29,7 @@ from .models.auto import (
     AutoModelForDocumentQuestionAnswering,
     AutoModelForKeypointDetection,
     AutoModelForKeypointMatching,
+    AutoModelForTableQuestionAnswering,
     AutoModelForTextToSpectrogram,
     AutoModelForTextToWaveform,
     AutoModelForObjectDetection,

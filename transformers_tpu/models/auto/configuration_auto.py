@@ -28,6 +28,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "moonshine": ("moonshine", "MoonshineConfig"),
     "mvp": ("mvp", "MvpConfig"),
     "pegasus_x": ("pegasus_x", "PegasusXConfig"),
+    "tapas": ("tapas", "TapasConfig"),
     "pegasus": ("pegasus", "PegasusConfig"),
     "marian": ("marian", "MarianConfig"),
     "m2m_100": ("m2m_100", "M2M100Config"),

@@ -13,6 +13,7 @@ from .configuration_auto import AutoConfig
 
 # task mapping tables: model_type -> (module under transformers_tpu.models, class name)
 MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "tapas": ("tapas", "TapasModelStandalone"),
     "llama": ("llama", "LlamaModelStandalone"),
     "mistral": ("mistral", "MistralModelStandalone"),
     "qwen2": ("qwen2", "Qwen2ModelStandalone"),
@@ -209,6 +210,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoe": ("granitemoe", "GraniteMoeForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "tapas": ("tapas", "TapasForSequenceClassification"),
     "bart": ("bart", "BartForSequenceClassification"),
     "mvp": ("mvp", "MvpForSequenceClassification"),
     "llama": ("llama", "LlamaForSequenceClassification"),
@@ -262,6 +264,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "tapas": ("tapas", "TapasForMaskedLM"),
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
     "squeezebert": ("squeezebert", "SqueezeBertForMaskedLM"),
@@ -554,6 +557,10 @@ class AutoModelForTextToWaveform(_BaseAutoModelClass):
 
 class AutoModelForTextToSpectrogram(_BaseAutoModelClass):
     _model_mapping = {"speecht5": ("speecht5", "SpeechT5ForTextToSpeech")}
+
+
+class AutoModelForTableQuestionAnswering(_BaseAutoModelClass):
+    _model_mapping = {"tapas": ("tapas", "TapasForQuestionAnswering")}
 
 
 class AutoModelForTimeSeriesPrediction(_BaseAutoModelClass):
