@@ -163,6 +163,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTConfig"),
     "align": ("align", "AlignConfig"),
     "altclip": ("altclip", "AltCLIPConfig"),
+    "canine": ("canine", "CanineConfig"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPConfig"),
     "clip": ("clip", "CLIPConfig"),
     "groupvit": ("groupvit", "GroupViTConfig"),

@@ -13,6 +13,7 @@ from .configuration_auto import AutoConfig
 
 # task mapping tables: model_type -> (module under transformers_tpu.models, class name)
 MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "canine": ("canine", "CanineModelStandalone"),
     "tapas": ("tapas", "TapasModelStandalone"),
     "llama": ("llama", "LlamaModelStandalone"),
     "mistral": ("mistral", "MistralModelStandalone"),
@@ -210,6 +211,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoe": ("granitemoe", "GraniteMoeForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "canine": ("canine", "CanineForSequenceClassification"),
     "tapas": ("tapas", "TapasForSequenceClassification"),
     "bart": ("bart", "BartForSequenceClassification"),
     "mvp": ("mvp", "MvpForSequenceClassification"),
@@ -233,6 +235,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "canine": ("canine", "CanineForTokenClassification"),
     "llama": ("llama", "LlamaForTokenClassification"),
     "mistral": ("mistral", "MistralForTokenClassification"),
     "qwen2": ("qwen2", "Qwen2ForTokenClassification"),
@@ -248,6 +251,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "canine": ("canine", "CanineForQuestionAnswering"),
     "bart": ("bart", "BartForQuestionAnswering"),
     "mvp": ("mvp", "MvpForQuestionAnswering"),
     "llama": ("llama", "LlamaForQuestionAnswering"),
