@@ -166,6 +166,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "canine": ("canine", "CanineConfig"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPConfig"),
     "clip": ("clip", "CLIPConfig"),
+    "funnel": ("funnel", "FunnelConfig"),
     "groupvit": ("groupvit", "GroupViTConfig"),
     "xclip": ("x_clip", "XCLIPConfig"),
     "clip_text_model": ("clip", "CLIPTextConfig"),

@@ -13,6 +13,7 @@ from .configuration_auto import AutoConfig
 
 # task mapping tables: model_type -> (module under transformers_tpu.models, class name)
 MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "funnel": ("funnel", "FunnelModel"),
     "canine": ("canine", "CanineModelStandalone"),
     "tapas": ("tapas", "TapasModelStandalone"),
     "llama": ("llama", "LlamaModelStandalone"),
@@ -211,6 +212,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoe": ("granitemoe", "GraniteMoeForCausalLM"),
 }
 MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "funnel": ("funnel", "FunnelForSequenceClassification"),
     "canine": ("canine", "CanineForSequenceClassification"),
     "tapas": ("tapas", "TapasForSequenceClassification"),
     "bart": ("bart", "BartForSequenceClassification"),
@@ -235,6 +237,7 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "funnel": ("funnel", "FunnelForTokenClassification"),
     "canine": ("canine", "CanineForTokenClassification"),
     "llama": ("llama", "LlamaForTokenClassification"),
     "mistral": ("mistral", "MistralForTokenClassification"),
@@ -251,6 +254,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "funnel": ("funnel", "FunnelForQuestionAnswering"),
     "canine": ("canine", "CanineForQuestionAnswering"),
     "bart": ("bart", "BartForQuestionAnswering"),
     "mvp": ("mvp", "MvpForQuestionAnswering"),
@@ -268,6 +272,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "funnel": ("funnel", "FunnelForMaskedLM"),
     "tapas": ("tapas", "TapasForMaskedLM"),
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
