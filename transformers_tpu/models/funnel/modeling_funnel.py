@@ -208,9 +208,8 @@ class FunnelRelMultiheadAttention(Module):
         bias = jnp.einsum("bind,snd->bnis", q_head + r_s,
                           params["seg_embed"].astype(q_head.dtype))
         diff, same = bias[..., 0:1], bias[..., 1:2]
-        mat = token_type_mat[:, None]
-        attn = jnp.where(mat, jnp.broadcast_to(same, mat.shape),
-                         jnp.broadcast_to(diff, mat.shape))
+        # where() broadcasts (b,1,i,j) mask against (b,n,i,1) biases -> (b,n,i,j)
+        attn = jnp.where(token_type_mat[:, None], same, diff)
         if cls_mask is not None:
             attn = attn * cls_mask
         return attn
@@ -441,6 +440,8 @@ class FunnelBaseModel(FunnelPreTrainedModel):
 
     def __call__(self, params, input_ids=None, attention_mask=None,
                  token_type_ids=None, **kwargs):
+        if token_type_ids is None:  # reference defaults to zeros (modeling_funnel.py:771)
+            token_type_ids = jnp.zeros_like(input_ids)
         h = self.embeddings(params["embeddings"], input_ids)
         hidden = self.encoder(params["encoder"], h, attention_mask,
                               token_type_ids)
@@ -459,6 +460,8 @@ class FunnelModel(FunnelPreTrainedModel):
 
     def __call__(self, params, input_ids=None, attention_mask=None,
                  token_type_ids=None, **kwargs):
+        if token_type_ids is None:  # reference defaults to zeros (modeling_funnel.py:771)
+            token_type_ids = jnp.zeros_like(input_ids)
         h = self.embeddings(params["embeddings"], input_ids)
         final, block1 = self.encoder(params["encoder"], h, attention_mask,
                                      token_type_ids, return_block1=True)
