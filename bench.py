@@ -1,6 +1,13 @@
-"""Headline benchmark: Llama steady-state decode throughput on one TPU chip.
+"""Headline benchmark: Llama-3-8B steady-state decode throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Geometry is the real Llama-3-8B (BASELINE.md north star): 32 layers, 4096
+hidden, 14336 intermediate, 32 heads / 8 KV heads, head_dim 128, 128256
+vocab, untied lm_head — 8.03B params, 14.96 GiB bf16, deliberately sized to
+the chip (v5e 15.75 GiB usable). Params are zero-initialized directly in
+bf16 on device: MXU/HBM timing is data-independent and random init would
+need f32 temporaries that do not fit next to the full parameter set.
 
 Methodology (TPOT — time per output token): generation is timed at TWO
 generation lengths (64 and 192 tokens) and the difference taken, so prefill
@@ -16,14 +23,13 @@ subtraction slightly *over*counts decode time.
 the KV cache through HBM once). The reference publishes no absolute numbers
 (BASELINE.md), so the roofline is the honest baseline.
 
-Measured context (2026-08-16, v5e via axon):
-- pure weight-streaming while_loop hits 824 GB/s (=100.6% of nominal) on
-  these matmul shapes, so the roofline is reachable by XLA;
-- the model loop runs at ~0.88 of the params-only floor; the remainder is
-  attention/rope/sampling kernels (~250 launches/step);
-- fusing q/k/v and gate/up into single matmuls was tested and is a null
-  result (3.093 vs 3.058 ms/step) — XLA already saturates HBM with separate
-  weight streams; do not re-attempt.
+Measured context (2026-08-16/17, v5e via axon):
+- pure weight-streaming while_loop hits 824 GB/s (=100.6% of nominal), so
+  the roofline is reachable by XLA;
+- fusing q/k/v and gate/up into single matmuls is a null result — XLA
+  already saturates HBM with separate weight streams; do not re-attempt;
+- decode attention over a [B,KVH,S,D] cache streams at full rate; the old
+  [B,S,KVH,D] layout was the 1B-geometry bottleneck (strided KV reads).
 """
 
 from __future__ import annotations
@@ -35,14 +41,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Llama-3.2-1B geometry (random init; bench measures compute, not weights)
-VOCAB = 32000
-HIDDEN = 2048
-INTER = 8192
-LAYERS = 16
+# Llama-3-8B geometry (reference models/llama config for Meta-Llama-3-8B)
+VOCAB = 128256
+HIDDEN = 4096
+INTER = 14336
+LAYERS = 32
 HEADS = 32
 KV_HEADS = 8
-HEAD_DIM = 64
+HEAD_DIM = 128
 
 BATCH = 8
 PROMPT = 128
@@ -53,6 +59,13 @@ GEN_LONG = 192
 HBM_BW = 819e9
 
 
+def zero_params(model):
+    """Materialize the parameter pytree as bf16 zeros on device, leaf by
+    leaf (no f32 init temporaries — the full tree is 14.96 GiB)."""
+    spec = model.init_abstract()
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), spec)
+
+
 def main():
     from transformers_tpu import LlamaConfig, LlamaForCausalLM
 
@@ -60,10 +73,11 @@ def main():
         vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=INTER,
         num_hidden_layers=LAYERS, num_attention_heads=HEADS,
         num_key_value_heads=KV_HEADS, head_dim=HEAD_DIM,
-        max_position_embeddings=PROMPT + GEN_LONG + 64,
+        max_position_embeddings=PROMPT + GEN_LONG,
+        tie_word_embeddings=False,
     )
     model = LlamaForCausalLM(config, dtype=jnp.bfloat16)
-    params = model.init_params(0)
+    params = zero_params(model)
     n_params = model.num_parameters(params)
 
     rng = np.random.default_rng(0)
@@ -103,7 +117,7 @@ def main():
     vs = tok_per_sec / roofline_tok_per_sec
 
     print(json.dumps({
-        "metric": "llama1b_bf16_steady_state_decode_tokens_per_sec_per_chip",
+        "metric": "llama3_8b_bf16_steady_state_decode_tokens_per_sec_per_chip",
         "value": round(tok_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 4),

@@ -24,21 +24,37 @@ import jax.numpy as jnp
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=["keys", "values"],
-         meta_fields=["layer_windows", "max_len"])
+         meta_fields=["layer_windows", "max_len", "layout"])
 @dataclass(frozen=True)
 class StaticKVCache:
     """Preallocated per-layer KV buffers.
 
-    keys/values: tuples (len = num layers) of [B, max_len, KVH, D] arrays.
-    ``layer_windows`` records per-layer sliding windows; in this round the
-    window is enforced by the attention mask over a full-length buffer (ring
-    buffers are a later memory optimization).
+    keys/values: tuples (len = num layers) of arrays in one of two layouts:
+
+    - ``layout="bshd"`` (default): [B, max_len, KVH, D] — matches the
+      attention-input layout, zero-copy for families that attend over the
+      raw buffer with the eager/flash kernels.
+    - ``layout="bhsd"``: [B, KVH, max_len, D] — the decode-optimal layout:
+      per-(batch, kv-head) KV slabs are contiguous [S, D] blocks, so the
+      single-token decode attention streams them at full HBM rate (the
+      [B,S,KVH,D] layout forces strided reads, measured ~0.6x peak on v5e).
+      Used by the llama decoder skeleton (ops/attention.py
+      ``cached_attention_bhsd``).
+
+    ``update()`` always ACCEPTS k/v in [B, S, KVH, D] (the projection
+    layout) and transposes the incoming slice internally for bhsd caches —
+    the transpose touches only the new tokens, not the buffer.
+
+    ``layer_windows`` records per-layer sliding windows; the window is
+    enforced by the attention mask over a full-length buffer (ring buffers
+    are a later memory optimization).
     """
 
     keys: tuple
     values: tuple
     layer_windows: tuple  # per-layer Optional[int] sliding window (None = full)
     max_len: int
+    layout: str = "bshd"
 
     @property
     def num_layers(self) -> int:
@@ -53,7 +69,13 @@ class StaticKVCache:
         the new cache. Ring-buffer write for sliding layers."""
         buf_k, buf_v = self.keys[layer_idx], self.values[layer_idx]
         slot = jnp.asarray(pos, jnp.int32)
-        start = (jnp.zeros((), jnp.int32), slot, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        z = jnp.zeros((), jnp.int32)
+        if self.layout == "bhsd":
+            k = jnp.swapaxes(k, 1, 2)  # [B, KVH, S, D]
+            v = jnp.swapaxes(v, 1, 2)
+            start = (z, z, slot, z)
+        else:
+            start = (z, slot, z, z)
         new_k = jax.lax.dynamic_update_slice(buf_k, k.astype(buf_k.dtype), start)
         new_v = jax.lax.dynamic_update_slice(buf_v, v.astype(buf_v.dtype), start)
         keys = self.keys[:layer_idx] + (new_k,) + self.keys[layer_idx + 1 :]
@@ -61,6 +83,8 @@ class StaticKVCache:
         return replace(self, keys=keys, values=values)
 
     def layer(self, layer_idx: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Native-layout buffers; callers must branch on ``self.layout``
+        (every in-tree caller outside the llama skeleton uses bshd caches)."""
         return self.keys[layer_idx], self.values[layer_idx]
 
 
@@ -73,17 +97,23 @@ def init_static_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
     layer_windows: Optional[tuple] = None,
+    layout: str = "bshd",
 ) -> StaticKVCache:
     """Build an empty cache (reference StaticCache preallocation, cache_utils.py:1822)."""
     if layer_windows is None:
         layer_windows = (None,) * num_layers
+    if layout == "bhsd":
+        shape = (batch_size, num_kv_heads, max_len, head_dim)
+    else:
+        shape = (batch_size, max_len, num_kv_heads, head_dim)
     keys = []
     values = []
     for _ in layer_windows:
-        keys.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
-        values.append(jnp.zeros((batch_size, max_len, num_kv_heads, head_dim), dtype))
+        keys.append(jnp.zeros(shape, dtype))
+        values.append(jnp.zeros(shape, dtype))
     return StaticKVCache(keys=tuple(keys), values=tuple(values),
-                         layer_windows=tuple(layer_windows), max_len=max_len)
+                         layer_windows=tuple(layer_windows), max_len=max_len,
+                         layout=layout)
 
 
 def layer_sliding_window(config, layer_idx: int) -> Optional[int]:
@@ -111,7 +141,7 @@ def layer_sliding_window(config, layer_idx: int) -> Optional[int]:
 
 
 def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16,
-                      implementation: str = "static"):
+                      implementation: str = "static", layout: str = "bshd"):
     """Derive cache geometry from a decoder config (hybrid layer_types aware,
     reference cache_utils.py:1694 ``get_layer_types_and_kwargs``).
     ``implementation``: "static" (default) or "quantized" (int8 KV) —
@@ -132,6 +162,7 @@ def cache_from_config(config, batch_size: int, max_len: int, dtype=jnp.bfloat16,
         head_dim=head_dim,
         dtype=dtype,
         layer_windows=layer_windows,
+        layout=layout,
     )
 
 
@@ -163,6 +194,10 @@ class HybridCache:
     @property
     def max_len(self) -> int:
         return self.kv.max_len
+
+    @property
+    def layout(self) -> str:
+        return self.kv.layout
 
     def update(self, layer_idx: int, k, v, pos) -> "HybridCache":
         return replace(self, kv=self.kv.update(layer_idx, k, v, pos))
@@ -205,7 +240,7 @@ def init_hybrid_cache(*, batch_size: int, max_len: int, dtype, block_types,
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["keys", "values", "key_scales", "value_scales"],
-         meta_fields=["layer_windows", "max_len"])
+         meta_fields=["layer_windows", "max_len", "layout"])
 @dataclass(frozen=True)
 class QuantizedKVCache:
     """int8 KV cache with per-(token, head) scales (reference
@@ -214,12 +249,13 @@ class QuantizedKVCache:
     read traffic; dequant happens on read and fuses into attention.
     """
 
-    keys: tuple         # int8 [B, max_len, KVH, D]
+    keys: tuple         # int8 [B, max_len, KVH, D] (bshd) / [B, KVH, max_len, D] (bhsd)
     values: tuple
-    key_scales: tuple   # f32 [B, max_len, KVH, 1]
+    key_scales: tuple   # f32, same layout with D -> 1
     value_scales: tuple
     layer_windows: tuple
     max_len: int
+    layout: str = "bshd"
 
     @property
     def num_layers(self) -> int:
@@ -237,7 +273,12 @@ class QuantizedKVCache:
         qv, sv = self._quantize(v)
         slot = jnp.asarray(pos, jnp.int32)
         z = jnp.zeros((), jnp.int32)
-        start4 = (z, slot, z, z)
+        if self.layout == "bhsd":
+            qk, sk = jnp.swapaxes(qk, 1, 2), jnp.swapaxes(sk, 1, 2)
+            qv, sv = jnp.swapaxes(qv, 1, 2), jnp.swapaxes(sv, 1, 2)
+            start4 = (z, z, slot, z)
+        else:
+            start4 = (z, slot, z, z)
         keys = self.keys[:layer_idx] + (
             jax.lax.dynamic_update_slice(self.keys[layer_idx], qk, start4),) + self.keys[layer_idx + 1:]
         values = self.values[:layer_idx] + (
@@ -257,14 +298,19 @@ class QuantizedKVCache:
 
 def init_quantized_cache(*, num_layers: int, batch_size: int, max_len: int,
                          num_kv_heads: int, head_dim: int,
-                         layer_windows: Optional[tuple] = None, **_) -> QuantizedKVCache:
+                         layer_windows: Optional[tuple] = None,
+                         layout: str = "bshd", **_) -> QuantizedKVCache:
     if layer_windows is None:
         layer_windows = (None,) * num_layers
-    kv_shape = (batch_size, max_len, num_kv_heads, head_dim)
-    sc_shape = (batch_size, max_len, num_kv_heads, 1)
+    if layout == "bhsd":
+        kv_shape = (batch_size, num_kv_heads, max_len, head_dim)
+        sc_shape = (batch_size, num_kv_heads, max_len, 1)
+    else:
+        kv_shape = (batch_size, max_len, num_kv_heads, head_dim)
+        sc_shape = (batch_size, max_len, num_kv_heads, 1)
     return QuantizedKVCache(
         keys=tuple(jnp.zeros(kv_shape, jnp.int8) for _ in range(num_layers)),
         values=tuple(jnp.zeros(kv_shape, jnp.int8) for _ in range(num_layers)),
         key_scales=tuple(jnp.zeros(sc_shape, jnp.float32) for _ in range(num_layers)),
         value_scales=tuple(jnp.zeros(sc_shape, jnp.float32) for _ in range(num_layers)),
-        layer_windows=tuple(layer_windows), max_len=max_len)
+        layer_windows=tuple(layer_windows), max_len=max_len, layout=layout)

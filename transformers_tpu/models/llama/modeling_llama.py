@@ -135,20 +135,39 @@ class LlamaAttention(Module):
         if cos is not None and getattr(self, "apply_rope", True):
             q, k = self.rope_fn(q, k, cos, sin)
 
-        if cache is not None:
-            cache = cache.update(self.layer_idx, k, v, cache_position)
-            k_full, v_full = cache.layer(self.layer_idx)
-            k_full = k_full.astype(self.dtype)
-            v_full = v_full.astype(self.dtype)
-        else:
-            k_full, v_full = k, v
-
-        attn_fn = get_attention_fn(self.config.attn_implementation)
         kwargs = dict(attn_args)
         kwargs["sliding_window"] = self.sliding_window
         kwargs["logit_cap"] = self.logit_cap
         kwargs.update(self.extra_attn_kwargs(params))
-        out = attn_fn(q, k_full, v_full, scale=self.scale, **kwargs)
+
+        # Static prefill (cache_position is the Python int 0, s covers the
+        # whole prompt): attend over the just-computed LOCAL k/v — the cache
+        # holds nothing else yet, and the local slice is both smaller than
+        # the full buffer and already in the flash kernel's bshd layout.
+        is_static_prefill = (
+            cache is not None and s > 1
+            and isinstance(cache_position, int) and cache_position == 0
+        )
+        if cache is not None:
+            cache = cache.update(self.layer_idx, k, v, cache_position)
+
+        if cache is None or is_static_prefill:
+            if is_static_prefill and kwargs.get("kv_valid") is not None:
+                kwargs["kv_valid"] = kwargs["kv_valid"][:, :s]
+            attn_fn = get_attention_fn(self.config.attn_implementation)
+            out = attn_fn(q, k, v, scale=self.scale, **kwargs)
+        elif getattr(cache, "layout", "bshd") == "bhsd":
+            from ...ops.attention import cached_attention_bhsd
+
+            k_full, v_full = cache.layer(self.layer_idx)
+            out = cached_attention_bhsd(
+                q, k_full.astype(self.dtype), v_full.astype(self.dtype),
+                scale=self.scale, **kwargs)
+        else:
+            k_full, v_full = cache.layer(self.layer_idx)
+            attn_fn = get_attention_fn(self.config.attn_implementation)
+            out = attn_fn(q, k_full.astype(self.dtype), v_full.astype(self.dtype),
+                          scale=self.scale, **kwargs)
         out = out.reshape(b, s, self.num_heads * self.head_dim)
         return self.project_out(params, out), cache
 
@@ -372,8 +391,10 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
 
     def init_cache(self, batch_size: int, max_len: int, dtype=None,
                    implementation: str = "static"):
+        # bhsd: decode-optimal layout (contiguous per-head KV slabs); see
+        # cache_utils.StaticKVCache and ops/attention.cached_attention_bhsd.
         return cache_from_config(self.config, batch_size, max_len, dtype or self.dtype,
-                                 implementation=implementation)
+                                 implementation=implementation, layout="bhsd")
 
 
 class LlamaModelStandalone(LlamaPreTrainedModel):

@@ -120,6 +120,76 @@ def eager_attention(
     return out.reshape(b, sq, h, v.shape[-1])
 
 
+def cached_attention_bhsd(
+    q: jnp.ndarray,  # [B, Sq, H, D]
+    k: jnp.ndarray,  # [B, KVH, S, D]  (bhsd cache buffer)
+    v: jnp.ndarray,  # [B, KVH, S, D]
+    *,
+    q_positions: Optional[jnp.ndarray] = None,  # [B, Sq] absolute slots
+    kv_valid: Optional[jnp.ndarray] = None,     # [B, S]
+    is_causal: bool = True,
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+    logit_cap: Optional[float] = None,
+    probs_sink: Optional[list] = None,
+    sinks: Optional[jnp.ndarray] = None,
+    **kwargs,
+) -> jnp.ndarray:
+    """Attention over a [B, KVH, S, D] cache — the decode hot path.
+
+    The bhsd layout makes the KV contraction a clean batched GEMM over
+    (batch, kv-head) with contiguous [S, D] slabs, which XLA streams at full
+    HBM rate (the bshd layout's strided reads measured ~0.6x peak on v5e).
+    Semantics match ``eager_attention`` (reference
+    integrations/sdpa_attention.py:82); works for any Sq (single-token
+    decode, assisted-decoding verify windows, chunked prefill).
+    """
+    b, sq, h, d = q.shape
+    kvh, skv = k.shape[1], k.shape[2]
+    g = h // kvh
+    scale = scale if scale is not None else d ** -0.5
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(jnp.arange(sq, dtype=jnp.int32)[None, :], (b, sq))
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, skv), jnp.int32)
+
+    qg = q.reshape(b, sq, kvh, g, d)
+    # [B, Sq, KVH, G, D] x [B, KVH, S, D] -> [B, KVH, G, Sq, S]
+    scores = jnp.einsum("bqhgd,bhsd->bhgqs", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if logit_cap is not None and logit_cap > 0:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+
+    kv_pos = jnp.arange(skv, dtype=jnp.int32)[None, :]  # slot index == position
+    valid = kv_valid.astype(bool)[:, None, :]           # [B, 1, S] -> vs [B, Sq, S]
+    if is_causal:
+        visible = valid & (kv_pos[:, None, :] <= q_positions[:, :, None])
+        if sliding_window is not None:
+            visible &= kv_pos[:, None, :] > (q_positions[:, :, None] - sliding_window)
+    else:
+        visible = jnp.broadcast_to(valid, (b, sq, skv))
+        if sliding_window is not None:
+            dist = jnp.abs(q_positions[:, :, None] - kv_pos[:, None, :])
+            visible = visible & (dist <= sliding_window)
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(visible[:, None, None], scores, neg)
+
+    if sinks is not None:
+        sink = sinks.astype(jnp.float32).reshape(kvh, g)[None, :, :, None, None]
+        sink = jnp.broadcast_to(sink, (b, kvh, g, sq, 1))
+        combined = jnp.concatenate([scores, sink], axis=-1)
+        probs = jax.nn.softmax(combined, axis=-1)[..., :-1]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+    if probs_sink is not None:
+        probs_sink.append(
+            probs.astype(q.dtype).reshape(b, h, sq, skv))
+    # [B, KVH, G, Sq, S] x [B, KVH, S, D] -> [B, KVH, G, Sq, D]
+    out = jnp.einsum("bhgqs,bhsd->bhgqd", probs.astype(v.dtype), v)
+    # -> [B, Sq, H, Dv]
+    return jnp.moveaxis(out, 3, 1).reshape(b, sq, h, v.shape[-1])
+
+
 def flash_attention_dispatch(
     q, k, v, bias=None, *,
     q_positions=None, kv_valid=None, is_causal=True, sliding_window=None,
