@@ -25,9 +25,14 @@ import numpy as np
          meta_fields=["block_size", "num_blocks"])
 @dataclass(frozen=True)
 class PagedKVCache:
-    """Per-layer page pools; block 0 is reserved as the null page."""
+    """Per-layer page pools; block 0 is reserved as the null page.
 
-    keys: tuple    # num_layers x [num_blocks, block_size, KVH, D]
+    Pool layout is ``phsd`` — [num_blocks, KVH, block_size, D] — so one
+    page's slab (all KV heads) is a single contiguous region: the Pallas
+    paged decode kernel (ops/pallas/paged_attention.py) fetches a page with
+    ONE DMA and streams it relayout-free."""
+
+    keys: tuple    # num_layers x [num_blocks, KVH, block_size, D]
     values: tuple
     block_size: int
     num_blocks: int
@@ -39,9 +44,9 @@ class PagedKVCache:
 
 def init_paged_cache(*, num_layers: int, num_blocks: int, block_size: int,
                      num_kv_heads: int, head_dim: int, dtype=jnp.bfloat16) -> PagedKVCache:
-    keys = tuple(jnp.zeros((num_blocks, block_size, num_kv_heads, head_dim), dtype)
+    keys = tuple(jnp.zeros((num_blocks, num_kv_heads, block_size, head_dim), dtype)
                  for _ in range(num_layers))
-    values = tuple(jnp.zeros((num_blocks, block_size, num_kv_heads, head_dim), dtype)
+    values = tuple(jnp.zeros((num_blocks, num_kv_heads, block_size, head_dim), dtype)
                    for _ in range(num_layers))
     return PagedKVCache(keys=keys, values=values, block_size=block_size, num_blocks=num_blocks)
 

@@ -26,45 +26,62 @@ from .cache import PagedKVCache
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["keys", "values", "block_tables", "write_slots"],
+         data_fields=["keys", "values", "block_tables", "write_slots", "ctx_lens"],
          meta_fields=["block_size", "max_len"])
 @dataclass
 class PagedCacheView:
-    """Paged pools exposed as a per-step cache.
+    """Paged pools exposed as a per-step cache (``layout == "paged"``).
 
     - ``write_slots`` [N, S]: flat pool slot (block*block_size + offset) for
       every incoming token; slot 0 (the reserved null block) absorbs padding.
-    - ``layer(i)`` gathers each row's pages to a contiguous [N, max_len]
-      context (a Pallas block-table kernel replaces this gather on TPU).
+    - ``ctx_lens`` [N]: live context length per row AFTER this step's tokens
+      — the paged decode kernel's per-row read bound.
+    - Decode attention reads pages straight through the block tables
+      (ops/pallas/paged_attention.py — no gather); ``layer(i)`` keeps a
+      gather fallback for the chunked-prefill path (one row per chunk).
     """
 
-    keys: tuple
+    keys: tuple                # num_layers x [P, KVH, BS, D]
     values: tuple
     block_tables: jnp.ndarray  # [N, MAXB] int32
     write_slots: jnp.ndarray   # [N, S] int32
+    ctx_lens: jnp.ndarray      # [N] int32
     block_size: int
     max_len: int               # MAXB * block_size
 
+    layout = "paged"
+
     def update(self, layer_idx, k, v, cache_position):
+        # scatter [N, S] tokens into (block, head, offset) pool positions
         n, s, kvh, d = k.shape
-        flat_k = self.keys[layer_idx].reshape(-1, kvh, d)
-        flat_v = self.values[layer_idx].reshape(-1, kvh, d)
         slots = self.write_slots.reshape(-1)
-        flat_k = flat_k.at[slots].set(k.reshape(-1, kvh, d).astype(flat_k.dtype))
-        flat_v = flat_v.at[slots].set(v.reshape(-1, kvh, d).astype(flat_v.dtype))
-        shape = self.keys[layer_idx].shape
+        blks = slots // self.block_size
+        offs = slots % self.block_size
+        pool_k = self.keys[layer_idx]
+        pool_v = self.values[layer_idx]
+        pool_k = pool_k.at[blks, :, offs, :].set(k.reshape(-1, kvh, d).astype(pool_k.dtype))
+        pool_v = pool_v.at[blks, :, offs, :].set(v.reshape(-1, kvh, d).astype(pool_v.dtype))
         object.__setattr__(self, "keys",
-                           self.keys[:layer_idx] + (flat_k.reshape(shape),) + self.keys[layer_idx + 1:])
+                           self.keys[:layer_idx] + (pool_k,) + self.keys[layer_idx + 1:])
         object.__setattr__(self, "values",
-                           self.values[:layer_idx] + (flat_v.reshape(shape),) + self.values[layer_idx + 1:])
+                           self.values[:layer_idx] + (pool_v,) + self.values[layer_idx + 1:])
         return self
 
+    def paged_layer(self, layer_idx):
+        """(k_pool, v_pool, block_tables, ctx_lens) for the decode kernel."""
+        return (self.keys[layer_idx], self.values[layer_idx],
+                self.block_tables, self.ctx_lens)
+
     def layer(self, layer_idx):
-        kvh, d = self.keys[layer_idx].shape[-2:]
-        k = jnp.take(self.keys[layer_idx], self.block_tables, axis=0)   # [N, MAXB, BS, KVH, D]
-        v = jnp.take(self.values[layer_idx], self.block_tables, axis=0)
+        """Gather fallback: contiguous [N, max_len, KVH, D] context (used by
+        the chunked-prefill path, where queries span many slots)."""
+        kvh, d = self.keys[layer_idx].shape[1], self.keys[layer_idx].shape[3]
         n = self.block_tables.shape[0]
-        return (k.reshape(n, self.max_len, kvh, d), v.reshape(n, self.max_len, kvh, d))
+        k = jnp.take(self.keys[layer_idx], self.block_tables, axis=0)   # [N, MAXB, KVH, BS, D]
+        v = jnp.take(self.values[layer_idx], self.block_tables, axis=0)
+        k = jnp.swapaxes(k, 2, 3).reshape(n, self.max_len, kvh, d)
+        v = jnp.swapaxes(v, 2, 3).reshape(n, self.max_len, kvh, d)
+        return k, v
 
 
 class ModelRunner:
@@ -79,10 +96,11 @@ class ModelRunner:
         self._fns: dict = {}
 
     # ------------------------------------------------------------- programs
-    def _view(self, pools: PagedKVCache, block_tables, write_slots):
+    def _view(self, pools: PagedKVCache, block_tables, write_slots, ctx_lens):
         return PagedCacheView(
             keys=pools.keys, values=pools.values, block_tables=block_tables,
-            write_slots=write_slots, block_size=pools.block_size, max_len=self.max_len)
+            write_slots=write_slots, ctx_lens=jnp.atleast_1d(ctx_lens),
+            block_size=pools.block_size, max_len=self.max_len)
 
     def _build_prefill(self, chunk: int):
         model = self.model
@@ -91,7 +109,7 @@ class ModelRunner:
             # input_ids [1, chunk] (tail may be padding writing to the null
             # block); positions [1, chunk]; ctx_len scalar: valid kv length
             # AFTER this chunk; last_idx: chunk index of the final real token
-            view = self._view(pools, block_tables, write_slots)
+            view = self._view(pools, block_tables, write_slots, ctx_len)
             kv_valid = (jnp.arange(self.max_len, dtype=jnp.int32)[None, :] < ctx_len).astype(jnp.int32)
             out = model(
                 params, input_ids=input_ids, attention_mask=kv_valid,
@@ -109,7 +127,7 @@ class ModelRunner:
 
         def fn(params, pools, tokens, block_tables, write_slots, positions, ctx_lens):
             # tokens [N, 1]; positions [N]; ctx_lens [N] length AFTER this token
-            view = self._view(pools, block_tables, write_slots)
+            view = self._view(pools, block_tables, write_slots, ctx_lens)
             kv_valid = (jnp.arange(self.max_len, dtype=jnp.int32)[None, :] < ctx_lens[:, None]).astype(jnp.int32)
             out = model(
                 params, input_ids=tokens, attention_mask=kv_valid,

@@ -156,6 +156,18 @@ class LlamaAttention(Module):
                 kwargs["kv_valid"] = kwargs["kv_valid"][:, :s]
             attn_fn = get_attention_fn(self.config.attn_implementation)
             out = attn_fn(q, k, v, scale=self.scale, **kwargs)
+        elif (getattr(cache, "layout", "bshd") == "paged" and s == 1
+              and kwargs.get("logit_cap") is None and kwargs.get("sinks") is None
+              and kwargs.get("probs_sink") is None):
+            # continuous-batching decode: block-table kernel, no gather
+            # (reference flash_attn_with_kvcache, integrations/flash_paged.py:50)
+            from ...ops.pallas.paged_attention import paged_decode_attention
+
+            k_pool, v_pool, block_tables, ctx_lens = cache.paged_layer(self.layer_idx)
+            out = paged_decode_attention(
+                q, k_pool.astype(self.dtype), v_pool.astype(self.dtype),
+                block_tables, ctx_lens, scale=self.scale,
+                sliding_window=self.sliding_window)
         elif getattr(cache, "layout", "bshd") == "bhsd":
             from ...ops.attention import cached_attention_bhsd
 
