@@ -97,3 +97,30 @@ def test_flash_grad_matches_eager():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("win,cap", [(None, None), (37, None), (None, 30.0)])
+def test_flash_bwd_kernel_parity(win, cap):
+    """dq/dk/dv from the flash backward kernels (GQA + padding + window +
+    softcap) match autodiff through the eager reference."""
+    b, sq, skv, h, kvh, d = 2, 128, 192, 4, 2, 64
+    q, k, v = make_qkv(b, sq, skv, h, kvh, d, seed=6)
+    q_positions = jnp.broadcast_to(
+        (skv - sq) + jnp.arange(sq, dtype=jnp.int32)[None, :], (b, sq))
+    kv_valid = np.ones((b, skv), np.int32)
+    kv_valid[1, :23] = 0
+    kv_valid = jnp.asarray(kv_valid)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, q_positions=q_positions,
+                                       kv_valid=kv_valid, sliding_window=win,
+                                       logit_cap=cap) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attn(q, k, v, q_positions, kv_valid,
+                                sliding_window=win, logit_cap=cap) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4)
