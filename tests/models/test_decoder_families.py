@@ -50,6 +50,48 @@ FAMILIES_RAW = {
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
         num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
         pad_token_id=0, eos_token_id=2)),
+    "granitemoeshared": ("GraniteMoeSharedConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        embedding_multiplier=2.0, logits_scaling=1.5, residual_multiplier=0.5,
+        attention_multiplier=0.3, num_local_experts=4, num_experts_per_tok=2,
+        shared_intermediate_size=48)),
+    "flex_olmo": ("FlexOlmoConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        pad_token_id=0, eos_token_id=2)),
+    "hunyuan_v1_dense": ("HunYuanDenseV1Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256)),
+    "hunyuan-ntk-alpha": ("HunYuanDenseV1Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, rope_scaling={"type": "dynamic", "alpha": 50.0})),
+    "diffllama": ("DiffLlamaConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256)),
+    "vaultgemma": ("VaultGemmaConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, query_pre_attn_scalar=8, sliding_window=4,
+        final_logit_softcapping=30.0, attn_logit_softcapping=50.0)),
+    "ministral": ("MinistralConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, sliding_window=4)),
+    "bitnet": ("BitNetConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256)),
+    "apertus": ("ApertusConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256)),
+    "olmo3": ("Olmo3Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        sliding_window=4, rope_scaling={"rope_type": "linear", "factor": 2.0},
+        pad_token_id=0, eos_token_id=2)),
     "starcoder2": ("Starcoder2Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
         num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
@@ -297,7 +339,9 @@ def test_logit_parity(family, tmp_path):
                                     "olmo", "olmoe", "dbrx", "helium",
                                     "arcee", "ernie4_5", "exaone4", "seed_oss",
                                     "granitemoe", "gpt_bigcode", "biogpt", "xglm",
-                                    "cohere2", "phimoe", "glm4_moe"])
+                                    "cohere2", "phimoe", "glm4_moe",
+                                    "olmo3", "vaultgemma", "ministral", "bitnet", "apertus",
+                                    "granitemoeshared", "flex_olmo", "hunyuan_v1_dense", "diffllama"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""
@@ -324,7 +368,8 @@ def test_cached_decode_matches_full(family, tmp_path):
         assert max_abs_diff(step.logits[:, 0], full.logits[:, t]) < 1e-4, f"{family} step {t}"
 
 
-@pytest.mark.parametrize("family", ["mistral", "gemma", "gpt2", "gpt_bigcode", "biogpt", "xglm"])
+@pytest.mark.parametrize("family", ["mistral", "gemma", "gpt2", "gpt_bigcode", "biogpt", "xglm",
+                                    "olmo3", "bitnet", "apertus", "diffllama"])
 def test_greedy_generate_matches_torch(family, tmp_path):
     import torch
 

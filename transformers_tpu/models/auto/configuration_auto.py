@@ -187,6 +187,15 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "switch_transformers": ("switch_transformers", "SwitchTransformersConfig"),
     "bart": ("bart", "BartConfig"),
     "olmo2": ("olmo2", "Olmo2Config"),
+    "olmo3": ("olmo3", "Olmo3Config"),
+    "vaultgemma": ("vaultgemma", "VaultGemmaConfig"),
+    "ministral": ("ministral", "MinistralConfig"),
+    "bitnet": ("bitnet", "BitNetConfig"),
+    "apertus": ("apertus", "ApertusConfig"),
+    "granitemoeshared": ("granitemoeshared", "GraniteMoeSharedConfig"),
+    "flex_olmo": ("flex_olmo", "FlexOlmoConfig"),
+    "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1Config"),
+    "diffllama": ("diffllama", "DiffLlamaConfig"),
     "starcoder2": ("starcoder2", "Starcoder2Config"),
     "stablelm": ("stablelm", "StableLmConfig"),
     "phi": ("phi", "PhiConfig"),

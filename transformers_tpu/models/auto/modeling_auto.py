@@ -112,6 +112,15 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "umt5": ("umt5", "UMT5EncoderModel"),
     "switch_transformers": ("switch_transformers", "SwitchTransformersEncoderModel"),
     "olmo2": ("olmo2", "Olmo2ModelStandalone"),
+    "olmo3": ("olmo3", "Olmo3ModelStandalone"),
+    "vaultgemma": ("vaultgemma", "VaultGemmaModelStandalone"),
+    "ministral": ("ministral", "MinistralModelStandalone"),
+    "bitnet": ("bitnet", "BitNetModelStandalone"),
+    "apertus": ("apertus", "ApertusModelStandalone"),
+    "granitemoeshared": ("granitemoeshared", "GraniteMoeSharedModelStandalone"),
+    "flex_olmo": ("flex_olmo", "FlexOlmoModelStandalone"),
+    "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ModelStandalone"),
+    "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
     "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
     "stablelm": ("stablelm", "StableLmModelStandalone"),
     "phi": ("phi", "PhiModelStandalone"),
@@ -182,6 +191,15 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
     "olmo2": ("olmo2", "Olmo2ForCausalLM"),
+    "olmo3": ("olmo3", "Olmo3ForCausalLM"),
+    "vaultgemma": ("vaultgemma", "VaultGemmaForCausalLM"),
+    "ministral": ("ministral", "MinistralForCausalLM"),
+    "bitnet": ("bitnet", "BitNetForCausalLM"),
+    "apertus": ("apertus", "ApertusForCausalLM"),
+    "granitemoeshared": ("granitemoeshared", "GraniteMoeSharedForCausalLM"),
+    "flex_olmo": ("flex_olmo", "FlexOlmoForCausalLM"),
+    "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ForCausalLM"),
+    "diffllama": ("diffllama", "DiffLlamaForCausalLM"),
     "starcoder2": ("starcoder2", "Starcoder2ForCausalLM"),
     "stablelm": ("stablelm", "StableLmForCausalLM"),
     "phi": ("phi", "PhiForCausalLM"),

@@ -116,6 +116,10 @@ class LlamaAttention(Module):
         params (e.g. GPT-OSS learned sink logits)."""
         return {}
 
+    def post_rope_qk(self, params, q, k):
+        """Hook applied to q/k AFTER rope (HunYuan post-rope head norms)."""
+        return q, k
+
     def __call__(
         self,
         params,
@@ -134,6 +138,7 @@ class LlamaAttention(Module):
             k = self.k_norm(params["k_norm"], k)
         if cos is not None and getattr(self, "apply_rope", True):
             q, k = self.rope_fn(q, k, cos, sin)
+        q, k = self.post_rope_qk(params, q, k)
 
         kwargs = dict(attn_args)
         kwargs["sliding_window"] = self.sliding_window
