@@ -47,3 +47,64 @@ def test_assisted_with_same_model_accepts_everything(models):
     assisted = assisted_generate(target, target, ids, max_new_tokens=12,
                                  num_assistant_tokens=4, eos_token_id=-1, max_len=64)
     np.testing.assert_array_equal(assisted[0], greedy[0, : assisted.shape[1]])
+
+
+def test_public_api_assistant_model(models):
+    """generate(assistant_model=) routes through speculative decoding and
+    reproduces greedy (reference generate mode 'assisted_generation')."""
+    target, draft = models
+    ids = np.array([[1, 5, 9, 3]], dtype=np.int32)
+    greedy = np.asarray(target.generate(target.params, input_ids=jnp.asarray(ids),
+                                        max_new_tokens=16, prompt_pad_multiple=4,
+                                        eos_token_id=-1))
+    assisted = np.asarray(target.generate(
+        target.params, input_ids=jnp.asarray(ids), max_new_tokens=16,
+        assistant_model=draft, assistant_params=draft.params, eos_token_id=-1))
+    np.testing.assert_array_equal(assisted[0], greedy[0, : assisted.shape[1]])
+
+
+def test_prompt_lookup_matches_greedy(models):
+    """Prompt-lookup candidates (reference PromptLookupCandidateGenerator)
+    keep greedy equivalence on a repetitive prompt."""
+    target, _ = models
+    ids = np.array([[4, 7, 9, 4, 7, 9, 4, 7]], dtype=np.int32)
+    greedy = np.asarray(target.generate(target.params, input_ids=jnp.asarray(ids),
+                                        max_new_tokens=12, prompt_pad_multiple=8,
+                                        eos_token_id=-1))
+    looked = np.asarray(target.generate(
+        target.params, input_ids=jnp.asarray(ids), max_new_tokens=12,
+        prompt_lookup_num_tokens=5, eos_token_id=-1))
+    np.testing.assert_array_equal(looked[0], greedy[0, : looked.shape[1]])
+
+
+def test_speculative_sampling_distribution(models):
+    """The speculative-sampling rule leaves the target's sampling
+    distribution unchanged (reference _speculative_sampling, utils.py:3981):
+    empirical first-token frequencies from assisted sampling match direct
+    sampling from the target softmax within statistical tolerance."""
+    import torch
+    import transformers
+
+    target, draft = models
+    ids = np.array([[1, 5, 9, 3]], dtype=np.int32)
+
+    # exact target distribution for the first generated token
+    out = target(target.params, input_ids=jnp.asarray(ids))
+    logits = np.asarray(out.logits, np.float32)[0, -1]
+    temperature = 1.3
+    z = (logits / temperature) - (logits / temperature).max()
+    p_exact = np.exp(z) / np.exp(z).sum()
+
+    n_draws = 600
+    counts = np.zeros_like(p_exact)
+    for trial in range(n_draws):
+        seq = np.asarray(target.generate(
+            target.params, input_ids=jnp.asarray(ids), max_new_tokens=1,
+            assistant_model=draft, assistant_params=draft.params,
+            do_sample=True, temperature=temperature, eos_token_id=-1,
+            prng_key=__import__("jax").random.key(trial)))
+        counts[int(seq[0, -1])] += 1
+    emp = counts / n_draws
+    tv = 0.5 * np.abs(emp - p_exact).sum()
+    # total-variation distance of a 600-sample empirical distribution
+    assert tv < 0.15, f"TV distance {tv:.3f} — speculative sampling is biased"

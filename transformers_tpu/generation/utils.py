@@ -106,6 +106,10 @@ class GenerationMixin:
         stopping_criteria=None,
         stop_strings=None,
         tokenizer=None,
+        assistant_model=None,
+        assistant_params=None,
+        prompt_lookup_num_tokens: Optional[int] = None,
+        num_assistant_tokens: int = 5,
         **kwargs,
     ):
         """Reference generation/utils.py:2250. Returns [B, S_bucket + max_new]
@@ -160,6 +164,28 @@ class GenerationMixin:
             prng_key = jax.random.key(np.random.randint(0, 2**31 - 1))
         if prng_key is None:
             prng_key = jax.random.key(0)
+
+        # ---- assisted / speculative route (reference _assisted_decoding,
+        # generation/utils.py:3551; mode selection :2463 assisted_generation)
+        if assistant_model is not None or prompt_lookup_num_tokens is not None:
+            from .candidate_generator import assisted_generate
+
+            if b != 1:
+                raise ValueError("assisted decoding supports batch size 1 (reference parity)")
+            # strip the bucket padding: the host loop runs on the raw prompt
+            ids_np = np.asarray(input_ids)[0]
+            mask_np = np.asarray(attention_mask)[0]
+            raw = ids_np[mask_np.astype(bool)][None, :]
+            max_len_spec = pad_to_multiple(raw.shape[1] + max_new + num_assistant_tokens + 2, 64)
+            seed = int(jax.random.key_data(prng_key).sum()) & 0x7FFFFFFF
+            return jnp.asarray(assisted_generate(
+                self, assistant_model, raw, params=params,
+                draft_params=assistant_params, max_new_tokens=max_new,
+                num_assistant_tokens=num_assistant_tokens,
+                eos_token_id=list(eos_ids) if eos_ids else None,
+                max_len=max_len_spec, do_sample=do_sample,
+                temperature=float(gen.temperature or 1.0), seed=seed,
+                prompt_lookup_num_tokens=prompt_lookup_num_tokens))
 
         # ---- streaming / host-criteria route: jitted per-step host loop
         if streamer is not None or stopping_criteria is not None or stop_strings is not None:
