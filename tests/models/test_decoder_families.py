@@ -61,6 +61,19 @@ FAMILIES_RAW = {
         num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
         num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
         pad_token_id=0, eos_token_id=2)),
+    "dots1": ("Dots1Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        max_position_embeddings=256, moe_intermediate_size=32,
+        n_routed_experts=8, n_shared_experts=1, n_group=2, topk_group=1,
+        num_experts_per_tok=2, first_k_dense_replace=1, norm_topk_prob=True,
+        routed_scaling_factor=1.5, sliding_window=None)),
+    "ernie4_5_moe": ("Ernie4_5_MoeConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        moe_intermediate_size=32, moe_k=2, moe_num_experts=4,
+        moe_num_shared_experts=1, moe_layer_start_index=1,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)),
     "hunyuan_v1_dense": ("HunYuanDenseV1Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
         num_attention_heads=4, num_key_value_heads=2, head_dim=8,

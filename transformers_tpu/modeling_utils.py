@@ -120,6 +120,61 @@ class PreTrainedModel(Module):
         """Dot-path of the input embedding table. Subclasses override."""
         return None
 
+    # --------------------------------------------------------- decode layouts
+    def decode_param_formats(self, batch_size: int, total_len: int, dtype=None):
+        """XLA-preferred on-device layouts for every parameter in the
+        single-token decode program.
+
+        Decode matmuls (M = batch) prefer transposed tilings for some weight
+        shapes; feeding default-layout params makes XLA materialize
+        program-lifetime transposed copies (~2 GB at Llama-3-8B scale, enough
+        to OOM next to the full parameter set). Compiling a one-step decode
+        probe with AUTO input layouts recovers the preferred formats; params
+        placed in those formats make every jitted program (generate, serving)
+        copy-free. Returns a pytree of ``jax.experimental.layout.Format``
+        matching ``init_abstract()``.
+        """
+        from jax.experimental.layout import Format, Layout
+
+        dtype = dtype or self.dtype
+        spec = self.init_abstract()
+        b = batch_size
+
+        def probe(params, cache, tok):
+            out = self(params, input_ids=tok,
+                       attention_mask=jnp.ones((b, total_len), jnp.int32),
+                       position_ids=jnp.zeros((b, 1), jnp.int32),
+                       past_key_values=cache, cache_position=total_len - 1,
+                       logits_to_keep=1)
+            return jnp.argmax(out.logits[:, -1], axis=-1)
+
+        cache_spec = jax.eval_shape(
+            lambda: self.init_cache(b, total_len, dtype=dtype))
+        tok = jax.ShapeDtypeStruct((b, 1), jnp.int32)
+        auto = Format(Layout.AUTO)
+        compiled = jax.jit(
+            probe, in_shardings=(jax.tree.map(lambda s: auto, spec), None, None),
+        ).lower(spec, cache_spec, tok).compile()
+        return compiled.input_formats[0][0]
+
+    def relayout_params_for_decode(self, params, batch_size: int, total_len: int):
+        """Re-place ``params`` into decode-preferred layouts leaf by leaf
+        (see ``decode_param_formats``). The input tree is consumed — leaves
+        are deleted as they are copied so peak memory stays ~one leaf above
+        the parameter footprint."""
+        formats = self.decode_param_formats(batch_size, total_len)
+        flat_params, treedef = jax.tree_util.tree_flatten(params)
+        flat_formats = jax.tree_util.tree_flatten(
+            formats, is_leaf=lambda x: hasattr(x, "layout"))[0]
+        out = []
+        for leaf, fmt in zip(flat_params, flat_formats):
+            new = jax.device_put(leaf, fmt)
+            jax.block_until_ready(new)
+            if new is not leaf:
+                leaf.delete()
+            out.append(new)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
     # ------------------------------------------------------------------- init
     def init_params(self, seed: int = 0) -> dict:
         rng = jax.random.key(seed)

@@ -196,6 +196,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "flex_olmo": ("flex_olmo", "FlexOlmoConfig"),
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1Config"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
+    "dots1": ("dots1", "Dots1Config"),
+    "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeConfig"),
     "starcoder2": ("starcoder2", "Starcoder2Config"),
     "stablelm": ("stablelm", "StableLmConfig"),
     "phi": ("phi", "PhiConfig"),

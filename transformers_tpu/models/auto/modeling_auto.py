@@ -121,6 +121,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "flex_olmo": ("flex_olmo", "FlexOlmoModelStandalone"),
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
+    "dots1": ("dots1", "Dots1ModelStandalone"),
+    "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeModelStandalone"),
     "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
     "stablelm": ("stablelm", "StableLmModelStandalone"),
     "phi": ("phi", "PhiModelStandalone"),
@@ -200,6 +202,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "flex_olmo": ("flex_olmo", "FlexOlmoForCausalLM"),
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ForCausalLM"),
     "diffllama": ("diffllama", "DiffLlamaForCausalLM"),
+    "dots1": ("dots1", "Dots1ForCausalLM"),
+    "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeForCausalLM"),
     "starcoder2": ("starcoder2", "Starcoder2ForCausalLM"),
     "stablelm": ("stablelm", "StableLmForCausalLM"),
     "phi": ("phi", "PhiForCausalLM"),

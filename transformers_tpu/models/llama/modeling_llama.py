@@ -120,6 +120,53 @@ class LlamaAttention(Module):
         """Hook applied to q/k AFTER rope (HunYuan post-rope head norms)."""
         return q, k
 
+    def _maybe_fused_decode(self, params, q, k, v, cos, sin, kwargs, cache,
+                            cache_position):
+        """Route the single-token decode step through the fused Pallas kernel
+        when the family uses plain rotate-half rope and a bhsd cache. Returns
+        (out, new_cache) or None to take the unfused path."""
+        import jax
+
+        from ...cache_utils import StaticKVCache
+        from ...ops.pallas.fused_decode import (fused_decode_attention,
+                                                fused_decode_supported)
+
+        cls = type(self)
+        if (cache is None
+                or not isinstance(cache, StaticKVCache)
+                or getattr(cache, "layout", "bshd") != "bhsd"
+                or q.shape[1] != 1
+                or cos is None
+                or not getattr(self, "apply_rope", True)
+                or cls.rope_fn is not LlamaAttention.rope_fn
+                or cls.post_rope_qk is not LlamaAttention.post_rope_qk
+                or cos.shape[-1] != self.head_dim
+                or kwargs.get("logit_cap") is not None
+                or kwargs.get("sinks") is not None
+                or kwargs.get("probs_sink") is not None
+                or not kwargs.get("is_causal", True)):
+            return None
+        k_cache, v_cache = cache.layer(self.layer_idx)
+        if k_cache.dtype != self.dtype or not fused_decode_supported(q, k_cache, self.head_dim):
+            return None
+        kv_valid = kwargs.get("kv_valid")
+        if kv_valid is None:
+            return None
+        import jax.numpy as jnp
+
+        pos = jnp.asarray(cache_position, jnp.int32).reshape(())
+        first_valid = jnp.argmax(kv_valid, axis=-1).astype(jnp.int32)
+        if self.sliding_window is not None:
+            first_valid = jnp.maximum(first_valid, pos + 1 - self.sliding_window)
+        out, new_k, new_v = fused_decode_attention(
+            q, k, v, cos[:, :1, :], sin[:, :1, :], k_cache, v_cache, pos,
+            first_valid, kv_valid, scale=float(self.scale))
+        from dataclasses import replace
+
+        keys = cache.keys[: self.layer_idx] + (new_k,) + cache.keys[self.layer_idx + 1:]
+        values = cache.values[: self.layer_idx] + (new_v,) + cache.values[self.layer_idx + 1:]
+        return out, replace(cache, keys=keys, values=values)
+
     def __call__(
         self,
         params,
@@ -136,14 +183,24 @@ class LlamaAttention(Module):
             q = self.q_norm(params["q_norm"], q)
         if self.k_norm is not None:
             k = self.k_norm(params["k_norm"], k)
-        if cos is not None and getattr(self, "apply_rope", True):
-            q, k = self.rope_fn(q, k, cos, sin)
-        q, k = self.post_rope_qk(params, q, k)
 
         kwargs = dict(attn_args)
         kwargs["sliding_window"] = self.sliding_window
         kwargs["logit_cap"] = self.logit_cap
         kwargs.update(self.extra_attn_kwargs(params))
+
+        # Fused decode step (rope + cache write + attention in one Pallas
+        # kernel, ops/pallas/fused_decode.py) — the single-token hot path.
+        fused = self._maybe_fused_decode(params, q, k, v, cos, sin, kwargs,
+                                         cache, cache_position)
+        if fused is not None:
+            out, cache = fused
+            out = out.reshape(b, s, self.num_heads * self.head_dim)
+            return self.project_out(params, out), cache
+
+        if cos is not None and getattr(self, "apply_rope", True):
+            q, k = self.rope_fn(q, k, cos, sin)
+        q, k = self.post_rope_qk(params, q, k)
 
         # Static prefill (cache_position is the Python int 0, s covers the
         # whole prompt): attend over the just-computed LOCAL k/v — the cache

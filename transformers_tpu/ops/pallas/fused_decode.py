@@ -1,0 +1,271 @@
+"""Fused single-token decode step: rope + cache write + attention.
+
+One Pallas kernel per layer per decode step replaces the ~10 XLA ops the
+unfused path launches (rope mults, two cache dynamic-update-slices, score/
+softmax/PV chain). This is the TPU analog of the reference's
+``flash_attn_with_kvcache`` (integrations/flash_paged.py:50), which likewise
+updates the cache inside the attention kernel. Measured motivation: at
+Llama-3-8B decode geometry the removable ops cost ~1.35 ms of a ~21 ms step
+(ablation 2026-08-17); decode is HBM-bound so the fused kernel's KV read is
+effectively free under the weight streams.
+
+Contract:
+- q, k_new, v_new are PRE-rope (llama rotate-half rope is applied in-kernel
+  from per-row cos/sin vectors).
+- caches are bhsd [B, KVH, S, D] and returned updated (aliased in place).
+- the new token's k/v never round-trips: it is written to slot ``pos`` via
+  DMA while attention reads cache slots < pos and scores the new token
+  in-register as an extra lane column.
+- masking is exact: the per-row kv-validity vector rides along in VMEM, so
+  holes in user masks behave like the eager path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _rotate_half(x, d):
+    # rotate_half(x) = concat(-x2, x1): roll by d/2 then flip the first half's sign
+    rolled = pltpu.roll(x, shift=d // 2, axis=x.ndim - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane < d // 2, -rolled, rolled)
+
+
+def _fused_decode_kernel(
+    # scalar prefetch
+    pos_ref,    # [1] int32 write slot (shared across rows)
+    start_ref,  # [B] int32 first live slot per row (pads / sliding window)
+    # inputs
+    q_ref,      # [1, KVH, Gp, D] VMEM (pre-rope)
+    knew_ref,   # [1, KVH, 1, D] VMEM (pre-rope)
+    vnew_ref,   # [1, KVH, 1, D] VMEM
+    cos_ref,    # [1, 1, D] VMEM
+    sin_ref,    # [1, 1, D] VMEM
+    valid_ref,  # [1, S] VMEM int32 kv validity
+    k_cache_hbm,  # [B, KVH, S, D] ANY (aliased out)
+    v_cache_hbm,  # [B, KVH, S, D] ANY (aliased out)
+    # outputs
+    out_ref,    # [1, KVH, Gp, D] VMEM
+    k_cache_out,  # aliased
+    v_cache_out,  # aliased
+    # scratch
+    k_buf,      # [2, KVH, CH, D] VMEM
+    v_buf,      # [2, KVH, CH, D] VMEM
+    kv_write,   # [2, KVH, 1, D] VMEM (roped k', v' staging)
+    sems,       # DMA sems [2, 2]
+    wsems,      # DMA sems [2]
+    *,
+    scale: float,
+    chunk: int,
+    seq_len: int,
+):
+    n = pl.program_id(0)
+    kvh, g, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    ch = chunk
+
+    pos = pos_ref[0]
+    start = start_ref[n]
+
+    cos = cos_ref[0]  # [1, D]
+    sin = sin_ref[0]
+    q = q_ref[0]      # [KVH, Gp, D]
+    qr = q * cos[None] + _rotate_half(q, d) * sin[None]
+    kn = knew_ref[0]  # [KVH, 1, D]
+    knr = kn * cos[None] + _rotate_half(kn, d) * sin[None]
+
+    # stage k'/v' and start the in-place cache writes at slot pos
+    kv_write[0] = knr.astype(kv_write.dtype)
+    kv_write[1] = vnew_ref[0].astype(kv_write.dtype)
+    kwd = pltpu.make_async_copy(
+        kv_write.at[0], k_cache_out.at[n, :, pl.ds(pos, 1), :], wsems.at[0])
+    vwd = pltpu.make_async_copy(
+        kv_write.at[1], v_cache_out.at[n, :, pl.ds(pos, 1), :], wsems.at[1])
+    kwd.start()
+    vwd.start()
+
+    # chunk walk over cache slots [start, pos) with double buffering; the
+    # physical load start is clamped into bounds and re-masked logically
+    first_chunk = start // ch
+    num_chunks = jnp.maximum(pl.cdiv(pos, ch) - first_chunk, 0)
+
+    def chunk_dma(slot, ci):
+        p0 = (first_chunk + ci) * ch  # ch divides seq_len: always in bounds
+        kd = pltpu.make_async_copy(
+            k_cache_hbm.at[n, :, pl.ds(p0, ch), :], k_buf.at[slot], sems.at[slot, 0])
+        vd = pltpu.make_async_copy(
+            v_cache_hbm.at[n, :, pl.ds(p0, ch), :], v_buf.at[slot], sems.at[slot, 1])
+        return kd, vd, p0
+
+    @pl.when(num_chunks > 0)
+    def _():
+        kd, vd, _ = chunk_dma(0, 0)
+        kd.start()
+        vd.start()
+
+    @pl.when(num_chunks > 1)
+    def _():
+        kd, vd, _ = chunk_dma(1, 1)
+        kd.start()
+        vd.start()
+
+    qf = qr  # keep compute dtype; dots accumulate f32
+
+    def body(ci, carry):
+        m_prev, l_prev, acc = carry
+        slot = ci % 2
+        kd, vd, p0 = chunk_dma(slot, ci)
+        kd.wait()
+        vd.wait()
+        k = k_buf[slot]  # [KVH, CH, D]
+        v = v_buf[slot]
+        s = jax.lax.dot_general(qf, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)  # [KVH, Gp, CH]
+        s = (s * scale).reshape(kvh * g, ch)
+        slots = p0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ok = (slots >= start) & (slots < pos)
+        # per-slot validity from the mask row (exact hole semantics)
+        vrow = valid_ref[0]  # [S]
+        vchunk = jax.lax.dynamic_slice(vrow, (p0,), (ch,))
+        ok &= vchunk[None, :] > 0
+        s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.reshape(kvh, g, ch).astype(v.dtype), v,
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        acc = acc * alpha + pv.reshape(kvh * g, d)
+
+        @pl.when(ci + 2 < num_chunks)
+        def _():
+            kd, vd, _ = chunk_dma(slot, ci + 2)
+            kd.start()
+            vd.start()
+
+        return m_next, l_next, acc
+
+    m0 = jnp.full((kvh * g, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kvh * g, 1), jnp.float32)
+    acc0 = jnp.zeros((kvh * g, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+
+    # the new token's own column (always live: a token attends to itself)
+    s_new = jnp.sum(qf.astype(jnp.float32) * knr.astype(jnp.float32),
+                    axis=-1, keepdims=True).reshape(kvh * g, 1) * scale
+    m_next = jnp.maximum(m, s_new)
+    alpha = jnp.exp(m - m_next)
+    p_new = jnp.exp(s_new - m_next)
+    l = l * alpha + p_new
+    vn = vnew_ref[0].astype(jnp.float32).reshape(kvh, 1, d)
+    pv_new = (p_new.reshape(kvh, g, 1) * vn).reshape(kvh * g, d)
+    acc = acc * alpha + pv_new
+
+    out_ref[0] = (acc / l).reshape(kvh, g, d).astype(out_ref.dtype)
+
+    kwd.wait()
+    vwd.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def fused_decode_attention(
+    q,       # [B, 1, H, D] pre-rope
+    k_new,   # [B, 1, KVH, D] pre-rope
+    v_new,   # [B, 1, KVH, D]
+    cos,     # [B, 1, D]
+    sin,     # [B, 1, D]
+    k_cache,  # [B, KVH, S, D] (donated/aliased)
+    v_cache,
+    pos,       # scalar int32 write slot
+    start,     # [B] int32 first live slot (pads + sliding window)
+    kv_valid,  # [B, S] int32
+    *,
+    scale: float,
+    interpret: Optional[bool] = None,
+):
+    """Returns (attn_out [B, 1, H, D], k_cache', v_cache')."""
+    b, _, h, d = q.shape
+    kvh, s = k_cache.shape[1], k_cache.shape[2]
+    g = h // kvh
+    pad_g = max(g, 8)
+
+    qg = jnp.swapaxes(q, 1, 2).reshape(b, kvh, g, d)
+    if pad_g != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, pad_g - g), (0, 0)))
+    kng = jnp.swapaxes(k_new, 1, 2)  # [B, KVH, 1, D]
+    vng = jnp.swapaxes(v_new, 1, 2)
+
+    ch = next(c for c in (512, 384, 256, 128, s) if s % c == 0)
+    kernel = functools.partial(_fused_decode_kernel, scale=scale, chunk=ch,
+                               seq_len=s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh, pad_g, d), lambda ni, *_: (ni, 0, 0, 0)),
+            pl.BlockSpec((1, kvh, 1, d), lambda ni, *_: (ni, 0, 0, 0)),
+            pl.BlockSpec((1, kvh, 1, d), lambda ni, *_: (ni, 0, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda ni, *_: (ni, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda ni, *_: (ni, 0, 0)),
+            pl.BlockSpec((1, s), lambda ni, *_: (ni, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, kvh, pad_g, d), lambda ni, *_: (ni, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, kvh, ch, d), k_cache.dtype),
+            pltpu.VMEM((2, kvh, ch, d), v_cache.dtype),
+            pltpu.VMEM((2, kvh, 1, d), k_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out, k_cache, v_cache = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kvh, pad_g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        # inputs after the 2 scalar-prefetch args: q, knew, vnew, cos, sin,
+        # valid, k_cache (idx 6+2=8), v_cache (idx 9) -> outputs 1, 2
+        input_output_aliases={8: 1, 9: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), start.astype(jnp.int32),
+      qg, kng, vng, cos.astype(q.dtype), sin.astype(q.dtype),
+      kv_valid.astype(jnp.int32), k_cache, v_cache)
+    out = out[:, :, :g, :].reshape(b, kvh * g, 1, d)
+    return jnp.swapaxes(out, 1, 2), k_cache, v_cache
+
+
+def fused_decode_supported(q, k_cache, d_head: int) -> bool:
+    b, sq, h, d = q.shape
+    kvh, s = k_cache.shape[1], k_cache.shape[2]
+    if sq != 1 or h % kvh != 0:
+        return False
+    if d % 128 != 0 or d > 256:
+        return False
+    if not any(s % c == 0 for c in (512, 384, 256, 128)):
+        return False
+    return True
