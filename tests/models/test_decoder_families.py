@@ -61,6 +61,21 @@ FAMILIES_RAW = {
         num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
         num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
         pad_token_id=0, eos_token_id=2)),
+    "deepseek_v2": ("DeepseekV2Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256,
+        kv_lora_rank=16, q_lora_rank=24, qk_nope_head_dim=8, qk_rope_head_dim=8,
+        v_head_dim=8, moe_intermediate_size=32, n_routed_experts=8,
+        n_shared_experts=1, num_experts_per_tok=2, first_k_dense_replace=1,
+        routed_scaling_factor=1.0, topk_method="greedy")),
+    "deepseek_v2-group": ("DeepseekV2Config", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256,
+        kv_lora_rank=16, q_lora_rank=None, qk_nope_head_dim=8, qk_rope_head_dim=8,
+        v_head_dim=8, moe_intermediate_size=32, n_routed_experts=8,
+        n_shared_experts=1, num_experts_per_tok=2, first_k_dense_replace=1,
+        routed_scaling_factor=2.0, topk_method="group_limited_greedy",
+        n_group=2, topk_group=1)),
     "dots1": ("Dots1Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
         num_attention_heads=4, num_key_value_heads=2, head_dim=8,

@@ -197,6 +197,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1Config"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
+    "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeConfig"),
     "starcoder2": ("starcoder2", "Starcoder2Config"),
     "stablelm": ("stablelm", "StableLmConfig"),

@@ -122,6 +122,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
     "dots1": ("dots1", "Dots1ModelStandalone"),
+    "deepseek_v2": ("deepseek_v2", "DeepseekV2ModelStandalone"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeModelStandalone"),
     "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
     "stablelm": ("stablelm", "StableLmModelStandalone"),
@@ -203,6 +204,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ForCausalLM"),
     "diffllama": ("diffllama", "DiffLlamaForCausalLM"),
     "dots1": ("dots1", "Dots1ForCausalLM"),
+    "deepseek_v2": ("deepseek_v2", "DeepseekV2ForCausalLM"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeForCausalLM"),
     "starcoder2": ("starcoder2", "Starcoder2ForCausalLM"),
     "stablelm": ("stablelm", "StableLmForCausalLM"),

@@ -109,6 +109,19 @@ class DeepseekV3Attention(Module):
             config.kv_lora_rank, self.num_heads * (self.qk_nope_head_dim + self.v_head_dim), False, **kw)
         self.o_proj = Linear(self.num_heads * self.v_head_dim, config.hidden_size, bias, **kw)
 
+    def apply_mla_rope(self, q_rot, k_rot, cos, sin):
+        """Rope on the rotary sub-dims; V2 overrides with the complex-pair
+        variant (reference modeling_deepseek_v2.py:272 apply_rotary_emb)."""
+        if self.config.rope_interleave:
+            q_rot = apply_rope_interleave_deepseek(q_rot, cos, sin)
+            k_rot = apply_rope_interleave_deepseek(k_rot[:, :, None, :], cos, sin)[:, :, 0]
+        else:
+            from ...ops.rope import apply_rotary_pos_emb
+
+            q_rot, k_rot4 = apply_rotary_pos_emb(q_rot, k_rot[:, :, None, :], cos, sin)
+            k_rot = k_rot4[:, :, 0]
+        return q_rot, k_rot
+
     def expand_kv(self, params, kv_nope, k_rot):
         """Expand cached latents to per-head K/V (reference expand_kv :410).
         kv_nope [B, S, R] -> K [B, S, H, Dk], V [B, S, H, Dv]."""
@@ -136,14 +149,7 @@ class DeepseekV3Attention(Module):
         kv_nope = self.kv_a_layernorm(params["kv_a_layernorm"], compressed[..., : self.kv_lora_rank])
         k_rot = compressed[..., self.kv_lora_rank:]  # [B, S, Dr] shared across heads
 
-        if self.config.rope_interleave:
-            q_rot = apply_rope_interleave_deepseek(q_rot, cos, sin)
-            k_rot = apply_rope_interleave_deepseek(k_rot[:, :, None, :], cos, sin)[:, :, 0]
-        else:
-            from ...ops.rope import apply_rotary_pos_emb
-
-            q_rot, k_rot4 = apply_rotary_pos_emb(q_rot, k_rot[:, :, None, :], cos, sin)
-            k_rot = k_rot4[:, :, 0]
+        q_rot, k_rot = self.apply_mla_rope(q_rot, k_rot, cos, sin)
         q = jnp.concatenate([q_pass, q_rot], axis=-1)
 
         if cache is not None:

@@ -178,6 +178,100 @@ def _fused_decode_kernel(
     vwd.wait()
 
 
+def _fused_decode_kernel_whole(
+    # scalar prefetch
+    pos_ref,    # [1] int32 write slot (shared across rows)
+    start_ref,  # [B] int32 (unused here; start_v carries the vector form)
+    # inputs
+    q_ref,      # [B, KVH, Gp, D] VMEM (pre-rope)
+    knew_ref,   # [B, KVH, 1, D] VMEM (pre-rope)
+    vnew_ref,   # [B, KVH, 1, D] VMEM
+    cos_ref,    # [B, 1, D] VMEM
+    sin_ref,    # [B, 1, D] VMEM
+    valid_ref,  # [B, S] VMEM int32
+    startv_ref,  # [B, 1] int32 VMEM (row starts, vector form)
+    k_cache_hbm,  # [B, KVH, S, D] ANY (aliased out)
+    v_cache_hbm,
+    # outputs
+    out_ref,    # [B, KVH, Gp, D] VMEM
+    k_cache_out,
+    v_cache_out,
+    # scratch
+    k_buf,      # [B, KVH, S, D] VMEM
+    v_buf,
+    kv_write,   # [2, B, KVH, 1, D] VMEM
+    sems,       # DMA [B, 2]
+    wsems,      # DMA [2]
+    *,
+    scale: float,
+):
+    """Small-context variant: ONE grid step fetches every row's whole live
+    KV slab and scores the batch with two batched MXU dots — minimal launch
+    and DMA-wait overhead (the per-row chunked kernel's grid serialization
+    costs more than the ops it replaces at short contexts)."""
+    b, kvh, g, d = q_ref.shape
+    s_len = k_buf.shape[2]
+
+    pos = pos_ref[0]
+
+    cos = cos_ref[...][:, None]  # [B, 1, 1, D]
+    sin = sin_ref[...][:, None]
+    q = q_ref[...]               # [B, KVH, Gp, D]
+    qr = q * cos + _rotate_half(q, d) * sin
+    kn = knew_ref[...]           # [B, KVH, 1, D]
+    knr = kn * cos + _rotate_half(kn, d) * sin
+
+    kv_write[0] = knr.astype(kv_write.dtype)
+    kv_write[1] = vnew_ref[...].astype(kv_write.dtype)
+    kwd = pltpu.make_async_copy(
+        kv_write.at[0], k_cache_out.at[:, :, pl.ds(pos, 1), :], wsems.at[0])
+    vwd = pltpu.make_async_copy(
+        kv_write.at[1], v_cache_out.at[:, :, pl.ds(pos, 1), :], wsems.at[1])
+    kwd.start()
+    vwd.start()
+
+    dmas = []
+    for r in range(b):
+        kd = pltpu.make_async_copy(k_cache_hbm.at[r], k_buf.at[r], sems.at[r, 0])
+        vd = pltpu.make_async_copy(v_cache_hbm.at[r], v_buf.at[r], sems.at[r, 1])
+        kd.start()
+        vd.start()
+        dmas.append((kd, vd))
+    for kd, vd in dmas:
+        kd.wait()
+        vd.wait()
+
+    k = k_buf[...].reshape(b * kvh, s_len, d)
+    v = v_buf[...].reshape(b * kvh, s_len, d)
+    qf = qr.reshape(b * kvh, g, d)
+    s = jax.lax.dot_general(qf, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # [B*KVH, Gp, S]
+    s = (s * scale).reshape(b, kvh, g, s_len)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, s_len), 3)
+    startv = startv_ref[...][:, None, None, :]  # [B, 1, 1, 1]
+    ok = (slots >= startv) & (slots < pos)
+    ok &= valid_ref[...][:, None, None, :] > 0
+    s = jnp.where(ok, s, DEFAULT_MASK_VALUE)
+
+    # the new token's own column (always live)
+    s_new = jnp.sum(qr.astype(jnp.float32) * knr.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale  # [B, KVH, Gp, 1]
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+    p = jnp.exp(s - m)                                # [B, KVH, Gp, S]
+    p_new = jnp.exp(s_new - m)
+    l = jnp.sum(p, axis=-1, keepdims=True) + p_new
+    pv = jax.lax.dot_general(p.reshape(b * kvh, g, s_len).astype(v.dtype), v,
+                             (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    pv = pv.reshape(b, kvh, g, d)
+    vn = vnew_ref[...].astype(jnp.float32)            # [B, KVH, 1, D]
+    acc = pv + p_new * vn
+    out_ref[...] = (acc / l).astype(out_ref.dtype)
+
+    kwd.wait()
+    vwd.wait()
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def fused_decode_attention(
     q,       # [B, 1, H, D] pre-rope
@@ -205,6 +299,62 @@ def fused_decode_attention(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, pad_g - g), (0, 0)))
     kng = jnp.swapaxes(k_new, 1, 2)  # [B, KVH, 1, D]
     vng = jnp.swapaxes(v_new, 1, 2)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # small contexts: single grid step, whole-slab fetch, batched dots
+    slab_bytes = 2 * b * kvh * s * d * jnp.dtype(k_cache.dtype).itemsize
+    if slab_bytes <= 10 * 1024 * 1024:
+        kernel = functools.partial(_fused_decode_kernel_whole, scale=scale)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((b, kvh, pad_g, d), lambda *_: (0, 0, 0, 0)),
+                pl.BlockSpec((b, kvh, 1, d), lambda *_: (0, 0, 0, 0)),
+                pl.BlockSpec((b, kvh, 1, d), lambda *_: (0, 0, 0, 0)),
+                pl.BlockSpec((b, 1, d), lambda *_: (0, 0, 0)),
+                pl.BlockSpec((b, 1, d), lambda *_: (0, 0, 0)),
+                pl.BlockSpec((b, s), lambda *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda *_: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((b, kvh, pad_g, d), lambda *_: (0, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((b, kvh, s, d), k_cache.dtype),
+                pltpu.VMEM((b, kvh, s, d), v_cache.dtype),
+                pltpu.VMEM((2, b, kvh, 1, d), k_cache.dtype),
+                pltpu.SemaphoreType.DMA((b, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out, k_cache, v_cache = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, kvh, pad_g, d), q.dtype),
+                jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            ),
+            # scalar prefetch (2) + q, knew, vnew, cos, sin, valid, startv,
+            # k_cache (idx 9), v_cache (idx 10) -> outputs 1, 2
+            input_output_aliases={9: 1, 10: 2},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), start.astype(jnp.int32),
+          qg, kng, vng, cos.astype(q.dtype), sin.astype(q.dtype),
+          kv_valid.astype(jnp.int32), start.astype(jnp.int32)[:, None],
+          k_cache, v_cache)
+        out = out[:, :, :g, :].reshape(b, kvh * g, 1, d)
+        return jnp.swapaxes(out, 1, 2), k_cache, v_cache
 
     ch = next(c for c in (512, 384, 256, 128, s) if s % c == 0)
     kernel = functools.partial(_fused_decode_kernel, scale=scale, chunk=ch,
