@@ -198,6 +198,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),
+    "siglip2": ("siglip2", "Siglip2Config"),
+    "siglip2_vision_model": ("siglip2", "Siglip2VisionConfig"),
+    "siglip2_text_model": ("siglip2", "Siglip2TextConfig"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeConfig"),
     "starcoder2": ("starcoder2", "Starcoder2Config"),
     "stablelm": ("stablelm", "StableLmConfig"),

@@ -104,6 +104,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "groupvit": ("groupvit", "GroupViTModel"),
     "xclip": ("x_clip", "XCLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
+    "siglip2": ("siglip2", "Siglip2Model"),
+    "siglip2_vision_model": ("siglip2", "Siglip2VisionModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
     "longt5": ("longt5", "LongT5EncoderModel"),

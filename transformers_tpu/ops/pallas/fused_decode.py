@@ -305,7 +305,7 @@ def fused_decode_attention(
 
     # small contexts: single grid step, whole-slab fetch, batched dots
     slab_bytes = 2 * b * kvh * s * d * jnp.dtype(k_cache.dtype).itemsize
-    if slab_bytes <= 10 * 1024 * 1024:
+    if slab_bytes <= 12 * 1024 * 1024:
         kernel = functools.partial(_fused_decode_kernel_whole, scale=scale)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -416,6 +416,9 @@ def fused_decode_supported(q, k_cache, d_head: int) -> bool:
         return False
     if d % 128 != 0 or d > 256:
         return False
-    if not any(s % c == 0 for c in (512, 384, 256, 128)):
-        return False
-    return True
+    # whole-slab mode (everything fits VMEM) has no alignment constraint;
+    # the chunked long-context mode needs a 128-aligned chunk dividing S
+    slab_bytes = 2 * b * kvh * s * d * jnp.dtype(k_cache.dtype).itemsize
+    if slab_bytes <= 12 * 1024 * 1024:
+        return True
+    return any(s % c == 0 for c in (512, 384, 256, 128))
