@@ -199,6 +199,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),
     "siglip2": ("siglip2", "Siglip2Config"),
+    "idefics3": ("idefics3", "Idefics3Config"),
+    "smolvlm": ("smolvlm", "SmolVLMConfig"),
     "siglip2_vision_model": ("siglip2", "Siglip2VisionConfig"),
     "siglip2_text_model": ("siglip2", "Siglip2TextConfig"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeConfig"),

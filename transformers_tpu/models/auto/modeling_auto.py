@@ -413,12 +413,16 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
+    "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),
+    "smolvlm": ("smolvlm", "SmolVLMForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
     "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderModel"),
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
+    "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),
+    "smolvlm": ("smolvlm", "SmolVLMForConditionalGeneration"),
     "fuyu": ("fuyu", "FuyuForCausalLM"),
     "kosmos-2": ("kosmos2", "Kosmos2ForConditionalGeneration"),
     "llava": ("llava", "LlavaForConditionalGeneration"),

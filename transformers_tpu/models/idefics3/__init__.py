@@ -1,0 +1,3 @@
+from .configuration_idefics3 import Idefics3Config, Idefics3VisionConfig
+from .modeling_idefics3 import (Idefics3ForConditionalGeneration, Idefics3Model,
+                                Idefics3VisionTransformer)

@@ -34,8 +34,11 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _rotate_half(x, d):
-    # rotate_half(x) = concat(-x2, x1): roll by d/2 then flip the first half's sign
-    rolled = pltpu.roll(x, shift=d // 2, axis=x.ndim - 1)
+    # rotate_half(x) = concat(-x2, x1): roll by d/2 then flip the first
+    # half's sign. Mosaic's rotate only handles 32-bit data, so bf16 inputs
+    # round-trip through f32 (rope is f32 math anyway).
+    xf = x.astype(jnp.float32)
+    rolled = pltpu.roll(xf, shift=d // 2, axis=x.ndim - 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where(lane < d // 2, -rolled, rolled)
 
@@ -51,18 +54,15 @@ def _fused_decode_kernel(
     cos_ref,    # [1, 1, D] VMEM
     sin_ref,    # [1, 1, D] VMEM
     valid_ref,  # [1, S] VMEM int32 kv validity
-    k_cache_hbm,  # [B, KVH, S, D] ANY (aliased out)
-    v_cache_hbm,  # [B, KVH, S, D] ANY (aliased out)
+    k_cache_hbm,  # [B, KVH, S, D] ANY
+    v_cache_hbm,  # [B, KVH, S, D] ANY
     # outputs
     out_ref,    # [1, KVH, Gp, D] VMEM
-    k_cache_out,  # aliased
-    v_cache_out,  # aliased
+    knr_ref,    # [1, KVH, 1, D] VMEM roped new key (cache write happens in XLA)
     # scratch
     k_buf,      # [2, KVH, CH, D] VMEM
     v_buf,      # [2, KVH, CH, D] VMEM
-    kv_write,   # [2, KVH, 1, D] VMEM (roped k', v' staging)
     sems,       # DMA sems [2, 2]
-    wsems,      # DMA sems [2]
     *,
     scale: float,
     chunk: int,
@@ -75,22 +75,15 @@ def _fused_decode_kernel(
     pos = pos_ref[0]
     start = start_ref[n]
 
-    cos = cos_ref[0]  # [1, D]
-    sin = sin_ref[0]
+    cos = cos_ref[0].astype(jnp.float32)  # [1, D]
+    sin = sin_ref[0].astype(jnp.float32)
     q = q_ref[0]      # [KVH, Gp, D]
-    qr = q * cos[None] + _rotate_half(q, d) * sin[None]
+    qr = (q.astype(jnp.float32) * cos[None]
+          + _rotate_half(q, d) * sin[None]).astype(q.dtype)
     kn = knew_ref[0]  # [KVH, 1, D]
-    knr = kn * cos[None] + _rotate_half(kn, d) * sin[None]
-
-    # stage k'/v' and start the in-place cache writes at slot pos
-    kv_write[0] = knr.astype(kv_write.dtype)
-    kv_write[1] = vnew_ref[0].astype(kv_write.dtype)
-    kwd = pltpu.make_async_copy(
-        kv_write.at[0], k_cache_out.at[n, :, pl.ds(pos, 1), :], wsems.at[0])
-    vwd = pltpu.make_async_copy(
-        kv_write.at[1], v_cache_out.at[n, :, pl.ds(pos, 1), :], wsems.at[1])
-    kwd.start()
-    vwd.start()
+    knr = (kn.astype(jnp.float32) * cos[None]
+           + _rotate_half(kn, d) * sin[None]).astype(kn.dtype)
+    knr_ref[0] = knr.astype(knr_ref.dtype)
 
     # chunk walk over cache slots [start, pos) with double buffering; the
     # physical load start is clamped into bounds and re-masked logically
@@ -174,9 +167,6 @@ def _fused_decode_kernel(
 
     out_ref[0] = (acc / l).reshape(kvh, g, d).astype(out_ref.dtype)
 
-    kwd.wait()
-    vwd.wait()
-
 
 def _fused_decode_kernel_whole(
     # scalar prefetch
@@ -190,18 +180,15 @@ def _fused_decode_kernel_whole(
     sin_ref,    # [B, 1, D] VMEM
     valid_ref,  # [B, S] VMEM int32
     startv_ref,  # [B, 1] int32 VMEM (row starts, vector form)
-    k_cache_hbm,  # [B, KVH, S, D] ANY (aliased out)
+    k_cache_hbm,  # [B, KVH, S, D] ANY
     v_cache_hbm,
     # outputs
     out_ref,    # [B, KVH, Gp, D] VMEM
-    k_cache_out,
-    v_cache_out,
+    knr_ref,    # [B, KVH, 1, D] VMEM roped new key (cache write happens in XLA)
     # scratch
     k_buf,      # [B, KVH, S, D] VMEM
     v_buf,
-    kv_write,   # [2, B, KVH, 1, D] VMEM
     sems,       # DMA [B, 2]
-    wsems,      # DMA [2]
     *,
     scale: float,
 ):
@@ -214,21 +201,13 @@ def _fused_decode_kernel_whole(
 
     pos = pos_ref[0]
 
-    cos = cos_ref[...][:, None]  # [B, 1, 1, D]
-    sin = sin_ref[...][:, None]
+    cos = cos_ref[...][:, None].astype(jnp.float32)  # [B, 1, 1, D]
+    sin = sin_ref[...][:, None].astype(jnp.float32)
     q = q_ref[...]               # [B, KVH, Gp, D]
-    qr = q * cos + _rotate_half(q, d) * sin
+    qr = (q.astype(jnp.float32) * cos + _rotate_half(q, d) * sin).astype(q.dtype)
     kn = knew_ref[...]           # [B, KVH, 1, D]
-    knr = kn * cos + _rotate_half(kn, d) * sin
-
-    kv_write[0] = knr.astype(kv_write.dtype)
-    kv_write[1] = vnew_ref[...].astype(kv_write.dtype)
-    kwd = pltpu.make_async_copy(
-        kv_write.at[0], k_cache_out.at[:, :, pl.ds(pos, 1), :], wsems.at[0])
-    vwd = pltpu.make_async_copy(
-        kv_write.at[1], v_cache_out.at[:, :, pl.ds(pos, 1), :], wsems.at[1])
-    kwd.start()
-    vwd.start()
+    knr = (kn.astype(jnp.float32) * cos + _rotate_half(kn, d) * sin).astype(kn.dtype)
+    knr_ref[...] = knr.astype(knr_ref.dtype)
 
     dmas = []
     for r in range(b):
@@ -267,9 +246,6 @@ def _fused_decode_kernel_whole(
     vn = vnew_ref[...].astype(jnp.float32)            # [B, KVH, 1, D]
     acc = pv + p_new * vn
     out_ref[...] = (acc / l).astype(out_ref.dtype)
-
-    kwd.wait()
-    vwd.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -323,28 +299,21 @@ def fused_decode_attention(
             ],
             out_specs=(
                 pl.BlockSpec((b, kvh, pad_g, d), lambda *_: (0, 0, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((b, kvh, 1, d), lambda *_: (0, 0, 0, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((b, kvh, s, d), k_cache.dtype),
                 pltpu.VMEM((b, kvh, s, d), v_cache.dtype),
-                pltpu.VMEM((2, b, kvh, 1, d), k_cache.dtype),
                 pltpu.SemaphoreType.DMA((b, 2)),
-                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        out, k_cache, v_cache = pl.pallas_call(
+        out, knr = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((b, kvh, pad_g, d), q.dtype),
-                jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-                jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+                jax.ShapeDtypeStruct((b, kvh, 1, d), k_cache.dtype),
             ),
-            # scalar prefetch (2) + q, knew, vnew, cos, sin, valid, startv,
-            # k_cache (idx 9), v_cache (idx 10) -> outputs 1, 2
-            input_output_aliases={9: 1, 10: 2},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -353,6 +322,10 @@ def fused_decode_attention(
           qg, kng, vng, cos.astype(q.dtype), sin.astype(q.dtype),
           kv_valid.astype(jnp.int32), start.astype(jnp.int32)[:, None],
           k_cache, v_cache)
+        z = jnp.zeros((), jnp.int32)
+        starts = (z, z, jnp.asarray(pos, jnp.int32), z)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, knr.astype(k_cache.dtype), starts)
+        v_cache = jax.lax.dynamic_update_slice(v_cache, vng.astype(v_cache.dtype), starts)
         out = out[:, :, :g, :].reshape(b, kvh * g, 1, d)
         return jnp.swapaxes(out, 1, 2), k_cache, v_cache
 
@@ -374,30 +347,21 @@ def fused_decode_attention(
         ],
         out_specs=(
             pl.BlockSpec((1, kvh, pad_g, d), lambda ni, *_: (ni, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, kvh, 1, d), lambda ni, *_: (ni, 0, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, kvh, ch, d), k_cache.dtype),
             pltpu.VMEM((2, kvh, ch, d), v_cache.dtype),
-            pltpu.VMEM((2, kvh, 1, d), k_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    out, k_cache, v_cache = pl.pallas_call(
+    out, knr = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, kvh, pad_g, d), q.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct((b, kvh, 1, d), k_cache.dtype),
         ),
-        # inputs after the 2 scalar-prefetch args: q, knew, vnew, cos, sin,
-        # valid, k_cache (idx 6+2=8), v_cache (idx 9) -> outputs 1, 2
-        input_output_aliases={8: 1, 9: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -405,6 +369,10 @@ def fused_decode_attention(
     )(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), start.astype(jnp.int32),
       qg, kng, vng, cos.astype(q.dtype), sin.astype(q.dtype),
       kv_valid.astype(jnp.int32), k_cache, v_cache)
+    z = jnp.zeros((), jnp.int32)
+    starts = (z, z, jnp.asarray(pos, jnp.int32), z)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, knr.astype(k_cache.dtype), starts)
+    v_cache = jax.lax.dynamic_update_slice(v_cache, vng.astype(v_cache.dtype), starts)
     out = out[:, :, :g, :].reshape(b, kvh * g, 1, d)
     return jnp.swapaxes(out, 1, 2), k_cache, v_cache
 
