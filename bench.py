@@ -29,7 +29,11 @@ Measured context (2026-08-16/17, v5e via axon):
 - fusing q/k/v and gate/up into single matmuls is a null result — XLA
   already saturates HBM with separate weight streams; do not re-attempt;
 - decode attention over a [B,KVH,S,D] cache streams at full rate; the old
-  [B,S,KVH,D] layout was the 1B-geometry bottleneck (strided KV reads).
+  [B,S,KVH,D] layout was the 1B-geometry bottleneck (strided KV reads);
+- ablations (2026-08-17): attention+rope+cache-update cost ~1.35 ms of the
+  ~21 ms step and a fused Pallas decode-step kernel matches (not beats) the
+  XLA ops at this context length — the remaining gap to the roofline is the
+  M=8 weight-streaming GEMMs themselves (~752 GB/s effective vs 819 peak).
 """
 
 from __future__ import annotations

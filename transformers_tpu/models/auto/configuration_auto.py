@@ -200,6 +200,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),
     "siglip2": ("siglip2", "Siglip2Config"),
     "idefics3": ("idefics3", "Idefics3Config"),
+    "pixtral": ("pixtral", "PixtralVisionConfig"),
+    "mistral3": ("mistral3", "Mistral3Config"),
     "smolvlm": ("smolvlm", "SmolVLMConfig"),
     "siglip2_vision_model": ("siglip2", "Siglip2VisionConfig"),
     "siglip2_text_model": ("siglip2", "Siglip2TextConfig"),

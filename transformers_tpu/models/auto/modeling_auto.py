@@ -106,6 +106,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip": ("siglip", "SiglipModel"),
     "siglip2": ("siglip2", "Siglip2Model"),
     "siglip2_vision_model": ("siglip2", "Siglip2VisionModel"),
+    "pixtral": ("pixtral", "PixtralVisionModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
     "longt5": ("longt5", "LongT5EncoderModel"),
@@ -414,6 +415,7 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),
+    "mistral3": ("mistral3", "Mistral3ForConditionalGeneration"),
     "smolvlm": ("smolvlm", "SmolVLMForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
     "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderModel"),
@@ -422,6 +424,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),
+    "mistral3": ("mistral3", "Mistral3ForConditionalGeneration"),
     "smolvlm": ("smolvlm", "SmolVLMForConditionalGeneration"),
     "fuyu": ("fuyu", "FuyuForCausalLM"),
     "kosmos-2": ("kosmos2", "Kosmos2ForConditionalGeneration"),
