@@ -61,6 +61,13 @@ FAMILIES_RAW = {
         num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
         num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
         pad_token_id=0, eos_token_id=2)),
+    "llama4_text": ("Llama4TextConfig", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=48,
+        intermediate_size_mlp=64, num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, max_position_embeddings=256,
+        num_experts_per_tok=2, num_local_experts=4, interleave_moe_layer_step=2,
+        no_rope_layer_interval=2, attention_chunk_size=4, use_qk_norm=True,
+        attn_temperature_tuning=True, floor_scale=4, attn_scale=0.1)),
     "deepseek_v2": ("DeepseekV2Config", dict(
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
         num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=256,
@@ -369,7 +376,8 @@ def test_logit_parity(family, tmp_path):
                                     "granitemoe", "gpt_bigcode", "biogpt", "xglm",
                                     "cohere2", "phimoe", "glm4_moe",
                                     "olmo3", "vaultgemma", "ministral", "bitnet", "apertus",
-                                    "granitemoeshared", "flex_olmo", "hunyuan_v1_dense", "diffllama"])
+                                    "granitemoeshared", "flex_olmo", "hunyuan_v1_dense", "diffllama",
+                                    "llama4_text", "deepseek_v2", "dots1", "ernie4_5_moe"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""

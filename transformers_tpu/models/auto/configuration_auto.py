@@ -201,6 +201,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip2": ("siglip2", "Siglip2Config"),
     "idefics3": ("idefics3", "Idefics3Config"),
     "pixtral": ("pixtral", "PixtralVisionConfig"),
+    "llama4": ("llama4", "Llama4Config"),
+    "llama4_text": ("llama4", "Llama4TextConfig"),
     "mistral3": ("mistral3", "Mistral3Config"),
     "smolvlm": ("smolvlm", "SmolVLMConfig"),
     "siglip2_vision_model": ("siglip2", "Siglip2VisionConfig"),

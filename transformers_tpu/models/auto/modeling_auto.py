@@ -126,6 +126,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
     "dots1": ("dots1", "Dots1ModelStandalone"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ModelStandalone"),
+    "llama4_text": ("llama4", "Llama4TextModelStandalone"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeModelStandalone"),
     "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
     "stablelm": ("stablelm", "StableLmModelStandalone"),
@@ -208,6 +209,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "diffllama": ("diffllama", "DiffLlamaForCausalLM"),
     "dots1": ("dots1", "Dots1ForCausalLM"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ForCausalLM"),
+    "llama4_text": ("llama4", "Llama4ForCausalLM"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeForCausalLM"),
     "starcoder2": ("starcoder2", "Starcoder2ForCausalLM"),
     "stablelm": ("stablelm", "StableLmForCausalLM"),

@@ -144,6 +144,7 @@ class LlamaAttention(Module):
                 or kwargs.get("logit_cap") is not None
                 or kwargs.get("sinks") is not None
                 or kwargs.get("probs_sink") is not None
+                or kwargs.get("chunk_size") is not None
                 or not kwargs.get("is_causal", True)):
             return None
         k_cache, v_cache = cache.layer(self.layer_idx)

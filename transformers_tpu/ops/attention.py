@@ -37,7 +37,8 @@ def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     return x.reshape(b, s, h * n_rep, d)
 
 
-def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window):
+def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
+                 chunk_size=None):
     b, sq = q.shape[0], q.shape[1]
     skv = k.shape[1]
     if q_positions is None:
@@ -45,7 +46,8 @@ def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window):
     if kv_valid is None:
         kv_valid = jnp.ones((b, skv), jnp.int32)
     if is_causal:
-        mask = causal_mask_bool(q_positions, kv_valid, sliding_window=sliding_window)
+        mask = causal_mask_bool(q_positions, kv_valid, sliding_window=sliding_window,
+                                chunk_size=chunk_size)
     else:
         mask = jnp.broadcast_to(kv_valid.astype(bool)[:, None, None, :], (b, 1, sq, skv))
         if sliding_window is not None:
@@ -72,6 +74,7 @@ def eager_attention(
     logit_cap: Optional[float] = None,
     probs_sink: Optional[list] = None,
     sinks: Optional[jnp.ndarray] = None,
+    chunk_size: Optional[int] = None,
     **kwargs,
 ) -> jnp.ndarray:
     """Reference dot-product attention; float32 softmax for numerics.
@@ -89,7 +92,8 @@ def eager_attention(
     kvh = k.shape[2]
     g = h // kvh
     if bias is None:
-        bias = _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window)
+        bias = _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
+                            chunk_size)
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     qg = q.reshape(b, sq, kvh, g, d)
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
@@ -133,6 +137,7 @@ def cached_attention_bhsd(
     logit_cap: Optional[float] = None,
     probs_sink: Optional[list] = None,
     sinks: Optional[jnp.ndarray] = None,
+    chunk_size: Optional[int] = None,
     **kwargs,
 ) -> jnp.ndarray:
     """Attention over a [B, KVH, S, D] cache — the decode hot path.
@@ -166,6 +171,8 @@ def cached_attention_bhsd(
         visible = valid & (kv_pos[:, None, :] <= q_positions[:, :, None])
         if sliding_window is not None:
             visible &= kv_pos[:, None, :] > (q_positions[:, :, None] - sliding_window)
+        if chunk_size is not None:
+            visible &= (kv_pos[:, None, :] // chunk_size) == (q_positions[:, :, None] // chunk_size)
     else:
         visible = jnp.broadcast_to(valid, (b, sq, skv))
         if sliding_window is not None:
@@ -203,6 +210,7 @@ def flash_attention_dispatch(
 
     bidir_window = (not is_causal) and sliding_window is not None
     if (probs_sink is None and bias is None and sinks is None
+            and kwargs.get("chunk_size") is None
             and not bidir_window and flash_supported(q, k, v)):
         return flash_attention(
             q, k, v,
@@ -213,7 +221,7 @@ def flash_attention_dispatch(
     return eager_attention(q, k, v, bias, q_positions=q_positions, kv_valid=kv_valid,
                            is_causal=is_causal, sliding_window=sliding_window,
                            scale=scale, logit_cap=logit_cap, probs_sink=probs_sink,
-                           sinks=sinks)
+                           sinks=sinks, chunk_size=kwargs.get("chunk_size"))
 
 
 class AttentionInterface(GeneralInterface):

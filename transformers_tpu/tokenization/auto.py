@@ -15,6 +15,7 @@ from .base import PreTrainedTokenizer
 # tokenizer_class name -> (module under transformers_tpu.models, class)
 _SPECIAL_TOKENIZERS = {
     "VitsTokenizer": ("vits", "VitsTokenizer"),
+    "ByT5Tokenizer": ("byt5", "ByT5Tokenizer"),
 }
 
 
