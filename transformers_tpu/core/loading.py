@@ -33,6 +33,8 @@ from ..utils.generic import flatten_dict, set_nested
 from ..utils.hub import (
     SAFE_WEIGHTS_INDEX_NAME,
     SAFE_WEIGHTS_NAME,
+    WEIGHTS_INDEX_NAME,
+    WEIGHTS_NAME,
     cached_file,
     get_checkpoint_shard_files,
     has_file,
@@ -82,18 +84,84 @@ class LoadReport:
 
 
 def resolve_checkpoint_files(path_or_repo: str) -> tuple[list[str], Optional[dict]]:
-    """Find the safetensors file(s) for a checkpoint (single or sharded).
+    """Find the weight file(s) for a checkpoint (single or sharded),
+    preferring safetensors and falling back to legacy torch ``.bin``.
 
-    Reference parity: modeling_utils.py:535 ``_get_resolved_checkpoint_files``.
+    Reference parity: modeling_utils.py:535 ``_get_resolved_checkpoint_files``
+    (safetensors > sharded safetensors > pytorch_model.bin > sharded .bin).
     """
     if has_file(path_or_repo, SAFE_WEIGHTS_NAME):
         return [cached_file(path_or_repo, SAFE_WEIGHTS_NAME)], None
     if has_file(path_or_repo, SAFE_WEIGHTS_INDEX_NAME):
         return get_checkpoint_shard_files(path_or_repo, SAFE_WEIGHTS_INDEX_NAME)
+    if has_file(path_or_repo, WEIGHTS_NAME):
+        return [cached_file(path_or_repo, WEIGHTS_NAME)], None
+    if has_file(path_or_repo, WEIGHTS_INDEX_NAME):
+        return get_checkpoint_shard_files(path_or_repo, WEIGHTS_INDEX_NAME)
     raise OSError(
-        f"No safetensors weights found at {path_or_repo!r} (looked for {SAFE_WEIGHTS_NAME} "
-        f"and {SAFE_WEIGHTS_INDEX_NAME}). Legacy .bin checkpoints are not supported yet."
+        f"No model weights found at {path_or_repo!r} (looked for {SAFE_WEIGHTS_NAME}, "
+        f"{SAFE_WEIGHTS_INDEX_NAME}, {WEIGHTS_NAME}, {WEIGHTS_INDEX_NAME})."
     )
+
+
+class TorchBinFile:
+    """Legacy ``pytorch_model.bin`` shard reader (reference
+    modeling_utils.py:319 ``load_state_dict`` torch branch). Tensors are
+    deserialized once with ``torch.load(weights_only=True)``; bf16/f16 are
+    upcast to f32 on extraction (exact) and recast at the load target dtype."""
+
+    def __init__(self, path: str):
+        import torch  # local import: torch is host-side only
+
+        self._sd = torch.load(path, map_location="cpu", weights_only=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._sd = None
+
+    def keys(self):
+        return list(self._sd.keys())
+
+    def get_tensor(self, key: str) -> np.ndarray:
+        import torch
+
+        t = self._sd[key]
+        if t.dtype in (torch.bfloat16, torch.float16):
+            t = t.float()
+        return t.numpy()
+
+
+class DictSource:
+    """In-memory state-dict adapter (GGUF dequant output, test fixtures)."""
+
+    def __init__(self, tensors: dict):
+        self._tensors = tensors
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    def keys(self):
+        return list(self._tensors.keys())
+
+    def get_tensor(self, key: str) -> np.ndarray:
+        return np.asarray(self._tensors[key])
+
+
+def open_checkpoint_source(file):
+    """Dispatch a checkpoint entry to its reader: path → safetensors/.bin,
+    dict → in-memory, reader object → itself."""
+    if isinstance(file, str):
+        if file.endswith(".bin") or file.endswith(".pt") or file.endswith(".pth"):
+            return TorchBinFile(file)
+        return SafetensorsFile(file)
+    if isinstance(file, dict):
+        return DictSource(file)
+    return file
 
 
 def _np_cast(arr: np.ndarray, dtype) -> np.ndarray:
@@ -145,7 +213,7 @@ def load_checkpoint_in_model(
         return key
 
     for file in checkpoint_files:
-        with SafetensorsFile(file) as f:
+        with open_checkpoint_source(file) as f:
             for ckpt_key in f.keys():
                 key = ckpt_key
                 for rule in rules:

@@ -206,6 +206,7 @@ class PreTrainedModel(Module):
         device: Optional[jax.Device] = None,
         attn_implementation: Optional[str] = None,
         quantization_config=None,
+        gguf_file: Optional[str] = None,
         seed: int = 0,
         **config_kwargs,
     ) -> "PreTrainedModel":
@@ -214,7 +215,26 @@ class PreTrainedModel(Module):
         Reference parity: modeling_utils.py:3859 ``from_pretrained`` — steps
         1 (config), 4 (checkpoint resolution), 5 (dtype), 7 (model build),
         12 (streamed load + shard placement), tie_weights, generation config.
+        ``gguf_file`` loads dequantized llama.cpp checkpoints (reference
+        modeling_gguf_pytorch_utils.py ``load_gguf_checkpoint``).
         """
+        gguf_ckpt = None
+        if gguf_file is not None:
+            from .modeling_gguf_utils import gguf_config_kwargs, load_gguf_checkpoint
+            from .utils.hub import cached_file
+
+            gguf_path = cached_file(str(pretrained_model_name_or_path), gguf_file)
+            gguf_ckpt = load_gguf_checkpoint(gguf_path)
+            if config is None:
+                kwargs = gguf_config_kwargs(gguf_ckpt["metadata"])
+                kwargs.pop("model_type", None)
+                kwargs.update(config_kwargs)
+                try:
+                    config = cls.config_class.from_pretrained(
+                        pretrained_model_name_or_path, **kwargs
+                    )
+                except OSError:  # GGUF-only directory: config from metadata alone
+                    config = cls.config_class(**kwargs)
         if config is None:
             config = cls.config_class.from_pretrained(pretrained_model_name_or_path, **config_kwargs)
         if attn_implementation is not None:
@@ -228,7 +248,10 @@ class PreTrainedModel(Module):
 
         model = cls(config, dtype=load_dtype, param_dtype=dtype_from_str(param_dtype) or load_dtype)
 
-        checkpoint_files, _ = resolve_checkpoint_files(str(pretrained_model_name_or_path))
+        if gguf_ckpt is not None:
+            checkpoint_files = [gguf_ckpt["tensors"]]
+        else:
+            checkpoint_files, _ = resolve_checkpoint_files(str(pretrained_model_name_or_path))
         params, report = load_checkpoint_in_model(
             model,
             checkpoint_files,
