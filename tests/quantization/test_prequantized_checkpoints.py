@@ -1,0 +1,237 @@
+"""Pre-quantized hub checkpoint loading (GPTQ / AWQ / compressed-tensors /
+fp8) — vectorized dequant vs independent scalar packers, plus an end-to-end
+GPTQ llama checkpoint through the public from_pretrained."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from transformers_tpu.quantizers.checkpoint_formats import (  # noqa: E402
+    dequant_awq,
+    dequant_compressed_int,
+    dequant_fp8,
+    dequant_gptq,
+    dequantize_state_dict,
+)
+
+
+def pack_gptq_scalar(q, z, s, bits=4):
+    """AutoGPTQ packing, scalar transcription: qweight packs K (rows)
+    little-endian into int32; qzeros packs N (cols)."""
+    K, N = q.shape
+    pack = 32 // bits
+    qweight = np.zeros((K // pack, N), np.uint32)
+    for k in range(K):
+        qweight[k // pack] |= q[k].astype(np.uint32) << ((k % pack) * bits)
+    G = z.shape[0]
+    qzeros = np.zeros((G, N // pack), np.uint32)
+    for n in range(N):
+        qzeros[:, n // pack] |= z[:, n].astype(np.uint32) << ((n % pack) * bits)
+    return qweight.view(np.int32), qzeros.view(np.int32), s.astype(np.float16)
+
+
+AWQ_ORDER = [0, 2, 4, 6, 1, 3, 5, 7]
+
+
+def pack_awq_scalar(q, bits=4):
+    """AWQ gemm packing: columns packed into int32 with the AWQ interleave —
+    storage slot i of each int32 holds logical column AWQ_ORDER[i]."""
+    K, N = q.shape
+    pack = 32 // bits
+    out = np.zeros((K, N // pack), np.uint32)
+    for n0 in range(0, N, pack):
+        for slot in range(pack):
+            col = n0 + AWQ_ORDER[slot]
+            out[:, n0 // pack] |= q[:, col].astype(np.uint32) << (slot * bits)
+    return out.view(np.int32)
+
+
+def test_gptq_dequant():
+    rng = np.random.default_rng(0)
+    K, N, gs = 32, 16, 8
+    G = K // gs
+    q = rng.integers(0, 16, size=(K, N)).astype(np.int64)
+    z = rng.integers(0, 15, size=(G, N)).astype(np.int64)
+    s = rng.normal(scale=0.1, size=(G, N)).astype(np.float16)
+    qweight, qzeros, scales = pack_gptq_scalar(q, z, s)
+    g_idx = (np.arange(K) // gs).astype(np.int32)
+    # expected torch-layout [N, K] weight with the legacy +1 offset
+    want = (s.astype(np.float32)[g_idx] * (q - (z + 1)[g_idx])).T
+    got = dequant_gptq(
+        {"qweight": qweight, "qzeros": qzeros, "scales": scales, "g_idx": g_idx},
+        {"bits": 4, "group_size": gs})
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # gptq_v2: no +1
+    want2 = (s.astype(np.float32)[g_idx] * (q - z[g_idx])).T
+    got2 = dequant_gptq(
+        {"qweight": qweight, "qzeros": qzeros, "scales": scales, "g_idx": g_idx},
+        {"bits": 4, "group_size": gs, "checkpoint_format": "gptq_v2"})
+    np.testing.assert_allclose(got2, want2, rtol=1e-6)
+
+
+def test_gptq_act_order_g_idx():
+    """act-order checkpoints carry a permuted g_idx — dequant must honor it."""
+    rng = np.random.default_rng(1)
+    K, N, gs = 16, 8, 8
+    q = rng.integers(0, 16, size=(K, N)).astype(np.int64)
+    z = rng.integers(0, 15, size=(2, N)).astype(np.int64)
+    s = rng.normal(scale=0.1, size=(2, N)).astype(np.float16)
+    g_idx = rng.integers(0, 2, size=K).astype(np.int32)
+    qweight, qzeros, scales = pack_gptq_scalar(q, z, s)
+    want = (s.astype(np.float32)[g_idx] * (q - (z + 1)[g_idx])).T
+    got = dequant_gptq(
+        {"qweight": qweight, "qzeros": qzeros, "scales": scales, "g_idx": g_idx},
+        {"bits": 4, "group_size": gs})
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_awq_dequant():
+    rng = np.random.default_rng(2)
+    K, N, gs = 16, 16, 8
+    G = K // gs
+    q = rng.integers(0, 16, size=(K, N)).astype(np.int64)
+    z = rng.integers(0, 16, size=(G, N)).astype(np.int64)
+    s = rng.normal(scale=0.1, size=(G, N)).astype(np.float16)
+    qweight = pack_awq_scalar(q)
+    qzeros = pack_awq_scalar(z)
+    g_idx = np.arange(K) // gs
+    want = (s.astype(np.float32)[g_idx] * (q - z[g_idx])).T
+    got = dequant_awq(
+        {"qweight": qweight, "qzeros": qzeros, "scales": s},
+        {"bits": 4, "group_size": gs})
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_compressed_tensors_dequant():
+    rng = np.random.default_rng(3)
+    N, K, gs = 8, 32, 16
+    q = rng.integers(-8, 8, size=(N, K)).astype(np.int64)   # signed int4
+    s = rng.normal(scale=0.1, size=(N, K // gs)).astype(np.float32)
+    packed = np.zeros((N, K // 8), np.uint32)
+    for k in range(K):
+        packed[:, k // 8] |= (q[:, k] & 0xF).astype(np.uint32) << ((k % 8) * 4)
+    g_idx = np.arange(K) // gs
+    want = s[:, g_idx] * q
+    got = dequant_compressed_int(
+        {"weight_packed": packed.view(np.int32), "weight_scale": s,
+         "weight_shape": np.array([N, K])},
+        {"num_bits": 4})
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fp8_dequant_per_tensor_and_block():
+    import ml_dtypes
+
+    rng = np.random.default_rng(4)
+    w = rng.normal(scale=0.2, size=(8, 16)).astype(ml_dtypes.float8_e4m3fn)
+    # per-tensor
+    got = dequant_fp8({"weight": w, "weight_scale": np.float32(2.0)}, {})
+    np.testing.assert_allclose(got, w.astype(np.float32) * 2.0, rtol=1e-6)
+    # per-channel
+    s = rng.normal(scale=1.0, size=(8,)).astype(np.float32)
+    got = dequant_fp8({"weight": w, "weight_scale": s}, {})
+    np.testing.assert_allclose(got, w.astype(np.float32) * s[:, None], rtol=1e-6)
+    # 4x4 block quant (DeepSeek weight_scale_inv layout)
+    sinv = rng.normal(scale=1.0, size=(2, 4)).astype(np.float32)
+    got = dequant_fp8({"weight": w, "weight_scale_inv": sinv},
+                      {"weight_block_size": [4, 4]})
+    want = w.astype(np.float32) * np.kron(sinv, np.ones((4, 4), np.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _gptq_quantize_tensor(w, gs=8, bits=4):
+    """Quantize torch-layout [N, K] float -> GPTQ tensors (asymmetric)."""
+    wt = w.T.astype(np.float64)  # [K, N]
+    K, N = wt.shape
+    G = K // gs
+    q = np.zeros((K, N), np.int64)
+    z = np.zeros((G, N), np.int64)
+    s = np.zeros((G, N), np.float64)
+    for g in range(G):
+        blk = wt[g * gs:(g + 1) * gs]
+        mn, mx = blk.min(0), blk.max(0)
+        scale = np.maximum((mx - mn) / 15.0, 1e-8)
+        zero = np.clip(np.round(-mn / scale) - 1, 0, 15)  # stored zero (z+1 applied at dequant)
+        s[g], z[g] = scale, zero
+        q[g * gs:(g + 1) * gs] = np.clip(np.round(blk / scale + (zero + 1)), 0, 15)
+    qweight, qzeros, scales = pack_gptq_scalar(q, z, np.float16(s))
+    s16 = scales.astype(np.float32)  # what dequant actually sees (f16 storage)
+    g_idx = np.arange(K) // gs
+    deq = (s16[g_idx] * (q - (z + 1)[g_idx])).T
+    return qweight, qzeros, scales, deq.astype(np.float32)
+
+
+def test_gptq_llama_end_to_end(tmp_path):
+    """A GPTQ-packed llama checkpoint loads through from_pretrained and
+    matches the dequantized reference logits."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    import jax.numpy as jnp
+    import transformers_tpu as ttpu
+    from transformers_tpu.core.safetensors import save_file
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=48,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, attn_implementation="eager")
+    tm = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    quant_targets = [k for k in sd
+                     if k.endswith(".weight") and
+                     any(p in k for p in ("q_proj", "k_proj", "v_proj", "o_proj",
+                                          "gate_proj", "up_proj", "down_proj"))]
+    out_sd = {}
+    for k, v in sd.items():
+        if k in quant_targets:
+            qweight, qzeros, scales, deq = _gptq_quantize_tensor(v)
+            base = k[: -len(".weight")]
+            out_sd[base + ".qweight"] = qweight
+            out_sd[base + ".qzeros"] = qzeros
+            out_sd[base + ".scales"] = scales
+            out_sd[base + ".g_idx"] = (np.arange(v.shape[1]) // 8).astype(np.int32)
+            # patch the torch model with the dequantized values as the oracle
+            tm.state_dict()[k].copy_(torch.tensor(deq))
+        else:
+            out_sd[k] = v
+
+    d = tmp_path / "gptq_ckpt"
+    d.mkdir()
+    save_file(out_sd, str(d / "model.safetensors"))
+    cfg_dict = cfg.to_dict()
+    cfg_dict["quantization_config"] = {"quant_method": "gptq", "bits": 4,
+                                       "group_size": 8, "desc_act": False}
+    (d / "config.json").write_text(json.dumps(cfg_dict))
+
+    m = ttpu.AutoModelForCausalLM.from_pretrained(str(d), dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    ids = [[1, 5, 9, 3, 22, 7]]
+    ours = np.asarray(m(m.params, input_ids=jnp.asarray(ids)).logits)
+    with torch.no_grad():
+        ref = tm(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+def test_dequantize_state_dict_passthrough():
+    """Non-quantized tensors pass through; packed groups collapse to .weight."""
+    rng = np.random.default_rng(5)
+    q = rng.integers(0, 16, size=(16, 8)).astype(np.int64)
+    z = rng.integers(0, 15, size=(2, 8)).astype(np.int64)
+    s = rng.normal(scale=0.1, size=(2, 8)).astype(np.float16)
+    qweight, qzeros, scales = pack_gptq_scalar(q, z, s)
+    sd = {
+        "model.layers.0.self_attn.q_proj.qweight": qweight,
+        "model.layers.0.self_attn.q_proj.qzeros": qzeros,
+        "model.layers.0.self_attn.q_proj.scales": scales,
+        "model.norm.weight": np.ones(4, np.float32),
+    }
+    out = dequantize_state_dict(sd, {"quant_method": "gptq", "bits": 4, "group_size": 8})
+    assert set(out) == {"model.layers.0.self_attn.q_proj.weight", "model.norm.weight"}
+    assert out["model.layers.0.self_attn.q_proj.weight"].shape == (8, 16)

@@ -252,6 +252,19 @@ class PreTrainedModel(Module):
             checkpoint_files = [gguf_ckpt["tensors"]]
         else:
             checkpoint_files, _ = resolve_checkpoint_files(str(pretrained_model_name_or_path))
+        # Pre-quantized hub checkpoints (GPTQ/AWQ/compressed-tensors/fp8):
+        # dequantize-on-load into the plain param tree (reference quantizers/).
+        config_qdict = getattr(config, "quantization_config", None)
+        if isinstance(config_qdict, dict) and config_qdict:
+            from .quantizers.checkpoint_formats import (
+                detect_prequantized,
+                load_prequantized_checkpoint,
+            )
+
+            if detect_prequantized(config_qdict) is not None:
+                checkpoint_files = [
+                    load_prequantized_checkpoint(checkpoint_files, config_qdict)
+                ]
         params, report = load_checkpoint_in_model(
             model,
             checkpoint_files,
