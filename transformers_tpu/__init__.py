@@ -62,6 +62,8 @@ from .training_args import ParallelismConfig, TrainingArguments
 from .data.data_collator import (
     DataCollatorForLanguageModeling,
     DataCollatorForSeq2Seq,
+    DataCollatorForWholeWordMask,
+    DataCollatorWithFlattening,
     DataCollatorWithPadding,
     default_data_collator,
 )

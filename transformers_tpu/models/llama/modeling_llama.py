@@ -334,6 +334,7 @@ class LlamaModel(Module):
         hidden = inputs_embeds
         b, s, _ = hidden.shape
 
+        explicit_positions = position_ids is not None
         if position_ids is None:
             # Reference default: positions from cache_position (arange), NOT
             # mask-derived — callers with padded batches pass explicit
@@ -348,6 +349,16 @@ class LlamaModel(Module):
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
         attn_args = {"q_positions": q_positions, "kv_valid": kv_valid,
                      "is_causal": self.causal_attention, "sliding_window": None}
+        if past_key_values is None and explicit_positions and self.causal_attention:
+            # Packed-sequence rows: explicit position_ids with resets mark
+            # sequence boundaries (reference masking_utils.py:159); a plain
+            # arange collapses to one segment, so this is behavior-preserving
+            # for ordinary padded batches.
+            from ...ops.masks import segment_ids_from_position_ids
+
+            seg = segment_ids_from_position_ids(position_ids)
+            attn_args["q_segment_ids"] = seg
+            attn_args["kv_segment_ids"] = seg
         # output_attentions channel: attention impls append [B, H, Q, KV]
         # probs here (forces the eager path — see ops/attention.py).
         probs_sink = [] if output_attentions else None

@@ -38,7 +38,7 @@ def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
 
 
 def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
-                 chunk_size=None):
+                 chunk_size=None, q_segment_ids=None, kv_segment_ids=None):
     b, sq = q.shape[0], q.shape[1]
     skv = k.shape[1]
     if q_positions is None:
@@ -47,7 +47,8 @@ def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
         kv_valid = jnp.ones((b, skv), jnp.int32)
     if is_causal:
         mask = causal_mask_bool(q_positions, kv_valid, sliding_window=sliding_window,
-                                chunk_size=chunk_size)
+                                chunk_size=chunk_size, q_segment_ids=q_segment_ids,
+                                kv_segment_ids=kv_segment_ids)
     else:
         mask = jnp.broadcast_to(kv_valid.astype(bool)[:, None, None, :], (b, 1, sq, skv))
         if sliding_window is not None:
@@ -75,6 +76,8 @@ def eager_attention(
     probs_sink: Optional[list] = None,
     sinks: Optional[jnp.ndarray] = None,
     chunk_size: Optional[int] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
     **kwargs,
 ) -> jnp.ndarray:
     """Reference dot-product attention; float32 softmax for numerics.
@@ -93,7 +96,7 @@ def eager_attention(
     g = h // kvh
     if bias is None:
         bias = _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
-                            chunk_size)
+                            chunk_size, q_segment_ids, kv_segment_ids)
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     qg = q.reshape(b, sq, kvh, g, d)
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
@@ -211,6 +214,7 @@ def flash_attention_dispatch(
     bidir_window = (not is_causal) and sliding_window is not None
     if (probs_sink is None and bias is None and sinks is None
             and kwargs.get("chunk_size") is None
+            and kwargs.get("q_segment_ids") is None
             and not bidir_window and flash_supported(q, k, v)):
         return flash_attention(
             q, k, v,
@@ -221,7 +225,9 @@ def flash_attention_dispatch(
     return eager_attention(q, k, v, bias, q_positions=q_positions, kv_valid=kv_valid,
                            is_causal=is_causal, sliding_window=sliding_window,
                            scale=scale, logit_cap=logit_cap, probs_sink=probs_sink,
-                           sinks=sinks, chunk_size=kwargs.get("chunk_size"))
+                           sinks=sinks, chunk_size=kwargs.get("chunk_size"),
+                           q_segment_ids=kwargs.get("q_segment_ids"),
+                           kv_segment_ids=kwargs.get("kv_segment_ids"))
 
 
 class AttentionInterface(GeneralInterface):

@@ -28,10 +28,15 @@ def causal_mask_bool(
     *,
     sliding_window: Optional[int] = None,
     chunk_size: Optional[int] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,  # [B, Q] packed-sequence ids
+    kv_segment_ids: Optional[jnp.ndarray] = None,  # [B, KV]
 ) -> jnp.ndarray:
     """Boolean mask [B, 1, Q, KV]: query at slot p attends kv slot s iff
     s <= p, the slot is valid, and (optionally) p - s < sliding_window
-    (reference masking_utils.py:76 causal, :92 sliding window, :104 chunked)."""
+    (reference masking_utils.py:76 causal, :92 sliding window, :104 chunked).
+    Segment ids add the packed-sequence restriction (reference
+    masking_utils.py:182 ``packed_sequence_mask``): cross-sequence attention
+    within one packed row is forbidden."""
     kv = kv_valid.shape[-1]
     kv_pos = jnp.arange(kv, dtype=jnp.int32)[None, None, None, :]
     q_pos = q_positions.astype(jnp.int32)[:, None, :, None]
@@ -40,6 +45,9 @@ def causal_mask_bool(
         allowed &= kv_pos > q_pos - sliding_window
     if chunk_size is not None:
         allowed &= (kv_pos // chunk_size) == (q_pos // chunk_size)
+    if q_segment_ids is not None and kv_segment_ids is not None:
+        allowed &= (q_segment_ids.astype(jnp.int32)[:, None, :, None]
+                    == kv_segment_ids.astype(jnp.int32)[:, None, None, :])
     valid = kv_valid.astype(bool)[:, None, None, :]
     return allowed & valid
 
@@ -82,3 +90,14 @@ def position_ids_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
     (reference generation/utils.py prepare_inputs_for_generation)."""
     pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
     return jnp.maximum(pos, 0)
+
+
+def segment_ids_from_position_ids(position_ids: jnp.ndarray) -> jnp.ndarray:
+    """Packed-row segment ids from position resets: a new sequence starts
+    wherever position does not increment by one (reference
+    masking_utils.py:159 ``find_packed_sequence_indices``). A plain arange
+    yields a single segment, so this is safe to apply unconditionally."""
+    pos = position_ids.astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full_like(pos[..., :1], -2), pos[..., :-1]], axis=-1)
+    new_seq = (pos != prev + 1).astype(jnp.int32)
+    return jnp.cumsum(new_seq, axis=-1) - 1
