@@ -18,6 +18,8 @@ from typing import Optional
 
 from ..generation.continuous_batching import ContinuousBatchingManager, RequestState
 from ..utils import logging
+from .serving_utils import (ModelManager, get_response_template,
+                            normalize_tool_call, parse_assistant_message)
 
 logger = logging.get_logger(__name__)
 
@@ -29,6 +31,7 @@ class ServeEngine:
         self.model = model
         self.tokenizer = tokenizer
         self.model_name = model_name
+        self.response_template = get_response_template(tokenizer, model)
         self.manager = ContinuousBatchingManager(model, **engine_kwargs)
         self.manager.start()
 
@@ -124,16 +127,86 @@ class AudioEngine:
         return self.tokenizer.decode(list(map(int, tokens)), skip_special_tokens=True)
 
 
-def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None):
+class _StreamParser:
+    """Turns raw token-id growth into OpenAI chunk deltas. With a response
+    template, text is routed through a streaming :class:`ResponseParser` so
+    tool calls and reasoning stream as structured deltas; without one, plain
+    ``delta.content`` text."""
+
+    def __init__(self, eng: ServeEngine, prompt_ids: list[int]):
+        self.eng = eng
+        self.parser = None
+        self.sent = ""  # raw text already fed/emitted
+        self.calls = 0
+        if eng.response_template is not None:
+            from ..utils.chat_parsing import ResponseParser
+            prefix = eng.tokenizer.decode(list(map(int, prompt_ids)),
+                                          skip_special_tokens=False)
+            try:
+                self.parser = ResponseParser(eng.response_template, prefix=prefix)
+            except Exception as e:
+                logger.warning(f"stream parser init failed ({e}); raw streaming")
+
+    def _grow(self, all_ids, *, specials: bool) -> str:
+        text = self.eng.tokenizer.decode(list(map(int, all_ids)),
+                                         skip_special_tokens=not specials)
+        if text.endswith("�"):  # hold back a partial UTF-8 codepoint
+            return ""
+        delta, self.sent = text[len(self.sent):], text
+        return delta
+
+    def _events_to_deltas(self, events) -> list[dict]:
+        deltas = []
+        for ev in events:
+            if ev["type"] == "region_chunk" and not ev.get("dirty"):
+                if ev["field"] == "content":
+                    deltas.append({"content": ev["text"]})
+                elif ev["field"] == "thinking":
+                    deltas.append({"reasoning_content": ev["text"]})
+            elif ev["type"] == "region_close" and ev["field"] == "tool_calls":
+                call = normalize_tool_call(ev["value"])
+                deltas.append({"tool_calls": [call.as_openai(self.calls)]})
+                self.calls += 1
+        return deltas
+
+    def step(self, all_ids) -> list[dict]:
+        if self.parser is None:
+            d = self._grow(all_ids, specials=False)
+            return [{"content": d}] if d else []
+        return self._events_to_deltas(self.parser.feed(self._grow(all_ids, specials=True)))
+
+    def finish(self) -> list[dict]:
+        if self.parser is None:
+            return []
+        try:
+            _, events = self.parser.finalize()
+        except Exception as e:
+            logger.warning(f"stream parse finalize failed: {e}")
+            return []
+        return self._events_to_deltas(events)
+
+
+def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
+              manager: Optional[ModelManager] = None):
     from aiohttp import web
 
     app = web.Application()
 
+    def resolve_engine(body: dict) -> ServeEngine:
+        """Serve the preloaded model by default; with a ModelManager, load
+        whatever model the request names (reference model_manager.py)."""
+        name = body.get("model")
+        if manager is not None and name and name != engine.model_name:
+            return manager.get(name)
+        return engine
+
     async def models(request):
+        names = [engine.model_name] + [n for n in (manager.loaded() if manager else [])
+                                       if n != engine.model_name]
         return web.json_response({
             "object": "list",
-            "data": [{"id": engine.model_name, "object": "model", "owned_by": "transformers_tpu",
-                      "created": int(time.time())}],
+            "data": [{"id": n, "object": "model", "owned_by": "transformers_tpu",
+                      "created": int(time.time())} for n in names],
         })
 
     async def _collect(q, loop):
@@ -144,22 +217,17 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None):
             if ev.status in ("finished", "failed"):
                 return
 
-    def _decode_delta(prev_text: str, all_ids: list[int]) -> tuple[str, str]:
-        text = engine.tokenizer.decode(all_ids, skip_special_tokens=True)
-        if text.endswith("�"):
-            return prev_text, ""
-        return text, text[len(prev_text):]
-
     async def chat_completions(request):
         body = await request.json()
+        eng = resolve_engine(body)
         messages = body.get("messages", [])
         stream = bool(body.get("stream", False))
         max_new = int(body.get("max_tokens") or body.get("max_completion_tokens") or 128)
         temperature = float(body.get("temperature", 1.0) or 0.0)
         if not body.get("do_sample", True) or temperature == 0.0:
             temperature = 0.0
-        prompt_ids = engine.chat_prompt_ids(messages)
-        rid, q = engine.submit_ids(prompt_ids, max_new_tokens=max_new, temperature=temperature)
+        prompt_ids = eng.chat_prompt_ids(messages)
+        rid, q = eng.submit_ids(prompt_ids, max_new_tokens=max_new, temperature=temperature)
         created = int(time.time())
         loop = asyncio.get_event_loop()
 
@@ -169,12 +237,19 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None):
                 final = ev
             if final.status == "failed":
                 return web.json_response({"error": {"message": final.error or "failed"}}, status=500)
-            text = engine.tokenizer.decode(final.generated_ids, skip_special_tokens=True)
+            text = eng.tokenizer.decode(final.generated_ids, skip_special_tokens=True)
+            content, reasoning, tool_calls = parse_assistant_message(
+                eng.tokenizer, eng.model, final.generated_ids, prompt_ids, text)
+            message = {"role": "assistant", "content": content}
+            if reasoning is not None:
+                message["reasoning_content"] = reasoning
+            if tool_calls:
+                message["tool_calls"] = [c.as_openai(i) for i, c in enumerate(tool_calls)]
             return web.json_response({
                 "id": rid, "object": "chat.completion", "created": created,
-                "model": engine.model_name,
-                "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
-                             "finish_reason": "stop"}],
+                "model": eng.model_name,
+                "choices": [{"index": 0, "message": message,
+                             "finish_reason": "tool_calls" if tool_calls else "stop"}],
                 "usage": {"prompt_tokens": len(prompt_ids),
                           "completion_tokens": len(final.generated_ids),
                           "total_tokens": len(prompt_ids) + len(final.generated_ids)},
@@ -183,23 +258,108 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None):
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream",
                                            "Cache-Control": "no-cache"})
         await resp.prepare(request)
-        sent_text = ""
+        sp = _StreamParser(eng, prompt_ids)
+        saw_calls = False
+
+        async def send(delta, finish=None):
+            chunk = {"id": rid, "object": "chat.completion.chunk", "created": created,
+                     "model": eng.model_name,
+                     "choices": [{"index": 0, "delta": delta, "finish_reason": finish}]}
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+
         async for ev in _collect(q, loop):
             if ev.status == "failed":
-                chunk = {"id": rid, "object": "chat.completion.chunk", "created": created,
-                         "model": engine.model_name,
-                         "choices": [{"index": 0, "delta": {}, "finish_reason": "error"}]}
-                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                await send({}, finish="error")
                 break
-            sent_text, delta = _decode_delta(sent_text, ev.generated_ids)
-            if delta or ev.status == "finished":
-                chunk = {"id": rid, "object": "chat.completion.chunk", "created": created,
-                         "model": engine.model_name,
-                         "choices": [{"index": 0,
-                                      "delta": ({"content": delta} if delta else {}),
-                                      "finish_reason": "stop" if ev.status == "finished" else None}]}
-                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            for delta in sp.step(ev.generated_ids):
+                saw_calls = saw_calls or "tool_calls" in delta
+                await send(delta)
+            if ev.status == "finished":
+                for delta in sp.finish():
+                    saw_calls = saw_calls or "tool_calls" in delta
+                    await send(delta)
+                await send({}, finish="tool_calls" if saw_calls else "stop")
         await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def responses_api(request):
+        """OpenAI Responses API (reference cli/serving/response.py): accepts
+        ``input`` as a string or message list; streams typed
+        ``response.*`` SSE events or returns one response object."""
+        body = await request.json()
+        eng = resolve_engine(body)
+        raw_input = body.get("input", "")
+        if isinstance(raw_input, str):
+            messages = [{"role": "user", "content": raw_input}]
+        else:
+            messages = [{"role": m.get("role", "user"),
+                         "content": m.get("content", "")} for m in raw_input]
+        if body.get("instructions"):
+            messages.insert(0, {"role": "system", "content": body["instructions"]})
+        stream = bool(body.get("stream", False))
+        max_new = int(body.get("max_output_tokens") or 128)
+        temperature = float(body.get("temperature", 1.0) or 0.0)
+        prompt_ids = eng.chat_prompt_ids(messages)
+        rid = f"resp_{uuid.uuid4().hex[:20]}"
+        _, q = eng.submit_ids(prompt_ids, max_new_tokens=max_new, temperature=temperature)
+        created = int(time.time())
+        loop = asyncio.get_event_loop()
+
+        def response_obj(status, output_text, n_out):
+            message = {"id": f"msg_{rid[5:]}", "type": "message", "role": "assistant",
+                       "status": "completed" if status == "completed" else "in_progress",
+                       "content": [{"type": "output_text", "text": output_text,
+                                    "annotations": []}]}
+            return {"id": rid, "object": "response", "created_at": created,
+                    "status": status, "model": eng.model_name, "output": [message],
+                    "usage": {"input_tokens": len(prompt_ids), "output_tokens": n_out,
+                              "total_tokens": len(prompt_ids) + n_out}}
+
+        if not stream:
+            final = None
+            async for ev in _collect(q, loop):
+                final = ev
+            if final.status == "failed":
+                return web.json_response({"error": {"message": final.error or "failed"}},
+                                         status=500)
+            text = eng.tokenizer.decode(final.generated_ids, skip_special_tokens=True)
+            return web.json_response(response_obj("completed", text,
+                                                  len(final.generated_ids)))
+
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream",
+                                           "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        seq = 0
+
+        async def emit(etype, **payload):
+            nonlocal seq
+            seq += 1
+            data = {"type": etype, "sequence_number": seq, **payload}
+            await resp.write(f"event: {etype}\ndata: {json.dumps(data)}\n\n".encode())
+
+        await emit("response.created", response=response_obj("in_progress", "", 0))
+        sp = _StreamParser(eng, prompt_ids)
+        sp.parser = None  # responses API streams raw output_text deltas
+        text = ""
+        n_out = 0
+        failed = False
+        async for ev in _collect(q, loop):
+            if ev.status == "failed":
+                failed = True
+                await emit("response.failed",
+                           response=response_obj("failed", text, n_out))
+                break
+            n_out = len(ev.generated_ids)
+            for delta in sp.step(ev.generated_ids):
+                text += delta["content"]
+                await emit("response.output_text.delta", item_id=f"msg_{rid[5:]}",
+                           output_index=0, content_index=0, delta=delta["content"])
+        if not failed:
+            await emit("response.output_text.done", item_id=f"msg_{rid[5:]}",
+                       output_index=0, content_index=0, text=text)
+            await emit("response.completed",
+                       response=response_obj("completed", text, n_out))
         await resp.write_eof()
         return resp
 

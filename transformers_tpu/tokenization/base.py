@@ -90,6 +90,8 @@ class PreTrainedTokenizer:
                 setattr(self, attr, _token_content(val))
         if self.pad_token is None and self.eos_token is not None:
             self.pad_token = self.eos_token
+        # declarative output-structure spec (reference tokenization_utils_base.py:1084)
+        self.response_template = self.tokenizer_config.get("response_template")
 
     # ------------------------------------------------------------------- IO
     @classmethod
@@ -363,6 +365,23 @@ class PreTrainedTokenizer:
         if not tokenize:
             return rendered
         return self(rendered, add_special_tokens=False, return_tensors=return_tensors)["input_ids"]
+
+    def parse_response(self, response, response_template=None, *,
+                       prefix: Optional[str] = None, tools=None) -> dict:
+        """Parse generated text into a structured chat message using the
+        tokenizer's ``response_template`` (reference
+        tokenization_utils_base.py:3337). ``response`` may be a string or
+        token ids (decoded without skipping special tokens, since delimiters
+        are often special tokens)."""
+        template = response_template or self.response_template
+        if template is None:
+            raise AttributeError(
+                f"{self.name_or_path or type(self).__name__} has no response_template "
+                "for parsing chat responses")
+        if not isinstance(response, str):
+            response = self.decode(response, skip_special_tokens=False)
+        from ..utils.chat_parsing import parse_response as _parse
+        return _parse(response, template, prefix=prefix, tools=tools)
 
     @property
     def mask_token_id(self):
