@@ -142,6 +142,21 @@ def dummy_inputs(model, config, rng=None):
     rng = rng or np.random.default_rng(0)
     name = getattr(model, "main_input_name", "input_ids")
     kwargs = {}
+    # dual-encoder multimodal models (CLIP/ALIGN-style) need both towers fed
+    if (getattr(config, "text_config", None) is not None
+            and getattr(config, "vision_config", None) is not None
+            and "pixel_values" in inspect.signature(model.__call__).parameters
+            and "input_ids" in inspect.signature(model.__call__).parameters):
+        tc, vc = config.text_config, config.vision_config
+        vocab = getattr(tc, "vocab_size", 99) or 99
+        kwargs["input_ids"] = jnp.asarray(
+            rng.integers(1, min(vocab, 90), size=(1, 8)), jnp.int32)
+        size = getattr(vc, "image_size", 32) or 32
+        h, w = (size[0], size[-1]) if isinstance(size, (tuple, list)) else (size, size)
+        ch = getattr(vc, "num_channels", 3) or 3
+        kwargs["pixel_values"] = jnp.asarray(
+            rng.normal(size=(1, ch, h, w)), jnp.float32)
+        return kwargs
     if name == "input_ids":
         vocab = getattr(config, "vocab_size", 99) or 99
         kwargs["input_ids"] = jnp.asarray(rng.integers(1, min(vocab, 90), size=(1, 8)), jnp.int32)
@@ -274,13 +289,15 @@ def test_every_family_is_covered():
     """Every models/ directory must reach the matrix or have dedicated tests."""
     dirs = sorted(p.name for p in MODELS_DIR.iterdir()
                   if p.is_dir() and p.name not in ("auto", "__pycache__"))
-    covered = set(CONFIG_MAPPING_NAMES)
-    covered |= {f.replace("-", "_") for f in CONFIG_MAPPING_NAMES}
-    tests_dir = Path(__file__).parent
-    test_blob = " ".join(p.name for p in tests_dir.glob("test_*.py"))
+    covered = {f.replace("-", "_") for f in CONFIG_MAPPING_NAMES}
+    tests_root = Path(__file__).parent.parent
+    test_blob = " ".join(str(p.relative_to(tests_root))
+                         for p in tests_root.rglob("test_*.py"))
     missing = []
     for d in dirs:
-        if d in covered:
+        # a dir is registry-covered if some model_type equals or extends it
+        # (gemma3 -> gemma3_text, data2vec -> data2vec_audio)
+        if any(c == d or c.startswith(d + "_") for c in covered):
             continue
         # alias-only dirs (tokenizer-only or variant skeletons) need a test file
         if d in test_blob or d.replace("_", "") in test_blob:

@@ -441,6 +441,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
     "paligemma": ("paligemma", "PaliGemmaForConditionalGeneration"),
+    "gemma3": ("gemma3", "Gemma3ForConditionalGeneration"),
 }
 MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip": ("blip", "BlipForQuestionAnswering"),

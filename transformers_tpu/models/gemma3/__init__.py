@@ -1,2 +1,3 @@
-from .configuration_gemma3 import Gemma3TextConfig
-from .modeling_gemma3 import Gemma3ForCausalLM, Gemma3TextModel, Gemma3TextModelStandalone
+from .configuration_gemma3 import Gemma3Config, Gemma3TextConfig
+from .modeling_gemma3 import (Gemma3ForCausalLM, Gemma3ForConditionalGeneration,
+                              Gemma3Model, Gemma3TextModel, Gemma3TextModelStandalone)

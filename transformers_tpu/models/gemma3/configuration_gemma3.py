@@ -70,3 +70,52 @@ class Gemma3TextConfig(PretrainedConfig):
         super().__init__(pad_token_id=pad_token_id, bos_token_id=bos_token_id,
                          eos_token_id=eos_token_id, tie_word_embeddings=tie_word_embeddings,
                          **kwargs)
+
+
+class Gemma3Config(PretrainedConfig):
+    """Multimodal Gemma3 (reference configuration_gemma3.py:159): SigLIP
+    vision tower + Gemma3 text decoder + avg-pool projector."""
+
+    model_type = "gemma3"
+    sub_configs = {"text_config": "auto", "vision_config": "auto"}
+    attribute_map = {
+        "image_token_id": "image_token_index",
+        "boi_token_id": "boi_token_index",
+        "eoi_token_id": "eoi_token_index",
+    }
+
+    def __init__(
+        self,
+        text_config=None,
+        vision_config=None,
+        mm_tokens_per_image=256,
+        boi_token_index=255_999,
+        eoi_token_index=256_000,
+        image_token_index=262_144,
+        initializer_range=0.02,
+        **kwargs,
+    ):
+        from ..auto.configuration_auto import AutoConfig
+
+        if isinstance(text_config, dict):
+            text_config = AutoConfig.for_model_type(
+                text_config.get("model_type", "gemma3_text"),
+                **{k: v for k, v in text_config.items() if k != "model_type"})
+        elif text_config is None:
+            text_config = Gemma3TextConfig()
+        if isinstance(vision_config, dict):
+            vision_config = AutoConfig.for_model_type(
+                vision_config.get("model_type", "siglip_vision_model"),
+                **{k: v for k, v in vision_config.items() if k != "model_type"})
+        elif vision_config is None:
+            from ..siglip.configuration_siglip import SiglipVisionConfig
+
+            vision_config = SiglipVisionConfig()
+        self.text_config = text_config
+        self.vision_config = vision_config
+        self.mm_tokens_per_image = mm_tokens_per_image
+        self.boi_token_index = boi_token_index
+        self.eoi_token_index = eoi_token_index
+        self.image_token_index = image_token_index
+        self.initializer_range = initializer_range
+        super().__init__(**kwargs)

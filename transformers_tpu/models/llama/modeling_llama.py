@@ -145,6 +145,7 @@ class LlamaAttention(Module):
                 or kwargs.get("sinks") is not None
                 or kwargs.get("probs_sink") is not None
                 or kwargs.get("chunk_size") is not None
+                or kwargs.get("q_block_ids") is not None
                 or not kwargs.get("is_causal", True)):
             return None
         k_cache, v_cache = cache.layer(self.layer_idx)
@@ -217,6 +218,8 @@ class LlamaAttention(Module):
         if cache is None or is_static_prefill:
             if is_static_prefill and kwargs.get("kv_valid") is not None:
                 kwargs["kv_valid"] = kwargs["kv_valid"][:, :s]
+            if is_static_prefill and kwargs.get("kv_block_ids") is not None:
+                kwargs["kv_block_ids"] = kwargs["kv_block_ids"][:, :s]
             attn_fn = get_attention_fn(self.config.attn_implementation)
             out = attn_fn(q, k, v, scale=self.scale, **kwargs)
         elif (getattr(cache, "layout", "bshd") == "paged" and s == 1
@@ -326,6 +329,7 @@ class LlamaModel(Module):
         inputs_embeds: Optional[jnp.ndarray] = None,
         output_hidden_states: bool = False,
         output_attentions: bool = False,
+        token_type_ids: Optional[jnp.ndarray] = None,
     ) -> BaseModelOutputWithPast:
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(params["embed_tokens"], input_ids)
@@ -359,6 +363,21 @@ class LlamaModel(Module):
             seg = segment_ids_from_position_ids(position_ids)
             attn_args["q_segment_ids"] = seg
             attn_args["kv_segment_ids"] = seg
+        if token_type_ids is not None:
+            # Multimodal blockwise overlay: consecutive runs of image tokens
+            # (token_type_ids == 1) form blocks that attend bidirectionally
+            # (reference models/gemma3/modeling_gemma3.py:698
+            # ``get_block_sequence_ids_for_mask``). Decode steps pass no
+            # token_type_ids, so this only shapes prefill.
+            is_image = token_type_ids.astype(jnp.int32) == 1
+            prev = jnp.concatenate(
+                [jnp.zeros_like(is_image[:, :1]), is_image[:, :-1]], axis=-1)
+            group = jnp.cumsum((is_image & ~prev).astype(jnp.int32), axis=-1) - 1
+            block = jnp.where(is_image, group, -1)
+            attn_args["q_block_ids"] = block
+            attn_args["kv_block_ids"] = (
+                block if kv_len == s
+                else jnp.pad(block, ((0, 0), (0, kv_len - s)), constant_values=-1))
         # output_attentions channel: attention impls append [B, H, Q, KV]
         # probs here (forces the eager path — see ops/attention.py).
         probs_sink = [] if output_attentions else None

@@ -38,7 +38,8 @@ def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
 
 
 def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
-                 chunk_size=None, q_segment_ids=None, kv_segment_ids=None):
+                 chunk_size=None, q_segment_ids=None, kv_segment_ids=None,
+                 q_block_ids=None, kv_block_ids=None):
     b, sq = q.shape[0], q.shape[1]
     skv = k.shape[1]
     if q_positions is None:
@@ -48,7 +49,8 @@ def _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
     if is_causal:
         mask = causal_mask_bool(q_positions, kv_valid, sliding_window=sliding_window,
                                 chunk_size=chunk_size, q_segment_ids=q_segment_ids,
-                                kv_segment_ids=kv_segment_ids)
+                                kv_segment_ids=kv_segment_ids,
+                                q_block_ids=q_block_ids, kv_block_ids=kv_block_ids)
     else:
         mask = jnp.broadcast_to(kv_valid.astype(bool)[:, None, None, :], (b, 1, sq, skv))
         if sliding_window is not None:
@@ -78,6 +80,8 @@ def eager_attention(
     chunk_size: Optional[int] = None,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
+    q_block_ids: Optional[jnp.ndarray] = None,
+    kv_block_ids: Optional[jnp.ndarray] = None,
     **kwargs,
 ) -> jnp.ndarray:
     """Reference dot-product attention; float32 softmax for numerics.
@@ -96,7 +100,8 @@ def eager_attention(
     g = h // kvh
     if bias is None:
         bias = _render_bias(q, k, q_positions, kv_valid, is_causal, sliding_window,
-                            chunk_size, q_segment_ids, kv_segment_ids)
+                            chunk_size, q_segment_ids, kv_segment_ids,
+                            q_block_ids, kv_block_ids)
     scale = scale if scale is not None else q.shape[-1] ** -0.5
     qg = q.reshape(b, sq, kvh, g, d)
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
@@ -215,6 +220,7 @@ def flash_attention_dispatch(
     if (probs_sink is None and bias is None and sinks is None
             and kwargs.get("chunk_size") is None
             and kwargs.get("q_segment_ids") is None
+            and kwargs.get("q_block_ids") is None
             and not bidir_window and flash_supported(q, k, v)):
         return flash_attention(
             q, k, v,
@@ -227,7 +233,9 @@ def flash_attention_dispatch(
                            scale=scale, logit_cap=logit_cap, probs_sink=probs_sink,
                            sinks=sinks, chunk_size=kwargs.get("chunk_size"),
                            q_segment_ids=kwargs.get("q_segment_ids"),
-                           kv_segment_ids=kwargs.get("kv_segment_ids"))
+                           kv_segment_ids=kwargs.get("kv_segment_ids"),
+                           q_block_ids=kwargs.get("q_block_ids"),
+                           kv_block_ids=kwargs.get("kv_block_ids"))
 
 
 class AttentionInterface(GeneralInterface):

@@ -30,17 +30,29 @@ def causal_mask_bool(
     chunk_size: Optional[int] = None,
     q_segment_ids: Optional[jnp.ndarray] = None,  # [B, Q] packed-sequence ids
     kv_segment_ids: Optional[jnp.ndarray] = None,  # [B, KV]
+    q_block_ids: Optional[jnp.ndarray] = None,  # [B, Q] image-block ids, -1 = text
+    kv_block_ids: Optional[jnp.ndarray] = None,  # [B, KV]
 ) -> jnp.ndarray:
     """Boolean mask [B, 1, Q, KV]: query at slot p attends kv slot s iff
     s <= p, the slot is valid, and (optionally) p - s < sliding_window
     (reference masking_utils.py:76 causal, :92 sliding window, :104 chunked).
     Segment ids add the packed-sequence restriction (reference
     masking_utils.py:182 ``packed_sequence_mask``): cross-sequence attention
-    within one packed row is forbidden."""
+    within one packed row is forbidden.
+    Block ids add the multimodal blockwise overlay (reference
+    masking_utils.py:116 ``blockwise_overlay``): tokens sharing a non-negative
+    block id (one image's tokens) attend bidirectionally; the overlay is OR-ed
+    with causality BEFORE window/chunk restrictions, matching Gemma3's
+    AND(sliding, OR(causal, blockwise)) composition
+    (reference models/gemma3/modeling_gemma3.py:709-754)."""
     kv = kv_valid.shape[-1]
     kv_pos = jnp.arange(kv, dtype=jnp.int32)[None, None, None, :]
     q_pos = q_positions.astype(jnp.int32)[:, None, :, None]
     allowed = kv_pos <= q_pos
+    if q_block_ids is not None and kv_block_ids is not None:
+        qb = q_block_ids.astype(jnp.int32)[:, None, :, None]
+        kb = kv_block_ids.astype(jnp.int32)[:, None, None, :]
+        allowed |= (qb == kb) & (qb >= 0)
     if sliding_window is not None:
         allowed &= kv_pos > q_pos - sliding_window
     if chunk_size is not None:
