@@ -205,6 +205,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama4": ("llama4", "Llama4Config"),
     "llama4_text": ("llama4", "Llama4TextConfig"),
     "mistral3": ("mistral3", "Mistral3Config"),
+    "mllama": ("mllama", "MllamaConfig"),
+    "mllama_text_model": ("mllama", "MllamaTextConfig"),
+    "mllama_vision_model": ("mllama", "MllamaVisionConfig"),
     "smolvlm": ("smolvlm", "SmolVLMConfig"),
     "siglip2_vision_model": ("siglip2", "Siglip2VisionConfig"),
     "siglip2_text_model": ("siglip2", "Siglip2TextConfig"),
