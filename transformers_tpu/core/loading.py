@@ -65,6 +65,30 @@ class WeightRule:
 
 
 @dataclass
+class CollectRule:
+    """Gather many checkpoint keys into ONE stacked param (the reference
+    ConversionOps ``MergeModulelist`` analog, conversion_mapping.py).
+
+    ``pattern`` is a regex with a named group ``idx`` (the list index) and
+    optionally ``part``; ``target`` is the regex substitution producing the
+    stacked key. Within one index, ``parts`` are concatenated in order along
+    ``part_axis``; indices are then stacked along a new leading axis.
+
+    Example — per-expert MoE weights into a 3D tensor::
+
+        CollectRule(
+            pattern=r"^(?P<pre>.*\\.experts)\\.(?P<idx>\\d+)\\.(?P<part>gate_proj|up_proj)\\.weight$",
+            target=r"\\g<pre>.gate_up_proj",
+            parts=("gate_proj", "up_proj"))
+    """
+
+    pattern: str
+    target: str
+    parts: tuple = ()
+    part_axis: int = 0
+
+
+@dataclass
 class LoadReport:
     """Reference parity: utils/loading_report.py — missing/unexpected keys."""
 
@@ -190,12 +214,15 @@ def load_checkpoint_in_model(
     expected = flatten_dict(spec)
     expected_keys = set(expected.keys())
 
-    rules: list[WeightRule] = list(getattr(model, "_weight_rules", ()))
+    all_rules = list(getattr(model, "_weight_rules", ()))
+    rules: list[WeightRule] = [r for r in all_rules if isinstance(r, WeightRule)]
+    collect_rules: list[CollectRule] = [r for r in all_rules if isinstance(r, CollectRule)]
     sharding_items = list((shardings or {}).items())
 
     params: dict = {}
     seen: set[str] = set()
     report = LoadReport()
+    collect_buffers: dict = {}
 
     base_prefix = getattr(model, "base_model_prefix", "")
 
@@ -212,9 +239,52 @@ def load_checkpoint_in_model(
                 return pref + key
         return key
 
+    def _finalize(key: str, arr: np.ndarray) -> None:
+        """Layout-convert, cast, shard, and store one assembled tensor."""
+        path = key.split(".")
+        owner = model.find_module(path[:-1])
+        if owner is not None:
+            arr = owner.param_load_transform(path[-1], arr)
+        exp = expected[key]
+        if tuple(arr.shape) != tuple(exp.shape):
+            report.mismatched_keys.append((key, tuple(arr.shape), tuple(exp.shape)))
+            return
+        target_dtype = exp.dtype if dtype is None else dtype
+        if any(re.search(p, key) for p in keep_in_fp32_patterns):
+            target_dtype = jnp.float32
+        if jnp.issubdtype(exp.dtype, jnp.integer) or exp.dtype == jnp.bool_:
+            target_dtype = exp.dtype
+        arr = _np_cast(np.asarray(arr), target_dtype)
+        sharding = None
+        for pat, sh in sharding_items:
+            if re.search(pat, key):
+                sharding = sh
+                break
+        if sharding is not None:
+            value = jax.device_put(arr, sharding)
+        elif device is not None:
+            value = jax.device_put(arr, device)
+        else:
+            value = jnp.asarray(arr)
+        set_nested(params, key, value)
+        seen.add(key)
+
     for file in checkpoint_files:
         with open_checkpoint_source(file) as f:
             for ckpt_key in f.keys():
+                crule_match = None
+                for crule in collect_rules:
+                    m = re.match(crule.pattern, ckpt_key)
+                    if m:
+                        crule_match = (crule, m)
+                        break
+                if crule_match is not None:
+                    crule, m = crule_match
+                    tkey = _fix_prefix(re.sub(crule.pattern, crule.target, ckpt_key))
+                    slot = (int(m.group("idx")), m.groupdict().get("part"))
+                    collect_buffers.setdefault((id(crule), tkey), (crule, {}))[1][slot] = \
+                        np.array(f.get_tensor(ckpt_key))
+                    continue
                 key = ckpt_key
                 for rule in rules:
                     if re.match(rule.pattern, key):
@@ -228,34 +298,21 @@ def load_checkpoint_in_model(
                 for rule in rules:
                     if rule.transform is not None and re.match(rule.pattern, ckpt_key):
                         arr = rule.transform(arr)
-                # Leaf-module layout conversion (e.g. Linear transpose).
-                path = key.split(".")
-                owner = model.find_module(path[:-1])
-                if owner is not None:
-                    arr = owner.param_load_transform(path[-1], arr)
-                exp = expected[key]
-                if tuple(arr.shape) != tuple(exp.shape):
-                    report.mismatched_keys.append((key, tuple(arr.shape), tuple(exp.shape)))
-                    continue
-                target_dtype = exp.dtype if dtype is None else dtype
-                if any(re.search(p, key) for p in keep_in_fp32_patterns):
-                    target_dtype = jnp.float32
-                if jnp.issubdtype(exp.dtype, jnp.integer) or exp.dtype == jnp.bool_:
-                    target_dtype = exp.dtype
-                arr = _np_cast(np.asarray(arr), target_dtype)
-                sharding = None
-                for pat, sh in sharding_items:
-                    if re.search(pat, key):
-                        sharding = sh
-                        break
-                if sharding is not None:
-                    value = jax.device_put(arr, sharding)
-                elif device is not None:
-                    value = jax.device_put(arr, device)
-                else:
-                    value = jnp.asarray(arr)
-                set_nested(params, key, value)
-                seen.add(key)
+                _finalize(key, arr)
+
+    for (_, tkey), (crule, slots) in collect_buffers.items():
+        if tkey not in expected_keys:
+            report.unexpected_keys.append(tkey)
+            continue
+        idxs = sorted({i for i, _ in slots})
+        elems = []
+        for i in idxs:
+            if crule.parts:
+                elems.append(np.concatenate([slots[(i, p)] for p in crule.parts],
+                                            axis=crule.part_axis))
+            else:
+                elems.append(slots[(i, None)])
+        _finalize(tkey, np.stack(elems, axis=0))
 
     report.missing_keys = sorted(expected_keys - seen)
     _ensure_module_slots(model, params)

@@ -219,6 +219,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3_text": ("gemma3", "Gemma3TextConfig"),
     "smollm3": ("smollm3", "SmolLM3Config"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeConfig"),
+    "qwen3_next": ("qwen3_next", "Qwen3NextConfig"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLConfig"),
     "qwen2_vl_text": ("qwen2_vl", "Qwen2VLTextConfig"),
 }

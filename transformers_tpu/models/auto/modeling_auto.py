@@ -135,6 +135,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3_text": ("gemma3", "Gemma3TextModelStandalone"),
     "smollm3": ("smollm3", "SmolLM3ModelStandalone"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeModelStandalone"),
+    "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
     "glm4": ("glm4", "Glm4ModelStandalone"),
     "nemotron": ("nemotron", "NemotronModelStandalone"),
@@ -218,6 +219,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3_text": ("gemma3", "Gemma3ForCausalLM"),
     "smollm3": ("smollm3", "SmolLM3ForCausalLM"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeForCausalLM"),
+    "qwen3_next": ("qwen3_next", "Qwen3NextForCausalLM"),
     "glm": ("glm", "GlmForCausalLM"),
     "glm4": ("glm4", "Glm4ForCausalLM"),
     "nemotron": ("nemotron", "NemotronForCausalLM"),
