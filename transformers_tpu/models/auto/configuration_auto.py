@@ -220,6 +220,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "smollm3": ("smollm3", "SmolLM3Config"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeConfig"),
     "qwen3_next": ("qwen3_next", "Qwen3NextConfig"),
+    "qwen3_vl": ("qwen3_vl", "Qwen3VLConfig"),
+    "qwen3_vl_text": ("qwen3_vl", "Qwen3VLTextConfig"),
+    "qwen3_vl_moe": ("qwen3_vl_moe", "Qwen3VLMoeConfig"),
+    "qwen3_vl_moe_text": ("qwen3_vl_moe", "Qwen3VLMoeTextConfig"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLConfig"),
     "qwen2_vl_text": ("qwen2_vl", "Qwen2VLTextConfig"),
 }

@@ -353,7 +353,9 @@ class LlamaModel(Module):
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, kv_len), jnp.int32)
         attn_args = {"q_positions": q_positions, "kv_valid": kv_valid,
                      "is_causal": self.causal_attention, "sliding_window": None}
-        if past_key_values is None and explicit_positions and self.causal_attention:
+        if (past_key_values is None and explicit_positions
+                and self.causal_attention and position_ids.ndim == 2):
+            # (3D [t,h,w] M-RoPE position ids are not packed-sequence markers)
             # Packed-sequence rows: explicit position_ids with resets mark
             # sequence boundaries (reference masking_utils.py:159); a plain
             # arange collapses to one segment, so this is behavior-preserving
