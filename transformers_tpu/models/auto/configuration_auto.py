@@ -145,6 +145,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "cohere2": ("cohere2", "Cohere2Config"),
     "phimoe": ("phimoe", "PhimoeConfig"),
     "glm4_moe": ("glm4_moe", "Glm4MoeConfig"),
+    "glm4v": ("glm4v", "Glm4vConfig"),
+    "glm4v_text": ("glm4v", "Glm4vTextConfig"),
     "beit": ("beit", "BeitConfig"),
     "dpt": ("dpt", "DPTConfig"),
     "depth_anything": ("depth_anything", "DepthAnythingConfig"),
