@@ -119,6 +119,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "fuyu": ("fuyu", "FuyuConfig"),
     "kosmos-2": ("kosmos2", "Kosmos2Config"),
     "llava_next": ("llava_next", "LlavaNextConfig"),
+    "llava_onevision": ("llava_onevision", "LlavaOnevisionConfig"),
+    "aya_vision": ("aya_vision", "AyaVisionConfig"),
+    "internvl": ("internvl", "InternVLConfig"),
+    "internvl_vision": ("internvl", "InternVLVisionConfig"),
     "mobilevit": ("mobilevit", "MobileViTConfig"),
     "table-transformer": ("table_transformer", "TableTransformerConfig"),
     "yolos": ("yolos", "YolosConfig"),

@@ -436,6 +436,9 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "kosmos-2": ("kosmos2", "Kosmos2ForConditionalGeneration"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "llava_next": ("llava_next", "LlavaNextForConditionalGeneration"),
+    "llava_onevision": ("llava_onevision", "LlavaOnevisionForConditionalGeneration"),
+    "aya_vision": ("aya_vision", "AyaVisionForConditionalGeneration"),
+    "internvl": ("internvl", "InternVLForConditionalGeneration"),
     "vipllava": ("vipllava", "VipLlavaForConditionalGeneration"),
     "blip-2": ("blip_2", "Blip2ForConditionalGeneration"),
     "instructblip": ("instructblip", "InstructBlipForConditionalGeneration"),

@@ -1,1 +1,2 @@
-from .modeling_cohere2 import Cohere2Config, Cohere2ForCausalLM
+from .modeling_cohere2 import (Cohere2Config, Cohere2ForCausalLM,
+                               Cohere2ModelStandalone)

@@ -1,0 +1,3 @@
+from .configuration_internvl import InternVLConfig, InternVLVisionConfig
+from .modeling_internvl import (InternVLForConditionalGeneration, InternVLModel,
+                                InternVLVisionModel)

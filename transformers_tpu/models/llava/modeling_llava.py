@@ -70,13 +70,15 @@ def _language_model_cls(model_type: str):
 class LlavaModel(Module):
     """reference LlavaModel: vision_tower + multi_modal_projector + language_model."""
 
+    projector_cls = LlavaMultiModalProjector
+
     def __init__(self, config: LlavaConfig, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         tower_cls = _vision_tower_cls(config.vision_config.model_type)
         self.vision_tower = tower_cls(config.vision_config, **kw)
-        self.multi_modal_projector = LlavaMultiModalProjector(config, **kw)
+        self.multi_modal_projector = self.projector_cls(config, **kw)
         lm_standalone = _language_model_cls(config.text_config.model_type)(config.text_config, **kw)
         # unwrap: the bare decoder module sits at .model of the standalone
         self.language_model = lm_standalone.model
@@ -140,9 +142,11 @@ class LlavaForConditionalGeneration(LlavaPreTrainedModel, GenerationMixin):
         WeightRule(pattern=r"^multi_modal_projector\.", rename="model.multi_modal_projector."),
     )
 
+    model_cls = LlavaModel
+
     def __init__(self, config: LlavaConfig, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.model = LlavaModel(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype)
         text_config = config.text_config
         if not text_config.tie_word_embeddings:
             self.lm_head = Linear(text_config.hidden_size, text_config.vocab_size, False,
