@@ -206,6 +206,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),
     "siglip2": ("siglip2", "Siglip2Config"),
+    "idefics2": ("idefics2", "Idefics2Config"),
     "idefics3": ("idefics3", "Idefics3Config"),
     "pixtral": ("pixtral", "PixtralVisionConfig"),
     "llama4": ("llama4", "Llama4Config"),

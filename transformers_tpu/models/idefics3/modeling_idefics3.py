@@ -195,9 +195,11 @@ class Idefics3ForConditionalGeneration(Idefics3PreTrainedModel, GenerationMixin)
         WeightRule(pattern=r"^model\.text_model\.", rename="model.text_model."),
     )
 
+    model_cls = Idefics3Model
+
     def __init__(self, config: Idefics3Config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self.model = Idefics3Model(config, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.model = self.model_cls(config, dtype=self.dtype, param_dtype=self.param_dtype)
         text_config = config.text_config
         if not config.tie_word_embeddings:
             self.lm_head = Linear(text_config.hidden_size, text_config.vocab_size, False,
