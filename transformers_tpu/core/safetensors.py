@@ -149,7 +149,9 @@ def save_file(tensors: dict[str, np.ndarray], path: str, metadata: Optional[dict
     offset = 0
     arrays: list[np.ndarray] = []
     for name, t in tensors.items():
-        arr = np.ascontiguousarray(_to_numpy(t))
+        raw = _to_numpy(t)
+        # np.ascontiguousarray promotes 0-d to 1-d; restore the true shape
+        arr = np.ascontiguousarray(raw).reshape(np.shape(raw))
         if arr.dtype not in _DTYPE_MAP_INV:
             raise ValueError(f"Unsupported dtype {arr.dtype} for tensor {name}")
         nbytes = arr.nbytes
