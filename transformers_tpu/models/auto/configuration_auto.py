@@ -36,6 +36,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3": ("gemma3", "Gemma3Config"),
     "layoutlm": ("layoutlm", "LayoutLMConfig"),
     "sam": ("sam", "SamConfig"),
+    "sam2": ("sam2", "Sam2Config"),
+    "sam2_vision_model": ("sam2", "Sam2VisionConfig"),
+    "sam2_hiera_det_model": ("sam2", "Sam2HieraDetConfig"),
     "superpoint": ("superpoint", "SuperPointConfig"),
     "vits": ("vits", "VitsConfig"),
     "clap": ("clap", "ClapConfig"),

@@ -146,6 +146,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "codegen": ("codegen", "CodeGenModelStandalone"),
     "layoutlm": ("layoutlm", "LayoutLMModelStandalone"),
     "sam": ("sam", "SamModel"),
+    "sam2": ("sam2", "Sam2Model"),
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
     "musicgen": ("musicgen", "MusicgenForConditionalGeneration"),
