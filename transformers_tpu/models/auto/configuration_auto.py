@@ -74,6 +74,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granite": ("granite", "GraniteConfig"),
     "mixtral": ("mixtral", "MixtralConfig"),
     "bert": ("bert", "BertConfig"),
+    "bert-generation": ("bert_generation", "BertGenerationConfig"),
+    "roberta-prelayernorm": ("roberta_prelayernorm", "RobertaPreLayerNormConfig"),
+    "splinter": ("splinter", "SplinterConfig"),
+    "dpr": ("dpr", "DPRConfig"),
     "roberta": ("roberta", "RobertaConfig"),
     "xlm-roberta": ("roberta", "RobertaConfig"),
     "camembert": ("roberta", "RobertaConfig"),

@@ -34,6 +34,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granite": ("granite", "GraniteModelStandalone"),
     "mixtral": ("mixtral", "MixtralModelStandalone"),
     "bert": ("bert", "BertModelStandalone"),
+    "bert-generation": ("bert_generation", "BertGenerationEncoder"),
+    "roberta-prelayernorm": ("roberta_prelayernorm", "RobertaPreLayerNormModelStandalone"),
+    "splinter": ("splinter", "SplinterModelStandalone"),
+    "dpr": ("dpr", "DPRQuestionEncoder"),
     "roberta": ("roberta", "RobertaModelStandalone"),
     "xlnet": ("xlnet", "XLNetModelStandalone"),
     "squeezebert": ("squeezebert", "SqueezeBertModelStandalone"),
@@ -286,6 +290,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "splinter": ("splinter", "SplinterForQuestionAnswering"),
     "funnel": ("funnel", "FunnelForQuestionAnswering"),
     "canine": ("canine", "CanineForQuestionAnswering"),
     "bart": ("bart", "BartForQuestionAnswering"),
@@ -308,6 +313,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "tapas": ("tapas", "TapasForMaskedLM"),
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
+    "roberta-prelayernorm": ("roberta_prelayernorm", "RobertaPreLayerNormForMaskedLM"),
     "squeezebert": ("squeezebert", "SqueezeBertForMaskedLM"),
     "convbert": ("convbert", "ConvBertForMaskedLM"),
     "mobilebert": ("mobilebert", "MobileBertForMaskedLM"),
