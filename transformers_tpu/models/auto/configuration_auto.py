@@ -122,6 +122,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "speech_to_text": ("speech_to_text", "Speech2TextConfig"),
     "speecht5": ("speecht5", "SpeechT5Config"),
     "mimi": ("mimi", "MimiConfig"),
+    "moshi": ("moshi", "MoshiConfig"),
     "pix2struct": ("pix2struct", "Pix2StructConfig"),
     "fuyu": ("fuyu", "FuyuConfig"),
     "kosmos-2": ("kosmos2", "Kosmos2Config"),

@@ -158,6 +158,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "clap": ("clap", "ClapModel"),
     "encodec": ("encodec", "EncodecModel"),
     "mimi": ("mimi", "MimiModel"),
+    "moshi": ("moshi", "MoshiModelStandalone"),
     "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),
     "olmo": ("olmo", "OlmoModelStandalone"),
     "olmoe": ("olmoe", "OlmoeModelStandalone"),
@@ -225,6 +226,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "smollm3": ("smollm3", "SmolLM3ForCausalLM"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeForCausalLM"),
     "qwen3_next": ("qwen3_next", "Qwen3NextForCausalLM"),
+    "moshi": ("moshi", "MoshiForCausalLM"),
     "glm": ("glm", "GlmForCausalLM"),
     "glm4": ("glm4", "Glm4ForCausalLM"),
     "nemotron": ("nemotron", "NemotronForCausalLM"),
