@@ -220,6 +220,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama4": ("llama4", "Llama4Config"),
     "llama4_text": ("llama4", "Llama4TextConfig"),
     "mistral3": ("mistral3", "Mistral3Config"),
+    "chameleon": ("chameleon", "ChameleonConfig"),
     "mllama": ("mllama", "MllamaConfig"),
     "mllama_text_model": ("mllama", "MllamaTextConfig"),
     "mllama_vision_model": ("mllama", "MllamaVisionConfig"),

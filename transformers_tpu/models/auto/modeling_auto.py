@@ -427,6 +427,7 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
+    "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
     "mllama": ("mllama", "MllamaForConditionalGeneration"),
     "idefics2": ("idefics2", "Idefics2ForConditionalGeneration"),
     "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),
@@ -438,6 +439,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
+    "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
     "mllama": ("mllama", "MllamaForConditionalGeneration"),
     "idefics2": ("idefics2", "Idefics2ForConditionalGeneration"),
     "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),

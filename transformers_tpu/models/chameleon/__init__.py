@@ -1,0 +1,4 @@
+from .configuration_chameleon import ChameleonConfig, ChameleonVQVAEConfig
+from .modeling_chameleon import (ChameleonForConditionalGeneration,
+                                 ChameleonModel, ChameleonModelStandalone,
+                                 ChameleonVQVAE)
