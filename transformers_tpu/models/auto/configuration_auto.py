@@ -176,6 +176,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rembert": ("rembert", "RemBertConfig"),
     "megatron-bert": ("megatron_bert", "MegatronBertConfig"),
     "vit": ("vit", "ViTConfig"),
+    "audio-spectrogram-transformer": ("audio_spectrogram_transformer", "ASTConfig"),
+    "ijepa": ("ijepa", "IJepaConfig"),
+    "vit_msn": ("vit_msn", "ViTMSNConfig"),
+    "vivit": ("vivit", "VivitConfig"),
     "align": ("align", "AlignConfig"),
     "altclip": ("altclip", "AltCLIPConfig"),
     "canine": ("canine", "CanineConfig"),

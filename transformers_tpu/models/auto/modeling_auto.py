@@ -101,6 +101,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rembert": ("rembert", "RemBertModelStandalone"),
     "megatron-bert": ("megatron_bert", "MegatronBertModelStandalone"),
     "vit": ("vit", "ViTModelStandalone"),
+    "audio-spectrogram-transformer": ("audio_spectrogram_transformer", "ASTModel"),
+    "ijepa": ("ijepa", "IJepaModelStandalone"),
+    "vit_msn": ("vit_msn", "ViTMSNModelStandalone"),
+    "vivit": ("vivit", "VivitModel"),
     "align": ("align", "AlignModel"),
     "altclip": ("altclip", "AltCLIPModel"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
@@ -337,6 +341,8 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTForImageClassification"),
+    "ijepa": ("ijepa", "IJepaForImageClassification"),
+    "vit_msn": ("vit_msn", "ViTMSNForImageClassification"),
     "resnet": ("resnet", "ResNetForImageClassification"),
     "convnext": ("convnext", "ConvNextForImageClassification"),
     "convnextv2": ("convnextv2", "ConvNextV2ForImageClassification"),
@@ -361,6 +367,7 @@ MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] =
     "owlv2": ("owlv2", "Owlv2ForObjectDetection"),
 }
 MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "vivit": ("vivit", "VivitForVideoClassification"),
     "videomae": ("videomae", "VideoMAEForVideoClassification"),
 }
 MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
@@ -384,6 +391,7 @@ MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "yolos": ("yolos", "YolosForObjectDetection"),
 }
 MODEL_FOR_AUDIO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "audio-spectrogram-transformer": ("audio_spectrogram_transformer", "ASTForAudioClassification"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
     "hubert": ("hubert", "HubertForSequenceClassification"),
     "wavlm": ("wavlm", "WavLMForSequenceClassification"),
