@@ -435,6 +435,7 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
+    "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
     "mllama": ("mllama", "MllamaForConditionalGeneration"),
     "idefics2": ("idefics2", "Idefics2ForConditionalGeneration"),
@@ -447,6 +448,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
+    "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
     "mllama": ("mllama", "MllamaForConditionalGeneration"),
     "idefics2": ("idefics2", "Idefics2ForConditionalGeneration"),

@@ -1,4 +1,6 @@
 from .configuration_llama4 import (Llama4Config, Llama4TextConfig,
                                    Llama4VisionConfig)
-from .modeling_llama4 import (Llama4ForCausalLM, Llama4TextModel,
-                              Llama4TextModelStandalone)
+from .modeling_llama4 import (Llama4ForCausalLM,
+                              Llama4ForConditionalGeneration,
+                              Llama4TextModel, Llama4TextModelStandalone,
+                              Llama4VisionModel)

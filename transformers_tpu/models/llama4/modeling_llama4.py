@@ -182,3 +182,218 @@ class Llama4ForCausalLM(LlamaForCausalLM):
 class Llama4TextModelStandalone(LlamaModelStandalone):
     config_class = Llama4TextConfig
     model_cls = Llama4TextModel
+
+
+# --------------------------------------------------------------------- vision
+class Llama4VisionAttention(Module):
+    """2D complex rotary over (x, y) patch coordinates (reference :762/:982)."""
+
+    def __init__(self, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.num_heads = config.num_attention_heads
+        self.head_dim = config.hidden_size // config.num_attention_heads
+        kw = dict(dtype=dtype, param_dtype=param_dtype, kernel_init=normal_init(0.02))
+        e = config.hidden_size
+        self.q_proj = Linear(e, e, True, **kw)
+        self.k_proj = Linear(e, e, True, **kw)
+        self.v_proj = Linear(e, e, True, **kw)
+        self.o_proj = Linear(e, e, True, **kw)
+
+    def __call__(self, params, hidden, cos, sin):  # hidden [B, P, E]
+        from ...ops.attention import eager_attention
+
+        b, s, e = hidden.shape
+        q = self.q_proj(params["q_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+        k = self.k_proj(params["k_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+        v = self.v_proj(params["v_proj"], hidden).reshape(b, s, self.num_heads, self.head_dim)
+
+        def rot(x):  # complex multiply on (re, im) pairs; cos/sin [P, D/2]
+            f = x.astype(jnp.float32).reshape(b, s, self.num_heads, self.head_dim // 2, 2)
+            re, im = f[..., 0], f[..., 1]
+            c = cos[None, :, None, :]
+            s_ = sin[None, :, None, :]
+            out = jnp.stack([re * c - im * s_, re * s_ + im * c], axis=-1)
+            return out.reshape(b, s, self.num_heads, self.head_dim).astype(x.dtype)
+
+        q, k = rot(q), rot(k)
+        out = eager_attention(q, k, v, is_causal=False, scale=self.head_dim**-0.5)
+        return self.o_proj(params["o_proj"], out.reshape(b, s, e))
+
+
+class Llama4VisionEncoderLayer(Module):
+    def __init__(self, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        from ...core.module import LayerNorm
+
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        kw2 = dict(dtype=dtype, param_dtype=param_dtype, kernel_init=normal_init(0.02))
+        self.self_attn = Llama4VisionAttention(config, **kw)
+        mlp = Module(dtype=dtype, param_dtype=param_dtype)
+        mlp.fc1 = Linear(config.hidden_size, config.intermediate_size, True, **kw2)
+        mlp.fc2 = Linear(config.intermediate_size, config.hidden_size, True, **kw2)
+        self.mlp = mlp
+        self.input_layernorm = LayerNorm(config.hidden_size, 1e-5, **kw)
+        self.post_attention_layernorm = LayerNorm(config.hidden_size, 1e-5, **kw)
+
+    def __call__(self, params, hidden, cos, sin):
+        res = hidden
+        h = self.input_layernorm(params["input_layernorm"], hidden)
+        hidden = res + self.self_attn(params["self_attn"], h, cos, sin)
+        res = hidden
+        h = self.post_attention_layernorm(params["post_attention_layernorm"], hidden)
+        h = self.mlp.fc2(params["mlp"]["fc2"],
+                         jax.nn.gelu(self.mlp.fc1(params["mlp"]["fc1"], h),
+                                     approximate=False))
+        return res + h
+
+
+class Llama4VisionModel(Module):
+    """reference :1004 — unfold patch linear, CLS appended LAST, 2D rotary,
+    pixel-shuffle adapter producing vision_output_dim features."""
+
+    def __init__(self, config, *, dtype, param_dtype):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        from ...core.module import LayerNorm
+
+        self.config = config
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        kw2 = dict(dtype=dtype, param_dtype=param_dtype, kernel_init=normal_init(0.02))
+        patch_embedding = Module(**kw)
+        patch_embedding.linear = Linear(
+            config.num_channels * config.patch_size**2, config.hidden_size, False, **kw2)
+        self.patch_embedding = patch_embedding
+        self.layernorm_pre = LayerNorm(config.hidden_size, 1e-5, **kw)
+        self.layernorm_post = LayerNorm(config.hidden_size, 1e-5, **kw)
+        model = Module(**kw)
+        model.layers = [Llama4VisionEncoderLayer(config, **kw)
+                        for _ in range(config.num_hidden_layers)]
+        self.model = model
+        adapter = Module(**kw)
+        mlp2 = Module(**kw)
+        mlp2.fc1 = Linear(config.intermediate_size, config.projector_input_dim, False, **kw2)
+        mlp2.fc2 = Linear(config.projector_output_dim, config.projector_output_dim, False, **kw2)
+        adapter.mlp = mlp2
+        self.vision_adapter = adapter
+        self.shuffle_ratio = config.pixel_shuffle_ratio
+        # host-precomputed 2D rotary phases (reference Llama4VisionRotaryEmbedding)
+        import numpy as np
+
+        idx = config.image_size // config.patch_size
+        img_idx = np.arange(idx**2).reshape(-1, 1)
+        img_idx = np.concatenate([img_idx, img_idx[:1]], axis=0)
+        img_idx[-1, -1] = -2
+        fx = img_idx % idx
+        fy = img_idx // idx
+        freq_dim = config.hidden_size // config.num_attention_heads // 2
+        rope_freq = 1.0 / (config.rope_theta ** (np.arange(0, freq_dim, 2)[: freq_dim // 2]
+                                                 / freq_dim))
+        fxs = np.repeat((fx + 1)[..., None] * rope_freq[None, None, :], 2, axis=-1)
+        fys = np.repeat((fy + 1)[..., None] * rope_freq[None, None, :], 2, axis=-1)
+        freqs = np.concatenate([fxs, fys], axis=-1)[..., ::2][:, 0]
+        freqs = np.where(img_idx < 0, 0.0, freqs)
+        self._cos = jnp.asarray(np.cos(freqs), jnp.float32)
+        self._sin = jnp.asarray(np.sin(freqs), jnp.float32)
+
+    def init(self, rng):
+        params = super().init(rng)
+        c = self.config
+        k1, k2 = jax.random.split(rng)
+        scale = c.hidden_size ** -0.5
+        params["class_embedding"] = (
+            scale * jax.random.normal(k1, (c.hidden_size,))).astype(self.param_dtype)
+        n = (c.image_size // c.patch_size) ** 2 + 1
+        params["positional_embedding_vlm"] = (
+            scale * jax.random.normal(k2, (n, c.hidden_size))).astype(self.param_dtype)
+        return params
+
+    def _pixel_shuffle(self, x):
+        r = self.shuffle_ratio
+        b, n, c = x.shape
+        side = int(n ** 0.5)
+        x = x.reshape(b, side, side, c)
+        x = x.reshape(b, side, int(side * r), int(c / r))
+        x = x.transpose(0, 2, 1, 3)
+        x = x.reshape(b, int(side * r), int(side * r), int(c / r**2))
+        x = x.transpose(0, 2, 1, 3)
+        return x.reshape(b, -1, int(c / r**2))
+
+    def __call__(self, params, pixel_values):  # [N, C, H, W]
+        c = self.config
+        b, ch, hh, ww = pixel_values.shape
+        p = c.patch_size
+        x = pixel_values.reshape(b, ch, hh // p, p, ww // p, p)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, -1, ch * p * p)
+        hidden = self.patch_embedding.linear(
+            params["patch_embedding"]["linear"], x.astype(self.dtype))
+        cls = jnp.broadcast_to(params["class_embedding"].astype(self.dtype),
+                               (b, 1, hidden.shape[-1]))
+        hidden = jnp.concatenate([hidden, cls], axis=1)
+        hidden = hidden + params["positional_embedding_vlm"].astype(self.dtype)
+        hidden = self.layernorm_pre(params["layernorm_pre"], hidden)
+        for i, layer in enumerate(self.model.layers):
+            hidden = layer(params["model"]["layers"][str(i)], hidden,
+                           self._cos, self._sin)
+        hidden = self.layernorm_post(params["layernorm_post"], hidden)
+        hidden = hidden[:, :-1, :]
+        h = self._pixel_shuffle(hidden)
+        h = jax.nn.gelu(self.vision_adapter.mlp.fc1(
+            params["vision_adapter"]["mlp"]["fc1"], h), approximate=False)
+        return jax.nn.gelu(self.vision_adapter.mlp.fc2(
+            params["vision_adapter"]["mlp"]["fc2"], h), approximate=False)
+
+
+class Llama4ForConditionalGeneration(LlamaForCausalLM):
+    """reference :1133 — vision features scattered at image-token slots."""
+
+    config_class = Llama4Config
+    _prefill_input_names = ("pixel_values",)
+
+    def __init__(self, config: Llama4Config, *, dtype=jnp.float32, param_dtype=None):
+        from ...modeling_utils import PreTrainedModel
+
+        PreTrainedModel.__init__(self, config, dtype=dtype, param_dtype=param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.vision_model = Llama4VisionModel(config.vision_config, **kw)
+        proj = Module(**kw)
+        proj.linear_1 = Linear(config.vision_config.vision_output_dim,
+                               config.text_config.hidden_size, False,
+                               kernel_init=normal_init(0.02), **kw)
+        self.multi_modal_projector = proj
+        self.language_model = Llama4ForCausalLM(config.text_config, **kw)
+
+    def get_input_embedding_path(self):
+        return "language_model.model.embed_tokens.weight"
+
+    @property
+    def tied_weights_keys(self):
+        return ()
+
+    def tie_weights(self, params):
+        return params
+
+    def init_cache(self, batch_size, max_len, dtype=None, implementation="static"):
+        return self.language_model.init_cache(batch_size, max_len, dtype, implementation)
+
+    def __call__(self, params, input_ids=None, pixel_values=None, attention_mask=None,
+                 position_ids=None, past_key_values=None, cache_position=0,
+                 inputs_embeds=None, labels=None, logits_to_keep: int = 0,
+                 output_hidden_states=False, **kwargs):
+        if inputs_embeds is None:
+            mask = input_ids == self.config.image_token_index
+            embeds = self.language_model.model.embed_tokens(
+                params["language_model"]["model"]["embed_tokens"],
+                jnp.where(mask, 0, input_ids))
+            if pixel_values is not None:
+                feats = self.vision_model(params["vision_model"], pixel_values)
+                feats = self.multi_modal_projector.linear_1(
+                    params["multi_modal_projector"]["linear_1"],
+                    feats.reshape(-1, feats.shape[-1]))
+                order = jnp.cumsum(mask.reshape(-1).astype(jnp.int32)) - 1
+                gathered = jnp.take(feats.astype(embeds.dtype),
+                                    jnp.clip(order, 0, feats.shape[0] - 1), axis=0)
+                embeds = jnp.where(mask[..., None], gathered.reshape(embeds.shape), embeds)
+            inputs_embeds = embeds
+        return self.language_model(params["language_model"], None, attention_mask,
+                                   position_ids, past_key_values, cache_position,
+                                   inputs_embeds, labels, logits_to_keep,
+                                   output_hidden_states)
