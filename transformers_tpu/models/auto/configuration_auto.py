@@ -24,6 +24,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma2": ("gemma2", "Gemma2Config"),
     "phi3": ("phi3", "Phi3Config"),
     "gpt2": ("gpt2", "GPT2Config"),
+    "ctrl": ("ctrl", "CTRLConfig"),
+    "openai-gpt": ("openai", "OpenAIGPTConfig"),
+    "xlm": ("xlm", "XLMConfig"),
     "mbart": ("mbart", "MBartConfig"),
     "moonshine": ("moonshine", "MoonshineConfig"),
     "mvp": ("mvp", "MvpConfig"),

@@ -24,6 +24,9 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma2": ("gemma2", "Gemma2ModelStandalone"),
     "phi3": ("phi3", "Phi3ModelStandalone"),
     "gpt2": ("gpt2", "GPT2ModelStandalone"),
+    "ctrl": ("ctrl", "CTRLModel"),
+    "openai-gpt": ("openai", "OpenAIGPTModel"),
+    "xlm": ("xlm", "XLMModelStandalone"),
     "gpt_neox": ("gpt_neox", "GPTNeoXModelStandalone"),
     "gptj": ("gptj", "GPTJModelStandalone"),
     "falcon": ("falcon", "FalconModelStandalone"),
@@ -186,6 +189,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma2": ("gemma2", "Gemma2ForCausalLM"),
     "phi3": ("phi3", "Phi3ForCausalLM"),
     "gpt2": ("gpt2", "GPT2LMHeadModel"),
+    "ctrl": ("ctrl", "CTRLLMHeadModel"),
+    "openai-gpt": ("openai", "OpenAIGPTLMHeadModel"),
     "gpt_neox": ("gpt_neox", "GPTNeoXForCausalLM"),
     "gptj": ("gptj", "GPTJForCausalLM"),
     "falcon": ("falcon", "FalconForCausalLM"),
@@ -315,6 +320,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deberta-v2": ("deberta_v2", "DebertaV2ForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "xlm": ("xlm", "XLMWithLMHeadModel"),
     "funnel": ("funnel", "FunnelForMaskedLM"),
     "tapas": ("tapas", "TapasForMaskedLM"),
     "bert": ("bert", "BertForMaskedLM"),
