@@ -240,6 +240,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "phi": ("phi", "PhiConfig"),
     "qwen2_moe": ("qwen2_moe", "Qwen2MoeConfig"),
     "gemma3_text": ("gemma3", "Gemma3TextConfig"),
+    "gemma3n_text": ("gemma3n", "Gemma3nTextConfig"),
     "smollm3": ("smollm3", "SmolLM3Config"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeConfig"),
     "qwen3_next": ("qwen3_next", "Qwen3NextConfig"),
