@@ -107,6 +107,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba": ("mamba", "MambaConfig"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaConfig"),
     "mamba2": ("mamba2", "Mamba2Config"),
+    "lfm2": ("lfm2", "Lfm2Config"),
     "bamba": ("bamba", "BambaConfig"),
     "jamba": ("jamba", "JambaConfig"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),

@@ -70,6 +70,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba": ("mamba", "MambaModelStandalone"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaModelStandalone"),
     "mamba2": ("mamba2", "Mamba2ModelStandalone"),
+    "lfm2": ("lfm2", "Lfm2ModelStandalone"),
     "bamba": ("bamba", "BambaModelStandalone"),
     "jamba": ("jamba", "JambaModelStandalone"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridModelStandalone"),
@@ -200,6 +201,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba": ("mamba", "MambaForCausalLM"),
     "falcon_mamba": ("falcon_mamba", "FalconMambaForCausalLM"),
     "mamba2": ("mamba2", "Mamba2ForCausalLM"),
+    "lfm2": ("lfm2", "Lfm2ForCausalLM"),
     "bamba": ("bamba", "BambaForCausalLM"),
     "jamba": ("jamba", "JambaForCausalLM"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridForCausalLM"),

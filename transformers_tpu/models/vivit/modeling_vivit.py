@@ -37,6 +37,9 @@ class VivitConfig(PretrainedConfig):
         self.initializer_range = initializer_range
         self.layer_norm_eps = layer_norm_eps
         self.qkv_bias = qkv_bias
+        # ViTPooler compatibility
+        self.pooler_output_size = hidden_size
+        self.pooler_act = "tanh"
         super().__init__(**kwargs)
 
 
