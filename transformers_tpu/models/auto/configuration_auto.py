@@ -27,6 +27,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "ctrl": ("ctrl", "CTRLConfig"),
     "openai-gpt": ("openai", "OpenAIGPTConfig"),
     "xlm": ("xlm", "XLMConfig"),
+    "flaubert": ("flaubert", "FlaubertConfig"),
     "mbart": ("mbart", "MBartConfig"),
     "moonshine": ("moonshine", "MoonshineConfig"),
     "mvp": ("mvp", "MvpConfig"),
@@ -82,8 +83,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "splinter": ("splinter", "SplinterConfig"),
     "dpr": ("dpr", "DPRConfig"),
     "roberta": ("roberta", "RobertaConfig"),
-    "xlm-roberta": ("roberta", "RobertaConfig"),
-    "camembert": ("roberta", "RobertaConfig"),
+    "xlm-roberta": ("xlm_roberta", "XLMRobertaConfig"),
+    "camembert": ("camembert", "CamembertConfig"),
     "distilbert": ("distilbert", "DistilBertConfig"),
     "electra": ("electra", "ElectraConfig"),
     "albert": ("albert", "AlbertConfig"),
@@ -205,7 +206,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "longt5": ("longt5", "LongT5Config"),
     "bigbird_pegasus": ("bigbird_pegasus", "BigBirdPegasusConfig"),
     "t5": ("t5", "T5Config"),
-    "mt5": ("t5", "T5Config"),
+    "mt5": ("mt5", "MT5Config"),
     "umt5": ("umt5", "UMT5Config"),
     "switch_transformers": ("switch_transformers", "SwitchTransformersConfig"),
     "bart": ("bart", "BartConfig"),

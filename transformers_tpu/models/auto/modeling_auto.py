@@ -42,12 +42,13 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "splinter": ("splinter", "SplinterModelStandalone"),
     "dpr": ("dpr", "DPRQuestionEncoder"),
     "roberta": ("roberta", "RobertaModelStandalone"),
+    "camembert": ("camembert", "CamembertModelStandalone"),
+    "xlm-roberta": ("xlm_roberta", "XLMRobertaModelStandalone"),
+    "flaubert": ("flaubert", "FlaubertModelStandalone"),
     "xlnet": ("xlnet", "XLNetModelStandalone"),
     "squeezebert": ("squeezebert", "SqueezeBertModelStandalone"),
     "convbert": ("convbert", "ConvBertModelStandalone"),
     "mobilebert": ("mobilebert", "MobileBertModelStandalone"),
-    "xlm-roberta": ("roberta", "RobertaModelStandalone"),
-    "camembert": ("roberta", "RobertaModelStandalone"),
     "distilbert": ("distilbert", "DistilBertModelStandalone"),
     "electra": ("electra", "ElectraModelStandalone"),
     "albert": ("albert", "AlbertModelStandalone"),
@@ -328,12 +329,13 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "tapas": ("tapas", "TapasForMaskedLM"),
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
+    "camembert": ("camembert", "CamembertForMaskedLM"),
+    "xlm-roberta": ("xlm_roberta", "XLMRobertaForMaskedLM"),
+    "flaubert": ("flaubert", "FlaubertWithLMHeadModel"),
     "roberta-prelayernorm": ("roberta_prelayernorm", "RobertaPreLayerNormForMaskedLM"),
     "squeezebert": ("squeezebert", "SqueezeBertForMaskedLM"),
     "convbert": ("convbert", "ConvBertForMaskedLM"),
     "mobilebert": ("mobilebert", "MobileBertForMaskedLM"),
-    "xlm-roberta": ("roberta", "RobertaForMaskedLM"),
-    "camembert": ("roberta", "RobertaForMaskedLM"),
     "distilbert": ("distilbert", "DistilBertForMaskedLM"),
     "electra": ("electra", "ElectraForMaskedLM"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForMaskedLM"),
@@ -421,7 +423,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "longt5": ("longt5", "LongT5ForConditionalGeneration"),
     "bigbird_pegasus": ("bigbird_pegasus", "BigBirdPegasusForConditionalGeneration"),
     "t5": ("t5", "T5ForConditionalGeneration"),
-    "mt5": ("t5", "T5ForConditionalGeneration"),
+    "mt5": ("mt5", "MT5ForConditionalGeneration"),
     "umt5": ("umt5", "UMT5ForConditionalGeneration"),
     "switch_transformers": ("switch_transformers", "SwitchTransformersForConditionalGeneration"),
     "bart": ("bart", "BartForConditionalGeneration"),
