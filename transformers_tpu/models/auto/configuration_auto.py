@@ -36,6 +36,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pegasus": ("pegasus", "PegasusConfig"),
     "marian": ("marian", "MarianConfig"),
     "m2m_100": ("m2m_100", "M2M100Config"),
+    "nllb": ("m2m_100", "M2M100Config"),
     "paligemma": ("paligemma", "PaliGemmaConfig"),
     "gemma3": ("gemma3", "Gemma3Config"),
     "layoutlm": ("layoutlm", "LayoutLMConfig"),
