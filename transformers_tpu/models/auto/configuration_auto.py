@@ -84,6 +84,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "splinter": ("splinter", "SplinterConfig"),
     "dpr": ("dpr", "DPRConfig"),
     "roberta": ("roberta", "RobertaConfig"),
+    "mpnet": ("mpnet", "MPNetConfig"),
     "xlm-roberta": ("xlm_roberta", "XLMRobertaConfig"),
     "camembert": ("camembert", "CamembertConfig"),
     "distilbert": ("distilbert", "DistilBertConfig"),

@@ -42,6 +42,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "splinter": ("splinter", "SplinterModelStandalone"),
     "dpr": ("dpr", "DPRQuestionEncoder"),
     "roberta": ("roberta", "RobertaModelStandalone"),
+    "mpnet": ("mpnet", "MPNetModelStandalone"),
     "camembert": ("camembert", "CamembertModelStandalone"),
     "xlm-roberta": ("xlm_roberta", "XLMRobertaModelStandalone"),
     "flaubert": ("flaubert", "FlaubertModelStandalone"),
@@ -329,6 +330,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "tapas": ("tapas", "TapasForMaskedLM"),
     "bert": ("bert", "BertForMaskedLM"),
     "roberta": ("roberta", "RobertaForMaskedLM"),
+    "mpnet": ("mpnet", "MPNetForMaskedLM"),
     "camembert": ("camembert", "CamembertForMaskedLM"),
     "xlm-roberta": ("xlm_roberta", "XLMRobertaForMaskedLM"),
     "flaubert": ("flaubert", "FlaubertWithLMHeadModel"),
