@@ -100,6 +100,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dinov2": ("dinov2", "Dinov2Config"),
     "segformer": ("segformer", "SegformerConfig"),
     "glpn": ("glpn", "GLPNConfig"),
+    "timesformer": ("timesformer", "TimesformerConfig"),
+    "vit_mae": ("vit_mae", "ViTMAEConfig"),
     "videomae": ("videomae", "VideoMAEConfig"),
     "owlvit": ("owlvit", "OwlViTConfig"),
     "blip": ("blip", "BlipConfig"),

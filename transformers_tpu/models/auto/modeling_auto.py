@@ -64,6 +64,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("segformer", "SegformerModelStandalone"),
     "glpn": ("glpn", "GLPNModelStandalone"),
     "videomae": ("videomae", "VideoMAEModelStandalone"),
+    "timesformer": ("timesformer", "TimesformerModel"),
+    "vit_mae": ("vit_mae", "ViTMAEModel"),
     "owlvit": ("owlvit", "OwlViTModelStandalone"),
     "blip": ("blip", "BlipModel"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
@@ -382,6 +384,7 @@ MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] =
 MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vivit": ("vivit", "VivitForVideoClassification"),
     "videomae": ("videomae", "VideoMAEForVideoClassification"),
+    "timesformer": ("timesformer", "TimesformerForVideoClassification"),
 }
 MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "patchtst": ("patchtst", "PatchTSTForPrediction"),
