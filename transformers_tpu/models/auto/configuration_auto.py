@@ -48,6 +48,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vits": ("vits", "VitsConfig"),
     "clap": ("clap", "ClapConfig"),
     "deberta-v2": ("deberta_v2", "DebertaV2Config"),
+    "deberta": ("deberta", "DebertaConfig"),
+    "ibert": ("ibert", "IBertConfig"),
+    "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLConfig"),
+    "nystromformer": ("nystromformer", "NystromformerConfig"),
     "olmo": ("olmo", "OlmoConfig"),
     "olmoe": ("olmoe", "OlmoeConfig"),
     "dbrx": ("dbrx", "DbrxConfig"),

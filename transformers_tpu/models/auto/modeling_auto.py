@@ -172,6 +172,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mimi": ("mimi", "MimiModel"),
     "moshi": ("moshi", "MoshiModelStandalone"),
     "deberta-v2": ("deberta_v2", "DebertaV2ModelStandalone"),
+    "deberta": ("deberta", "DebertaModelStandalone"),
+    "ibert": ("ibert", "IBertModelStandalone"),
+    "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLModelStandalone"),
+    "nystromformer": ("nystromformer", "NystromformerModelStandalone"),
     "olmo": ("olmo", "OlmoModelStandalone"),
     "olmoe": ("olmoe", "OlmoeModelStandalone"),
     "dbrx": ("dbrx", "DbrxModelStandalone"),
@@ -289,6 +293,10 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForSequenceClassification"),
     "layoutlm": ("layoutlm", "LayoutLMForSequenceClassification"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForSequenceClassification"),
+    "deberta": ("deberta", "DebertaForSequenceClassification"),
+    "ibert": ("ibert", "IBertForSequenceClassification"),
+    "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLForSequenceClassification"),
+    "nystromformer": ("nystromformer", "NystromformerForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "funnel": ("funnel", "FunnelForTokenClassification"),
@@ -306,6 +314,7 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "camembert": ("roberta", "RobertaForTokenClassification"),
     "layoutlm": ("layoutlm", "LayoutLMForTokenClassification"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
+    "deberta": ("deberta", "DebertaForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "splinter": ("splinter", "SplinterForQuestionAnswering"),
@@ -325,6 +334,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "camembert": ("roberta", "RobertaForQuestionAnswering"),
     "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForQuestionAnswering"),
+    "deberta": ("deberta", "DebertaForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "xlm": ("xlm", "XLMWithLMHeadModel"),
@@ -343,6 +353,10 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertForMaskedLM"),
     "electra": ("electra", "ElectraForMaskedLM"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForMaskedLM"),
+    "deberta": ("deberta", "DebertaForMaskedLM"),
+    "ibert": ("ibert", "IBertForMaskedLM"),
+    "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLForMaskedLM"),
+    "nystromformer": ("nystromformer", "NystromformerForMaskedLM"),
     "albert": ("albert", "AlbertForMaskedLM"),
     "modernbert": ("modernbert", "ModernBertForMaskedLM"),
     "ernie": ("ernie", "ErnieForMaskedLM"),
