@@ -108,6 +108,8 @@ SKIP: dict[str, str] = {
 
 def _register_patches():
     P = PATCHES
+    # xmod needs a default language for adapter routing
+    P["xmod"] = dict(default_language="en_XX")
     # time-series configs need explicit horizon geometry
     ts = dict(prediction_length=8, context_length=16, lags_sequence=[1, 2, 3],
               num_time_features=1)

@@ -52,6 +52,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "ibert": ("ibert", "IBertConfig"),
     "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLConfig"),
     "nystromformer": ("nystromformer", "NystromformerConfig"),
+    "yoso": ("yoso", "YosoConfig"),
+    "xmod": ("xmod", "XmodConfig"),
+    "roc_bert": ("roc_bert", "RoCBertConfig"),
     "olmo": ("olmo", "OlmoConfig"),
     "olmoe": ("olmoe", "OlmoeConfig"),
     "dbrx": ("dbrx", "DbrxConfig"),

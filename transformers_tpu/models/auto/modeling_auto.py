@@ -176,6 +176,9 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "ibert": ("ibert", "IBertModelStandalone"),
     "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLModelStandalone"),
     "nystromformer": ("nystromformer", "NystromformerModelStandalone"),
+    "yoso": ("yoso", "YosoModelStandalone"),
+    "xmod": ("xmod", "XmodModelStandalone"),
+    "roc_bert": ("roc_bert", "RoCBertModelStandalone"),
     "olmo": ("olmo", "OlmoModelStandalone"),
     "olmoe": ("olmoe", "OlmoeModelStandalone"),
     "dbrx": ("dbrx", "DbrxModelStandalone"),
@@ -297,6 +300,9 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "ibert": ("ibert", "IBertForSequenceClassification"),
     "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLForSequenceClassification"),
     "nystromformer": ("nystromformer", "NystromformerForSequenceClassification"),
+    "yoso": ("yoso", "YosoForSequenceClassification"),
+    "xmod": ("xmod", "XmodForSequenceClassification"),
+    "roc_bert": ("roc_bert", "RoCBertForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "funnel": ("funnel", "FunnelForTokenClassification"),
@@ -357,6 +363,9 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "ibert": ("ibert", "IBertForMaskedLM"),
     "xlm-roberta-xl": ("xlm_roberta_xl", "XLMRobertaXLForMaskedLM"),
     "nystromformer": ("nystromformer", "NystromformerForMaskedLM"),
+    "yoso": ("yoso", "YosoForMaskedLM"),
+    "xmod": ("xmod", "XmodForMaskedLM"),
+    "roc_bert": ("roc_bert", "RoCBertForMaskedLM"),
     "albert": ("albert", "AlbertForMaskedLM"),
     "modernbert": ("modernbert", "ModernBertForMaskedLM"),
     "ernie": ("ernie", "ErnieForMaskedLM"),
