@@ -328,6 +328,19 @@ FAMILIES_RAW = {
 }
 
 
+FAMILIES_RAW["hunyuan_v1_moe"] = ("HunYuanMoEV1Config", dict(
+    vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+    head_dim=8, num_experts=4, moe_topk=2, pad_token_id=0, eos_token_id=2,
+    bos_token_id=1))
+FAMILIES_RAW["modernbert_decoder"] = ("ModernBertDecoderConfig", dict(
+    vocab_size=99, hidden_size=32, intermediate_size=48, num_hidden_layers=4,
+    num_attention_heads=4, max_position_embeddings=256,
+    global_attn_every_n_layers=2, local_attention=8,
+    pad_token_id=0, eos_token_id=2, bos_token_id=1, cls_token_id=1,
+    sep_token_id=2))
+
+
 def make_tiny(tmp_dir: str, hf_config_name: str, cfg: dict, seed=0):
     import torch
     import transformers
@@ -377,7 +390,8 @@ def test_logit_parity(family, tmp_path):
                                     "cohere2", "phimoe", "glm4_moe",
                                     "olmo3", "vaultgemma", "ministral", "bitnet", "apertus",
                                     "granitemoeshared", "flex_olmo", "hunyuan_v1_dense", "diffllama",
-                                    "llama4_text", "deepseek_v2", "dots1", "ernie4_5_moe"])
+                                    "llama4_text", "deepseek_v2", "dots1", "ernie4_5_moe",
+                                    "hunyuan_v1_moe", "modernbert_decoder"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""
@@ -405,7 +419,7 @@ def test_cached_decode_matches_full(family, tmp_path):
 
 
 @pytest.mark.parametrize("family", ["mistral", "gemma", "gpt2", "gpt_bigcode", "biogpt", "xglm",
-                                    "olmo3", "bitnet", "apertus", "diffllama"])
+                                    "olmo3", "bitnet", "apertus", "diffllama", "modernbert_decoder"])
 def test_greedy_generate_matches_torch(family, tmp_path):
     import torch
 

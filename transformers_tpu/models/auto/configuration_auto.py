@@ -230,6 +230,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoeshared": ("granitemoeshared", "GraniteMoeSharedConfig"),
     "flex_olmo": ("flex_olmo", "FlexOlmoConfig"),
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1Config"),
+    "hunyuan_v1_moe": ("hunyuan_v1_moe", "HunYuanMoEV1Config"),
+    "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderConfig"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),

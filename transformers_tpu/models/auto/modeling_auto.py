@@ -139,6 +139,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoeshared": ("granitemoeshared", "GraniteMoeSharedModelStandalone"),
     "flex_olmo": ("flex_olmo", "FlexOlmoModelStandalone"),
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ModelStandalone"),
+    "hunyuan_v1_moe": ("hunyuan_v1_moe", "HunYuanMoEV1ModelStandalone"),
+    "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
     "dots1": ("dots1", "Dots1ModelStandalone"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ModelStandalone"),
@@ -235,6 +237,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoeshared": ("granitemoeshared", "GraniteMoeSharedForCausalLM"),
     "flex_olmo": ("flex_olmo", "FlexOlmoForCausalLM"),
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ForCausalLM"),
+    "hunyuan_v1_moe": ("hunyuan_v1_moe", "HunYuanMoEV1ForCausalLM"),
+    "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderForCausalLM"),
     "diffllama": ("diffllama", "DiffLlamaForCausalLM"),
     "dots1": ("dots1", "Dots1ForCausalLM"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ForCausalLM"),

@@ -318,6 +318,14 @@ class LlamaModel(Module):
         # dtype* (reference models/gemma/modeling_gemma.py normalizer).
         return jnp.asarray(self.config.hidden_size**0.5, self.dtype)
 
+    def embed(self, params, input_ids):
+        """Token embedding hook; families with extra embedding-stage work
+        (ModernBertDecoder's post-embedding LayerNorm) override this."""
+        inputs_embeds = self.embed_tokens(params["embed_tokens"], input_ids)
+        if self.scale_embeddings:
+            inputs_embeds = inputs_embeds * self.embed_scale()
+        return inputs_embeds
+
     def __call__(
         self,
         params,
@@ -332,9 +340,7 @@ class LlamaModel(Module):
         token_type_ids: Optional[jnp.ndarray] = None,
     ) -> BaseModelOutputWithPast:
         if inputs_embeds is None:
-            inputs_embeds = self.embed_tokens(params["embed_tokens"], input_ids)
-            if self.scale_embeddings:
-                inputs_embeds = inputs_embeds * self.embed_scale()
+            inputs_embeds = self.embed(params, input_ids)
         hidden = inputs_embeds
         b, s, _ = hidden.shape
 
