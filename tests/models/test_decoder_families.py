@@ -333,6 +333,18 @@ FAMILIES_RAW["hunyuan_v1_moe"] = ("HunYuanMoEV1Config", dict(
     num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
     head_dim=8, num_experts=4, moe_topk=2, pad_token_id=0, eos_token_id=2,
     bos_token_id=1))
+FAMILIES_RAW["doge"] = ("DogeConfig", dict(
+    vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+    keep_window_size=2048, pad_token_id=0, eos_token_id=2, bos_token_id=1))
+# NB is_moe=True and the keep-window top-k path cannot be driven through the
+# fresh-init torch oracle (CDMoE returns a tuple into dropout; A=0 init makes
+# every dynamic gate 1.0 so top-k tie-breaking is implementation-defined).
+# Both are covered by tests/models/test_doge_cdmoe.py with perturbed params.
+FAMILIES_RAW["gpt_neox_japanese"] = ("GPTNeoXJapaneseConfig", dict(
+    vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+    intermediate_multiple_size=2, rotary_pct=0.5, max_position_embeddings=256,
+    bos_token_id=1, eos_token_id=2, attention_dropout=0.0, tie_word_embeddings=False))
 FAMILIES_RAW["modernbert_decoder"] = ("ModernBertDecoderConfig", dict(
     vocab_size=99, hidden_size=32, intermediate_size=48, num_hidden_layers=4,
     num_attention_heads=4, max_position_embeddings=256,
@@ -391,7 +403,7 @@ def test_logit_parity(family, tmp_path):
                                     "olmo3", "vaultgemma", "ministral", "bitnet", "apertus",
                                     "granitemoeshared", "flex_olmo", "hunyuan_v1_dense", "diffllama",
                                     "llama4_text", "deepseek_v2", "dots1", "ernie4_5_moe",
-                                    "hunyuan_v1_moe", "modernbert_decoder"])
+                                    "hunyuan_v1_moe", "modernbert_decoder", "gpt_neox_japanese", "doge"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""
@@ -419,7 +431,7 @@ def test_cached_decode_matches_full(family, tmp_path):
 
 
 @pytest.mark.parametrize("family", ["mistral", "gemma", "gpt2", "gpt_bigcode", "biogpt", "xglm",
-                                    "olmo3", "bitnet", "apertus", "diffllama", "modernbert_decoder"])
+                                    "olmo3", "bitnet", "apertus", "diffllama", "modernbert_decoder", "gpt_neox_japanese"])
 def test_greedy_generate_matches_torch(family, tmp_path):
     import torch
 

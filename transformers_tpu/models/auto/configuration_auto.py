@@ -232,6 +232,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1Config"),
     "hunyuan_v1_moe": ("hunyuan_v1_moe", "HunYuanMoEV1Config"),
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderConfig"),
+    "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseConfig"),
+    "doge": ("doge", "DogeConfig"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),

@@ -141,6 +141,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ModelStandalone"),
     "hunyuan_v1_moe": ("hunyuan_v1_moe", "HunYuanMoEV1ModelStandalone"),
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderModelStandalone"),
+    "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseModelStandalone"),
+    "doge": ("doge", "DogeModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
     "dots1": ("dots1", "Dots1ModelStandalone"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ModelStandalone"),
@@ -239,6 +241,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hunyuan_v1_dense": ("hunyuan_v1_dense", "HunYuanDenseV1ForCausalLM"),
     "hunyuan_v1_moe": ("hunyuan_v1_moe", "HunYuanMoEV1ForCausalLM"),
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderForCausalLM"),
+    "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseForCausalLM"),
+    "doge": ("doge", "DogeForCausalLM"),
     "diffllama": ("diffllama", "DiffLlamaForCausalLM"),
     "dots1": ("dots1", "Dots1ForCausalLM"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ForCausalLM"),
