@@ -341,6 +341,11 @@ FAMILIES_RAW["doge"] = ("DogeConfig", dict(
 # fresh-init torch oracle (CDMoE returns a tuple into dropout; A=0 init makes
 # every dynamic gate 1.0 so top-k tie-breaking is implementation-defined).
 # Both are covered by tests/models/test_doge_cdmoe.py with perturbed params.
+FAMILIES_RAW["minimax"] = ("MiniMaxConfig", dict(
+    vocab_size=99, hidden_size=32, intermediate_size=48, num_hidden_layers=4,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+    max_position_embeddings=256, num_experts_per_tok=2, num_local_experts=4,
+    block_size=4, pad_token_id=0, eos_token_id=2, bos_token_id=1))
 FAMILIES_RAW["gpt_neox_japanese"] = ("GPTNeoXJapaneseConfig", dict(
     vocab_size=99, hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
     intermediate_multiple_size=2, rotary_pct=0.5, max_position_embeddings=256,
@@ -403,7 +408,7 @@ def test_logit_parity(family, tmp_path):
                                     "olmo3", "vaultgemma", "ministral", "bitnet", "apertus",
                                     "granitemoeshared", "flex_olmo", "hunyuan_v1_dense", "diffllama",
                                     "llama4_text", "deepseek_v2", "dots1", "ernie4_5_moe",
-                                    "hunyuan_v1_moe", "modernbert_decoder", "gpt_neox_japanese", "doge"])
+                                    "hunyuan_v1_moe", "modernbert_decoder", "gpt_neox_japanese", "doge", "minimax"])
 def test_cached_decode_matches_full(family, tmp_path):
     """Incremental decode with the static cache == one-shot forward — this is
     what exercises sliding windows and softcapping under cache geometry."""

@@ -234,6 +234,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderConfig"),
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseConfig"),
     "doge": ("doge", "DogeConfig"),
+    "minimax": ("minimax", "MiniMaxConfig"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),

@@ -143,6 +143,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderModelStandalone"),
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseModelStandalone"),
     "doge": ("doge", "DogeModelStandalone"),
+    "minimax": ("minimax", "MiniMaxModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
     "dots1": ("dots1", "Dots1ModelStandalone"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ModelStandalone"),
@@ -243,6 +244,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderForCausalLM"),
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseForCausalLM"),
     "doge": ("doge", "DogeForCausalLM"),
+    "minimax": ("minimax", "MiniMaxForCausalLM"),
     "diffllama": ("diffllama", "DiffLlamaForCausalLM"),
     "dots1": ("dots1", "Dots1ForCausalLM"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ForCausalLM"),
