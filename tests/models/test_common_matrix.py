@@ -103,6 +103,9 @@ SKIP: dict[str, str] = {
     "informer": "prob-sparse seq2seq needs future features; dedicated tests",
     "time_series_transformer": "seq2seq horizon inputs; dedicated tests",
     "patchtst": "channel-split inputs; dedicated tests",
+    "vitpose": "pose-estimation composite; dedicated parity tests",
+    "vitpose_backbone": "rectangular patch grid; dedicated parity tests",
+    "mobilenet_v1": "staged conv geometry; dedicated parity tests",
 }
 
 

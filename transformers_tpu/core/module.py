@@ -365,6 +365,52 @@ class GroupNorm(Module):
         return h.astype(x.dtype)
 
 
+class ConvTranspose(Module):
+    """N-D transposed convolution, torch semantics and weight layout
+    [in, out, *kernel]: out = (in-1)*stride - 2*padding + kernel. Implemented
+    as VALID lax.conv_transpose (gradient-of-conv) followed by a crop of
+    ``padding`` on each spatial edge."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1, padding=0,
+                 use_bias=True, *, ndim=2, dtype=jnp.float32, param_dtype=jnp.float32):
+        super().__init__(dtype=dtype, param_dtype=param_dtype)
+        to_tuple = lambda v: tuple(v) if isinstance(v, (tuple, list)) else (v,) * ndim
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = to_tuple(kernel_size)
+        self.stride = to_tuple(stride)
+        self.padding = to_tuple(padding)
+        self.use_bias = use_bias
+        self.ndim = ndim
+
+    def init(self, rng):
+        k = 1.0 / math.sqrt(self.in_channels * int(np.prod(self.kernel_size)))
+        kw_, kb = jax.random.split(rng)
+        params = {"weight": jax.random.uniform(
+            kw_, (self.in_channels, self.out_channels, *self.kernel_size),
+            self.param_dtype, -k, k)}
+        if self.use_bias:
+            params["bias"] = jax.random.uniform(kb, (self.out_channels,),
+                                                self.param_dtype, -k, k)
+        return params
+
+    def __call__(self, params, x):
+        spatial = "HWD"[: self.ndim] if self.ndim <= 3 else None
+        lhs = "NC" + "HWD"[: self.ndim]
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype), params["weight"].astype(self.dtype),
+            strides=self.stride, padding="VALID",
+            dimension_numbers=(lhs, "OI" + "HWD"[: self.ndim], lhs),
+            transpose_kernel=True)
+        idx = (slice(None), slice(None)) + tuple(
+            slice(p, y.shape[2 + i] - p) for i, p in enumerate(self.padding))
+        y = y[idx]
+        if self.use_bias:
+            b = params["bias"].astype(self.dtype)
+            y = y + b.reshape((1, -1) + (1,) * self.ndim)
+        return y
+
+
 class Conv(Module):
     """N-D convolution keeping torch weight layout [out, in, *kernel] (OIHW),
     so checkpoint tensors load with zero transformation; XLA picks the

@@ -235,6 +235,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseConfig"),
     "doge": ("doge", "DogeConfig"),
     "minimax": ("minimax", "MiniMaxConfig"),
+    "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersConfig"),
+    "mobilenet_v1": ("mobilenet_v1", "MobileNetV1Config"),
+    "vitpose_backbone": ("vitpose_backbone", "VitPoseBackboneConfig"),
+    "vitpose": ("vitpose", "VitPoseConfig"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),

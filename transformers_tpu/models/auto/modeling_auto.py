@@ -61,6 +61,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "swin": ("swin", "SwinModelStandalone"),
     "deit": ("deit", "DeiTModelStandalone"),
     "dinov2": ("dinov2", "Dinov2ModelStandalone"),
+    "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersModelStandalone"),
+    "mobilenet_v1": ("mobilenet_v1", "MobileNetV1ModelStandalone"),
+    "vitpose_backbone": ("vitpose_backbone", "VitPoseBackboneStandalone"),
+    "vitpose": ("vitpose", "VitPoseForPoseEstimation"),
     "segformer": ("segformer", "SegformerModelStandalone"),
     "glpn": ("glpn", "GLPNModelStandalone"),
     "videomae": ("videomae", "VideoMAEModelStandalone"),
@@ -397,6 +401,8 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "swin": ("swin", "SwinForImageClassification"),
     "deit": ("deit", "DeiTForImageClassificationWithTeacher"),
     "dinov2": ("dinov2", "Dinov2ForImageClassification"),
+    "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersForImageClassification"),
+    "mobilenet_v1": ("mobilenet_v1", "MobileNetV1ForImageClassification"),
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
