@@ -106,6 +106,8 @@ SKIP: dict[str, str] = {
     "vitpose": "pose-estimation composite; dedicated parity tests",
     "vitpose_backbone": "rectangular patch grid; dedicated parity tests",
     "mobilenet_v1": "staged conv geometry; dedicated parity tests",
+    "swiftformer": "staged conv geometry; dedicated parity tests",
+    "textnet": "staged conv geometry; dedicated parity tests",
 }
 
 

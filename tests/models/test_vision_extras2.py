@@ -85,3 +85,47 @@ def test_vitpose_parity(tmp_path, simple, experts):
     out = m(m.params, jnp.asarray(px), dataset_index=jnp.asarray(dsi))
     assert out.heatmaps.shape == ref.shape
     assert max_abs_diff(out.heatmaps, ref) < 5e-5
+
+
+def test_swiftformer_parity(tmp_path):
+    import torch
+    import transformers
+
+    from transformers_tpu.models.swiftformer import SwiftFormerForImageClassification
+
+    torch.manual_seed(3)
+    cfg = transformers.SwiftFormerConfig(depths=[2, 2], embed_dims=[16, 24],
+                                         downsamples=[True, True],
+                                         image_size=32, num_labels=5)
+    tm = transformers.SwiftFormerForImageClassification(cfg).eval()
+    d = str(tmp_path / "swift")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = SwiftFormerForImageClassification.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    px = np.random.default_rng(3).normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.from_numpy(px)).logits.numpy()
+    out = m(m.params, jnp.asarray(px))
+    assert max_abs_diff(out.logits, ref) < 5e-5
+
+
+def test_textnet_parity(tmp_path):
+    import torch
+    import transformers
+
+    from transformers_tpu.models.textnet import TextNetForImageClassification
+
+    torch.manual_seed(4)
+    cfg = transformers.TextNetConfig(
+        stem_out_channels=8, hidden_sizes=[8, 8, 16, 24, 32], num_labels=5,
+        image_size=[32, 32])
+    tm = transformers.TextNetForImageClassification(cfg).eval()
+    d = str(tmp_path / "textnet")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = TextNetForImageClassification.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    px = np.random.default_rng(4).normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.from_numpy(px)).logits.numpy()
+    out = m(m.params, jnp.asarray(px))
+    assert max_abs_diff(out.logits, ref) < 5e-5

@@ -239,6 +239,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilenet_v1": ("mobilenet_v1", "MobileNetV1Config"),
     "vitpose_backbone": ("vitpose_backbone", "VitPoseBackboneConfig"),
     "vitpose": ("vitpose", "VitPoseConfig"),
+    "swiftformer": ("swiftformer", "SwiftFormerConfig"),
+    "textnet": ("textnet", "TextNetConfig"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),

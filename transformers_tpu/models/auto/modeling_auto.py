@@ -63,6 +63,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dinov2": ("dinov2", "Dinov2ModelStandalone"),
     "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersModelStandalone"),
     "mobilenet_v1": ("mobilenet_v1", "MobileNetV1ModelStandalone"),
+    "swiftformer": ("swiftformer", "SwiftFormerModelStandalone"),
+    "textnet": ("textnet", "TextNetModelStandalone"),
     "vitpose_backbone": ("vitpose_backbone", "VitPoseBackboneStandalone"),
     "vitpose": ("vitpose", "VitPoseForPoseEstimation"),
     "segformer": ("segformer", "SegformerModelStandalone"),
@@ -403,6 +405,8 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dinov2": ("dinov2", "Dinov2ForImageClassification"),
     "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersForImageClassification"),
     "mobilenet_v1": ("mobilenet_v1", "MobileNetV1ForImageClassification"),
+    "swiftformer": ("swiftformer", "SwiftFormerForImageClassification"),
+    "textnet": ("textnet", "TextNetForImageClassification"),
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
