@@ -108,6 +108,7 @@ SKIP: dict[str, str] = {
     "mobilenet_v1": "staged conv geometry; dedicated parity tests",
     "swiftformer": "staged conv geometry; dedicated parity tests",
     "textnet": "staged conv geometry; dedicated parity tests",
+    "hgnet_v2": "staged conv geometry; dedicated parity tests",
 }
 
 

@@ -129,3 +129,28 @@ def test_textnet_parity(tmp_path):
         ref = tm(pixel_values=torch.from_numpy(px)).logits.numpy()
     out = m(m.params, jnp.asarray(px))
     assert max_abs_diff(out.logits, ref) < 5e-5
+
+
+def test_hgnet_v2_parity(tmp_path):
+    import torch
+    import transformers
+
+    from transformers_tpu.models.hgnet_v2 import HGNetV2ForImageClassification
+
+    torch.manual_seed(5)
+    cfg = transformers.HGNetV2Config(
+        stem_channels=[3, 8, 8], stage_in_channels=[8, 16], stage_mid_channels=[8, 8],
+        stage_out_channels=[16, 32], stage_num_blocks=[1, 2],
+        stage_downsample=[False, True], stage_light_block=[False, True],
+        stage_kernel_size=[3, 3], stage_numb_of_layers=[2, 2],
+        hidden_sizes=[16, 32], use_learnable_affine_block=True, num_labels=5)
+    tm = transformers.HGNetV2ForImageClassification(cfg).eval()
+    d = str(tmp_path / "hgnet")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = HGNetV2ForImageClassification.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    px = np.random.default_rng(5).normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.from_numpy(px)).logits.numpy()
+    out = m(m.params, jnp.asarray(px))
+    assert max_abs_diff(out.logits, ref) < 5e-5

@@ -241,6 +241,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vitpose": ("vitpose", "VitPoseConfig"),
     "swiftformer": ("swiftformer", "SwiftFormerConfig"),
     "textnet": ("textnet", "TextNetConfig"),
+    "hgnet_v2": ("hgnet_v2", "HGNetV2Config"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),

@@ -65,6 +65,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilenet_v1": ("mobilenet_v1", "MobileNetV1ModelStandalone"),
     "swiftformer": ("swiftformer", "SwiftFormerModelStandalone"),
     "textnet": ("textnet", "TextNetModelStandalone"),
+    "hgnet_v2": ("hgnet_v2", "HGNetV2Backbone"),
     "vitpose_backbone": ("vitpose_backbone", "VitPoseBackboneStandalone"),
     "vitpose": ("vitpose", "VitPoseForPoseEstimation"),
     "segformer": ("segformer", "SegformerModelStandalone"),
@@ -407,6 +408,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilenet_v1": ("mobilenet_v1", "MobileNetV1ForImageClassification"),
     "swiftformer": ("swiftformer", "SwiftFormerForImageClassification"),
     "textnet": ("textnet", "TextNetForImageClassification"),
+    "hgnet_v2": ("hgnet_v2", "HGNetV2ForImageClassification"),
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
