@@ -109,6 +109,7 @@ SKIP: dict[str, str] = {
     "swiftformer": "staged conv geometry; dedicated parity tests",
     "textnet": "staged conv geometry; dedicated parity tests",
     "hgnet_v2": "staged conv geometry; dedicated parity tests",
+    "pvt_v2": "staged pyramid geometry; dedicated parity tests",
 }
 
 

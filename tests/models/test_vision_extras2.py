@@ -154,3 +154,28 @@ def test_hgnet_v2_parity(tmp_path):
         ref = tm(pixel_values=torch.from_numpy(px)).logits.numpy()
     out = m(m.params, jnp.asarray(px))
     assert max_abs_diff(out.logits, ref) < 5e-5
+
+
+@pytest.mark.parametrize("linear_attn", [False, True])
+def test_pvt_v2_parity(tmp_path, linear_attn):
+    import torch
+    import transformers
+
+    from transformers_tpu.models.pvt_v2 import PvtV2ForImageClassification
+
+    torch.manual_seed(6)
+    cfg = transformers.PvtV2Config(
+        depths=[1, 1], sr_ratios=[2, 1], hidden_sizes=[16, 32],
+        patch_sizes=[7, 3], strides=[4, 2], num_attention_heads=[1, 2],
+        mlp_ratios=[2, 2], num_encoder_blocks=2, num_labels=5,
+        linear_attention=linear_attn)
+    tm = transformers.PvtV2ForImageClassification(cfg).eval()
+    d = str(tmp_path / f"pvt2{linear_attn}")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = PvtV2ForImageClassification.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    px = np.random.default_rng(6).normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.from_numpy(px)).logits.numpy()
+    out = m(m.params, jnp.asarray(px))
+    assert max_abs_diff(out.logits, ref) < 5e-5

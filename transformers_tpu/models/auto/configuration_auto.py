@@ -242,6 +242,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "swiftformer": ("swiftformer", "SwiftFormerConfig"),
     "textnet": ("textnet", "TextNetConfig"),
     "hgnet_v2": ("hgnet_v2", "HGNetV2Config"),
+    "pvt_v2": ("pvt_v2", "PvtV2Config"),
     "diffllama": ("diffllama", "DiffLlamaConfig"),
     "dots1": ("dots1", "Dots1Config"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2Config"),

@@ -66,6 +66,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "swiftformer": ("swiftformer", "SwiftFormerModelStandalone"),
     "textnet": ("textnet", "TextNetModelStandalone"),
     "hgnet_v2": ("hgnet_v2", "HGNetV2Backbone"),
+    "pvt_v2": ("pvt_v2", "PvtV2ModelStandalone"),
     "vitpose_backbone": ("vitpose_backbone", "VitPoseBackboneStandalone"),
     "vitpose": ("vitpose", "VitPoseForPoseEstimation"),
     "segformer": ("segformer", "SegformerModelStandalone"),
@@ -409,6 +410,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "swiftformer": ("swiftformer", "SwiftFormerForImageClassification"),
     "textnet": ("textnet", "TextNetForImageClassification"),
     "hgnet_v2": ("hgnet_v2", "HGNetV2ForImageClassification"),
+    "pvt_v2": ("pvt_v2", "PvtV2ForImageClassification"),
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
