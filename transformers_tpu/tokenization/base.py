@@ -62,6 +62,20 @@ def _token_content(tok) -> Optional[str]:
     return str(tok)
 
 
+def _looks_like_tiktoken(blob: bytes) -> bool:
+    """tiktoken rank files are ASCII ``base64 rank`` lines; SentencePiece
+    .model files are binary protobuf."""
+    head = blob[:4096]
+    if b"\x00" in head:
+        return False
+    import re as _re
+
+    lines = [l for l in head.split(b"\n") if l.strip()][:5]
+    if not lines:
+        return False
+    return all(_re.fullmatch(rb"[A-Za-z0-9+/=]+ \d+", l.strip()) for l in lines)
+
+
 class PreTrainedTokenizer:
     """tokenizer.json-backed tokenizer with the reference's call contract."""
 
@@ -101,6 +115,14 @@ class PreTrainedTokenizer:
         if tok_file:
             engine = TokenizerEngine.from_file(tok_file)
         else:
+            # Mistral tekken.json (reference tokenization_mistral_common.py)
+            tekken_file = cached_file(str(path_or_repo), "tekken.json",
+                                      _raise_exceptions_for_missing_entries=False)
+            if tekken_file:
+                from .tiktoken_convert import convert_tekken
+
+                engine = TokenizerEngine(convert_tekken(tekken_file))
+                return cls._from_engine(engine, path_or_repo, kwargs)
             # SentencePiece fallback (reference convert_slow_tokenizer.py
             # SpmConverter): parse the .model protobuf, build the same engine
             spm_file = None
@@ -110,10 +132,18 @@ class PreTrainedTokenizer:
                 if spm_file:
                     break
             if spm_file:
-                from .spm import spm_to_tokenizer_config
-
                 with open(spm_file, "rb") as f:
-                    engine = TokenizerEngine(spm_to_tokenizer_config(f.read()))
+                    blob = f.read()
+                if _looks_like_tiktoken(blob):
+                    # Llama-3-era checkpoints ship tiktoken ranks under the
+                    # same tokenizer.model name (reference TikTokenConverter)
+                    from .tiktoken_convert import convert_tiktoken
+
+                    engine = TokenizerEngine(convert_tiktoken(spm_file))
+                else:
+                    from .spm import spm_to_tokenizer_config
+
+                    engine = TokenizerEngine(spm_to_tokenizer_config(blob))
             else:
                 # Legacy WordPiece fallback (reference BertConverter): build
                 # the engine from vocab.txt + tokenizer_config options.
@@ -139,6 +169,10 @@ class PreTrainedTokenizer:
                                       ("pad_token", "[PAD]"), ("cls_token", "[CLS]"),
                                       ("mask_token", "[MASK]")):
                     kwargs.setdefault(attr, tok_cfg.get(attr, default))
+        return cls._from_engine(engine, path_or_repo, kwargs)
+
+    @classmethod
+    def _from_engine(cls, engine, path_or_repo, kwargs):
         config = {}
         cfg_file = cached_file(str(path_or_repo), TOKENIZER_CONFIG_FILE,
                                _raise_exceptions_for_missing_entries=False)

@@ -749,12 +749,12 @@ class TokenDecoder:
 
 class ByteLevelDecoder(TokenDecoder):
     def decode_chain(self, tokens):
+        # UTF-8 sequences may span token boundaries, so the whole run must be
+        # mapped to bytes BEFORE decoding (matches the Rust ByteLevel decoder;
+        # per-token decoding would mangle multi-byte characters).
         u2b = unicode_to_bytes()
-        out = []
-        for tok in tokens:
-            bs = bytes(u2b[c] for c in tok if c in u2b)
-            out.append(bs.decode("utf-8", errors="replace"))
-        return out
+        bs = bytes(u2b[c] for tok in tokens for c in tok if c in u2b)
+        return [bs.decode("utf-8", errors="replace")]
 
 
 class MetaspaceDecoder(TokenDecoder):
