@@ -23,6 +23,7 @@ import numpy as np
 
 from ...utils import logging
 from .cache import BlockManager, init_paged_cache
+from .offloading_manager import OffloadingManager
 from .model_runner import ModelRunner
 from .scheduler import FIFOScheduler, PrefillFirstScheduler, RequestState, RequestStatus
 
@@ -45,7 +46,7 @@ class ContinuousBatchingEngine:
     def __init__(self, model, *, num_blocks: int = 256, block_size: int = 32,
                  max_batch: int = 16, token_budget: int = 64,
                  max_context: Optional[int] = None, scheduler: str = "fifo",
-                 cache_dtype=None):
+                 cache_dtype=None, swap_blocks: int = 0):
         self.model = model
         config = model.config.get_text_config() if hasattr(model.config, "get_text_config") else model.config
         num_kv = getattr(config, "num_key_value_heads", None) or config.num_attention_heads
@@ -60,11 +61,15 @@ class ContinuousBatchingEngine:
         self.scheduler = sched_cls(self.bm, block_size=block_size, token_budget=token_budget,
                                    max_batch=max_batch, max_blocks_per_seq=max_blocks_per_seq)
         self.runner = ModelRunner(model, cache, max_blocks_per_seq=max_blocks_per_seq)
+        self.offloader = OffloadingManager(cache, self.bm, swap_blocks=swap_blocks)
         self.token_budget = token_budget
         self._rng = {}
 
     def add_request(self, req: RequestState):
         self.scheduler.add(req)
+
+    def has_work(self) -> bool:
+        return self.scheduler.has_work() or bool(self.offloader.offloaded)
 
     def _sample(self, req: RequestState, logits: np.ndarray) -> int:
         """Greedy or (temperature, top-k, top-p) sampling per request
@@ -95,7 +100,22 @@ class ContinuousBatchingEngine:
         """One scheduler step; returns per-request deliveries (new tokens and
         finishes)."""
         out_events: list[GenerationOutput] = []
+        # re-admit offloaded victims first (reference offloading_manager.py)
+        restored = self.offloader.try_restore(self.runner)
+        if restored is not None:
+            self.scheduler.active.append(restored)
         plan = self.scheduler.schedule()
+        # preempt a decode victim when admission is blocked by pool pressure
+        if (self.scheduler.waiting and plan.prefill is None
+                and not self.offloader.offloaded
+                and self.scheduler.waiting[0].status == RequestStatus.WAITING):
+            victims = [r for r in self.scheduler.active
+                       if r.status == RequestStatus.DECODING]
+            if victims:
+                victim = victims[-1]
+                self.scheduler.active.remove(victim)
+                self.offloader.offload(victim, self.runner)
+                plan = self.scheduler.schedule()
 
         # surface admission failures
         for req in list(self.scheduler.waiting):
@@ -108,13 +128,19 @@ class ContinuousBatchingEngine:
         # ---- chunked prefill (one victim per step, reference scheduler.py:122)
         if plan.prefill is not None and plan.prefill_chunk > 0:
             req = plan.prefill
+            cache_ids = req.cache_ids
             chunk_ids = np.asarray(
-                req.prompt_ids[req.prefilled : req.prefilled + plan.prefill_chunk], np.int32)
+                cache_ids[req.prefilled : req.prefilled + plan.prefill_chunk], np.int32)
             logits = self.runner.prefill_chunk(
                 None, chunk_ids, req.block_table, req.prefilled,
                 req.prefilled + len(chunk_ids), chunk_bucket=self.token_budget)
             req.prefilled += len(chunk_ids)
-            if req.prefilled >= len(req.prompt_ids):
+            if req.prefilled >= len(cache_ids):
+                if req.pending_token is not None:
+                    # soft-reset resume: the next token was already sampled
+                    # before preemption — nothing to sample here
+                    req.status = RequestStatus.DECODING
+                    return out_events
                 tok = self._sample(req, np.asarray(logits))
                 req.pending_token = tok
                 req.status = RequestStatus.DECODING
@@ -167,7 +193,7 @@ class ContinuousBatchingEngine:
 
     def run_to_completion(self) -> dict[str, GenerationOutput]:
         results: dict[str, GenerationOutput] = {}
-        while self.scheduler.has_work():
+        while self.has_work():
             for ev in self.step():
                 if ev.status in ("finished", "failed"):
                     results[ev.request_id] = ev
@@ -218,7 +244,7 @@ class ContinuousBatchingManager:
                         self.engine.add_request(self._in.get_nowait())
                     except queue.Empty:
                         break
-                if not self.engine.scheduler.has_work():
+                if not self.engine.has_work():
                     self._stop.wait(0.005)
                     continue
                 for ev in self.engine.step():

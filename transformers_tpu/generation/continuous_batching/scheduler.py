@@ -47,9 +47,18 @@ class RequestState:
     pending_token: Optional[int] = None  # sampled, not yet written to cache
     error: Optional[str] = None
 
+    # host swap slots while offloaded (offloading_manager.py)
+    swap_slots: Optional[list] = None
+
     @property
     def context_len(self) -> int:
         return len(self.prompt_ids) + len(self.generated_ids)
+
+    @property
+    def cache_ids(self) -> list[int]:
+        """Every token whose KV must be in cache: prompt + committed
+        generations (a soft-reset request re-prefills both)."""
+        return list(self.prompt_ids) + list(self.generated_ids)
 
     def is_done(self) -> bool:
         if self.pending_token is not None and self.pending_token in self.eos_token_ids:
@@ -99,7 +108,7 @@ class FIFOScheduler:
             req.error = f"context {total} exceeds max {self.max_blocks_per_seq * self.block_size}"
             self.waiting.pop(0)
             return None
-        shared, matched = self.bm.match_prefix(req.prompt_ids)
+        shared, matched = self.bm.match_prefix(req.cache_ids)
         fresh = self.bm.allocate(needed_blocks - len(shared))
         if fresh is None:
             self.bm.free(shared)  # give back the refcounts; retry later
@@ -120,7 +129,7 @@ class FIFOScheduler:
         # one prefilling request per step, chunked by the token budget
         for req in self.active:
             if req.status == RequestStatus.PREFILLING:
-                remaining = len(req.prompt_ids) - req.prefilled
+                remaining = len(req.cache_ids) - req.prefilled
                 out.prefill = req
                 out.prefill_chunk = min(remaining, self.token_budget)
                 break
