@@ -114,6 +114,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip": ("blip", "BlipConfig"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
+    "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerConfig"),
     "hubert": ("hubert", "HubertConfig"),
     "wavlm": ("wavlm", "WavLMConfig"),
     "mamba": ("mamba", "MambaConfig"),

@@ -77,6 +77,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "owlvit": ("owlvit", "OwlViTModelStandalone"),
     "blip": ("blip", "BlipModel"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
+    "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerModelStandalone"),
     "hubert": ("hubert", "HubertModelStandalone"),
     "wavlm": ("wavlm", "WavLMModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
@@ -464,6 +465,7 @@ MODEL_FOR_DOCUMENT_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] 
 }
 MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForCTC"),
+    "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerForCTC"),
     "hubert": ("hubert", "HubertForCTC"),
     "wavlm": ("wavlm", "WavLMForCTC"),
     "unispeech": ("unispeech", "UniSpeechForCTC"),
