@@ -110,6 +110,7 @@ SKIP: dict[str, str] = {
     "textnet": "staged conv geometry; dedicated parity tests",
     "hgnet_v2": "staged conv geometry; dedicated parity tests",
     "pvt_v2": "staged pyramid geometry; dedicated parity tests",
+    "wav2vec2-bert": "mel input_features IO; dedicated parity tests",
 }
 
 

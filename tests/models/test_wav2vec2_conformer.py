@@ -38,3 +38,32 @@ def test_wav2vec2_conformer_parity(tmp_path, pos):
                  attention_mask=torch.from_numpy(mask)).logits.numpy()
     out = m(m.params, input_values=jnp.asarray(x), attention_mask=jnp.asarray(mask))
     assert max_abs_diff(out.logits, ref) < 1e-4
+
+
+@pytest.mark.parametrize("pos,adapter", [("relative_key", False), ("relative", True),
+                                         ("rotary", False), (None, False)])
+def test_wav2vec2_bert_parity(tmp_path, pos, adapter):
+    import torch
+    import transformers
+
+    from transformers_tpu.models.wav2vec2_bert import Wav2Vec2BertForCTC
+
+    torch.manual_seed(1)
+    cfg = transformers.Wav2Vec2BertConfig(
+        vocab_size=32, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, feature_projection_input_dim=20,
+        conv_depthwise_kernel_size=5, position_embeddings_type=pos,
+        left_max_position_embeddings=8, right_max_position_embeddings=4,
+        add_adapter=adapter, num_adapter_layers=1, apply_spec_augment=False,
+        mask_time_prob=0.0, mask_feature_prob=0.0,
+        use_intermediate_ffn_before_adapter=adapter)
+    tm = transformers.Wav2Vec2BertForCTC(cfg).eval()
+    d = str(tmp_path / f"w2vb_{pos}_{adapter}")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = Wav2Vec2BertForCTC.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    x = np.random.default_rng(1).normal(size=(2, 24, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(input_features=torch.from_numpy(x)).logits.numpy()
+    out = m(m.params, input_features=jnp.asarray(x))
+    assert max_abs_diff(out.logits, ref) < 1e-4

@@ -115,6 +115,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLConfig"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
     "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerConfig"),
+    "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertConfig"),
     "hubert": ("hubert", "HubertConfig"),
     "wavlm": ("wavlm", "WavLMConfig"),
     "mamba": ("mamba", "MambaConfig"),

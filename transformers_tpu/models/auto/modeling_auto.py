@@ -78,6 +78,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip": ("blip", "BlipModel"),
     "wav2vec2": ("wav2vec2", "Wav2Vec2ModelStandalone"),
     "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerModelStandalone"),
+    "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertModelStandalone"),
     "hubert": ("hubert", "HubertModelStandalone"),
     "wavlm": ("wavlm", "WavLMModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
@@ -466,6 +467,7 @@ MODEL_FOR_DOCUMENT_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] 
 MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2ForCTC"),
     "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerForCTC"),
+    "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertForCTC"),
     "hubert": ("hubert", "HubertForCTC"),
     "wavlm": ("wavlm", "WavLMForCTC"),
     "unispeech": ("unispeech", "UniSpeechForCTC"),
