@@ -67,3 +67,30 @@ def test_wav2vec2_bert_parity(tmp_path, pos, adapter):
         ref = tm(input_features=torch.from_numpy(x)).logits.numpy()
     out = m(m.params, input_features=jnp.asarray(x))
     assert max_abs_diff(out.logits, ref) < 1e-4
+
+
+def test_sew_d_parity(tmp_path):
+    import torch
+    import transformers
+
+    from transformers_tpu.models.sew_d import SEWDForCTC
+
+    torch.manual_seed(2)
+    cfg = transformers.SEWDConfig(
+        vocab_size=32, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, squeeze_factor=2, position_buckets=8,
+        max_position_embeddings=64, conv_dim=[16, 16], conv_kernel=[3, 3],
+        conv_stride=[2, 2], num_conv_pos_embeddings=9,
+        num_conv_pos_embedding_groups=2, apply_spec_augment=False)
+    tm = transformers.SEWDForCTC(cfg).eval()
+    d = str(tmp_path / "sewd")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = SEWDForCTC.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    x = np.random.default_rng(2).normal(size=(2, 400)).astype(np.float32)
+    mask = np.ones((2, 400), np.int64)
+    with torch.no_grad():
+        ref = tm(input_values=torch.from_numpy(x),
+                 attention_mask=torch.from_numpy(mask)).logits.numpy()
+    out = m(m.params, input_values=jnp.asarray(x), attention_mask=jnp.asarray(mask))
+    assert max_abs_diff(out.logits, ref) < 1e-4

@@ -134,6 +134,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "unispeech-sat": ("unispeech_sat", "UniSpeechSatConfig"),
     "data2vec-audio": ("data2vec", "Data2VecAudioConfig"),
     "sew": ("sew", "SEWConfig"),
+    "sew-d": ("sew_d", "SEWDConfig"),
     "longformer": ("longformer", "LongformerConfig"),
     "big_bird": ("big_bird", "BigBirdConfig"),
     "esm": ("esm", "EsmConfig"),

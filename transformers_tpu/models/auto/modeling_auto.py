@@ -111,6 +111,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "unispeech-sat": ("unispeech_sat", "UniSpeechSatModelStandalone"),
     "data2vec-audio": ("data2vec", "Data2VecAudioModelStandalone"),
     "sew": ("sew", "SEWModelStandalone"),
+    "sew-d": ("sew_d", "SEWDModelStandalone"),
     "longformer": ("longformer", "LongformerModelStandalone"),
     "big_bird": ("big_bird", "BigBirdModelStandalone"),
     "esm": ("esm", "EsmModelStandalone"),
@@ -474,6 +475,7 @@ MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "unispeech-sat": ("unispeech_sat", "UniSpeechSatForCTC"),
     "data2vec-audio": ("data2vec", "Data2VecAudioForCTC"),
     "sew": ("sew", "SEWForCTC"),
+    "sew-d": ("sew_d", "SEWDForCTC"),
 }
 MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "longt5": ("longt5", "LongT5ForConditionalGeneration"),
