@@ -111,6 +111,7 @@ SKIP: dict[str, str] = {
     "hgnet_v2": "staged conv geometry; dedicated parity tests",
     "pvt_v2": "staged pyramid geometry; dedicated parity tests",
     "wav2vec2-bert": "mel input_features IO; dedicated parity tests",
+    "seamless_m4t": "any-to-any composite; dedicated parity tests",
 }
 
 

@@ -116,6 +116,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2": ("wav2vec2", "Wav2Vec2Config"),
     "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerConfig"),
     "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertConfig"),
+    "seamless_m4t": ("seamless_m4t", "SeamlessM4TConfig"),
     "hubert": ("hubert", "HubertConfig"),
     "wavlm": ("wavlm", "WavLMConfig"),
     "mamba": ("mamba", "MambaConfig"),

@@ -1,0 +1,8 @@
+from .modeling_seamless_m4t import (
+    SeamlessM4TCodeHifiGan,
+    SeamlessM4TConfig,
+    SeamlessM4TForSpeechToText,
+    SeamlessM4TForTextToText,
+    SeamlessM4TModel,
+    SeamlessM4TTextToUnitForConditionalGeneration,
+)
