@@ -112,6 +112,7 @@ SKIP: dict[str, str] = {
     "pvt_v2": "staged pyramid geometry; dedicated parity tests",
     "wav2vec2-bert": "mel input_features IO; dedicated parity tests",
     "seamless_m4t": "any-to-any composite; dedicated parity tests",
+    "seamless_m4t_v2": "any-to-any composite; dedicated parity tests",
 }
 
 

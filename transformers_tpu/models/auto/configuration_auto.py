@@ -117,6 +117,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerConfig"),
     "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertConfig"),
     "seamless_m4t": ("seamless_m4t", "SeamlessM4TConfig"),
+    "seamless_m4t_v2": ("seamless_m4t_v2", "SeamlessM4Tv2Config"),
     "hubert": ("hubert", "HubertConfig"),
     "wavlm": ("wavlm", "WavLMConfig"),
     "mamba": ("mamba", "MambaConfig"),

@@ -80,6 +80,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2-conformer": ("wav2vec2_conformer", "Wav2Vec2ConformerModelStandalone"),
     "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertModelStandalone"),
     "seamless_m4t": ("seamless_m4t", "SeamlessM4TModel"),
+    "seamless_m4t_v2": ("seamless_m4t_v2", "SeamlessM4Tv2ForSpeechToText"),
     "hubert": ("hubert", "HubertModelStandalone"),
     "wavlm": ("wavlm", "WavLMModelStandalone"),
     "mamba": ("mamba", "MambaModelStandalone"),
