@@ -1,0 +1,5 @@
+"""Nougat (reference models/nougat/): document-OCR VisionEncoderDecoder
+(Donut Swin encoder + mBART decoder, served through the
+vision-encoder-decoder composite family); this package carries the fast
+tokenizer alias plus the postprocessing contract."""
+from ...tokenization.base import PreTrainedTokenizer as NougatTokenizer  # noqa: F401

@@ -16,6 +16,16 @@ from .base import PreTrainedTokenizer
 _SPECIAL_TOKENIZERS = {
     "VitsTokenizer": ("vits", "VitsTokenizer"),
     "ByT5Tokenizer": ("byt5", "ByT5Tokenizer"),
+    "BertweetTokenizer": ("bertweet", "BertweetTokenizer"),
+    "PhobertTokenizer": ("phobert", "PhobertTokenizer"),
+    "HerbertTokenizer": ("herbert", "HerbertTokenizer"),
+    "HerbertTokenizerFast": ("herbert", "HerbertTokenizer"),
+    "MyT5Tokenizer": ("myt5", "MyT5Tokenizer"),
+    "BertJapaneseTokenizer": ("bert_japanese", "BertJapaneseTokenizer"),
+    "CpmTokenizer": ("cpm", "CpmTokenizer"),
+    "CodeLlamaTokenizer": ("code_llama", "CodeLlamaTokenizer"),
+    "MBart50Tokenizer": ("mbart50", "MBart50Tokenizer"),
+    "MBart50TokenizerFast": ("mbart50", "MBart50Tokenizer"),
 }
 
 
