@@ -113,6 +113,8 @@ SKIP: dict[str, str] = {
     "wav2vec2-bert": "mel input_features IO; dedicated parity tests",
     "seamless_m4t": "any-to-any composite; dedicated parity tests",
     "seamless_m4t_v2": "any-to-any composite; dedicated parity tests",
+    "decision_transformer": "trajectory-tuple IO; dedicated parity tests",
+    "imagegpt": "pixel-cluster IO; dedicated parity tests",
 }
 
 

@@ -239,6 +239,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderConfig"),
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseConfig"),
     "doge": ("doge", "DogeConfig"),
+    "imagegpt": ("imagegpt", "ImageGPTConfig"),
+    "decision_transformer": ("decision_transformer", "DecisionTransformerConfig"),
     "minimax": ("minimax", "MiniMaxConfig"),
     "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersConfig"),
     "mobilenet_v1": ("mobilenet_v1", "MobileNetV1Config"),

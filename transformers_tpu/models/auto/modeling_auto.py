@@ -156,6 +156,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert-decoder": ("modernbert_decoder", "ModernBertDecoderModelStandalone"),
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseModelStandalone"),
     "doge": ("doge", "DogeModelStandalone"),
+    "imagegpt": ("imagegpt", "ImageGPTModelStandalone"),
+    "decision_transformer": ("decision_transformer", "DecisionTransformerModel"),
     "minimax": ("minimax", "MiniMaxModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
     "dots1": ("dots1", "Dots1ModelStandalone"),

@@ -1,0 +1,4 @@
+from .modeling_decision_transformer import (
+    DecisionTransformerConfig,
+    DecisionTransformerModel,
+)
