@@ -115,6 +115,8 @@ SKIP: dict[str, str] = {
     "seamless_m4t_v2": "any-to-any composite; dedicated parity tests",
     "decision_transformer": "trajectory-tuple IO; dedicated parity tests",
     "imagegpt": "pixel-cluster IO; dedicated parity tests",
+    "visual_bert": "text+region-feature IO; dedicated parity tests",
+    "vilt": "text+image dual IO; dedicated parity tests",
 }
 
 

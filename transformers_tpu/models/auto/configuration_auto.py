@@ -240,6 +240,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseConfig"),
     "doge": ("doge", "DogeConfig"),
     "imagegpt": ("imagegpt", "ImageGPTConfig"),
+    "visual_bert": ("visual_bert", "VisualBertConfig"),
+    "vilt": ("vilt", "ViltConfig"),
     "decision_transformer": ("decision_transformer", "DecisionTransformerConfig"),
     "minimax": ("minimax", "MiniMaxConfig"),
     "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersConfig"),

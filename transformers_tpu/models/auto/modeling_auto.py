@@ -157,6 +157,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_neox_japanese": ("gpt_neox_japanese", "GPTNeoXJapaneseModelStandalone"),
     "doge": ("doge", "DogeModelStandalone"),
     "imagegpt": ("imagegpt", "ImageGPTModelStandalone"),
+    "visual_bert": ("visual_bert", "VisualBertModelStandalone"),
+    "vilt": ("vilt", "ViltModelStandalone"),
     "decision_transformer": ("decision_transformer", "DecisionTransformerModel"),
     "minimax": ("minimax", "MiniMaxModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
