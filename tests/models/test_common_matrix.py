@@ -117,6 +117,7 @@ SKIP: dict[str, str] = {
     "imagegpt": "pixel-cluster IO; dedicated parity tests",
     "visual_bert": "text+region-feature IO; dedicated parity tests",
     "vilt": "text+image dual IO; dedicated parity tests",
+    "lxmert": "text+region two-stream IO; dedicated parity tests",
 }
 
 

@@ -65,3 +65,33 @@ def test_vilt_parity(tmp_path):
     out = m(m.params, input_ids=jnp.asarray(ids), pixel_values=jnp.asarray(px),
             pixel_mask=jnp.asarray(pmask))
     assert max_abs_diff(out.logits, ref) < 5e-5
+
+
+def test_lxmert_parity(tmp_path):
+    import torch
+    import transformers
+
+    from transformers_tpu.models.lxmert import LxmertForQuestionAnswering
+
+    torch.manual_seed(2)
+    cfg = transformers.LxmertConfig(vocab_size=99, hidden_size=32,
+                                    num_attention_heads=4, intermediate_size=64,
+                                    l_layers=2, x_layers=2, r_layers=2,
+                                    visual_feat_dim=16, visual_pos_dim=4,
+                                    num_qa_labels=7, max_position_embeddings=64)
+    tm = transformers.LxmertForQuestionAnswering(cfg).eval()
+    d = str(tmp_path / "lxmert")
+    tm.save_pretrained(d, safe_serialization=True)
+    m = LxmertForQuestionAnswering.from_pretrained(d, dtype="float32")
+    assert not m.load_report.missing_keys, m.load_report.missing_keys
+    rng = np.random.default_rng(2)
+    ids = np.array([[2, 17, 9, 42, 7, 3]], dtype=np.int64)
+    feats = rng.normal(size=(1, 5, 16)).astype(np.float32)
+    pos = rng.uniform(size=(1, 5, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids),
+                 visual_feats=torch.from_numpy(feats),
+                 visual_pos=torch.from_numpy(pos)).question_answering_score.numpy()
+    out = m(m.params, input_ids=jnp.asarray(ids), visual_feats=jnp.asarray(feats),
+            visual_pos=jnp.asarray(pos))
+    assert max_abs_diff(out.logits, ref) < 5e-5

@@ -159,6 +159,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "imagegpt": ("imagegpt", "ImageGPTModelStandalone"),
     "visual_bert": ("visual_bert", "VisualBertModelStandalone"),
     "vilt": ("vilt", "ViltModelStandalone"),
+    "lxmert": ("lxmert", "LxmertModelStandalone"),
     "decision_transformer": ("decision_transformer", "DecisionTransformerModel"),
     "minimax": ("minimax", "MiniMaxModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
