@@ -118,6 +118,7 @@ SKIP: dict[str, str] = {
     "visual_bert": "text+region-feature IO; dedicated parity tests",
     "vilt": "text+image dual IO; dedicated parity tests",
     "lxmert": "text+region two-stream IO; dedicated parity tests",
+    "fsmt": "dual-vocab seq2seq; dedicated parity tests",
 }
 
 

@@ -243,6 +243,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "visual_bert": ("visual_bert", "VisualBertConfig"),
     "vilt": ("vilt", "ViltConfig"),
     "lxmert": ("lxmert", "LxmertConfig"),
+    "fsmt": ("fsmt", "FSMTConfig"),
     "decision_transformer": ("decision_transformer", "DecisionTransformerConfig"),
     "minimax": ("minimax", "MiniMaxConfig"),
     "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersConfig"),

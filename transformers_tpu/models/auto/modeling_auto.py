@@ -160,6 +160,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "visual_bert": ("visual_bert", "VisualBertModelStandalone"),
     "vilt": ("vilt", "ViltModelStandalone"),
     "lxmert": ("lxmert", "LxmertModelStandalone"),
+    "fsmt": ("fsmt", "FSMTForConditionalGeneration"),
     "decision_transformer": ("decision_transformer", "DecisionTransformerModel"),
     "minimax": ("minimax", "MiniMaxModelStandalone"),
     "diffllama": ("diffllama", "DiffLlamaModelStandalone"),
@@ -498,6 +499,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pegasus": ("pegasus", "PegasusForConditionalGeneration"),
     "marian": ("marian", "MarianMTModel"),
     "m2m_100": ("m2m_100", "M2M100ForConditionalGeneration"),
+    "fsmt": ("fsmt", "FSMTForConditionalGeneration"),
     "plbart": ("plbart", "PLBartForConditionalGeneration"),
     "blenderbot": ("blenderbot", "BlenderbotForConditionalGeneration"),
     "blenderbot-small": ("blenderbot_small", "BlenderbotSmallForConditionalGeneration"),
