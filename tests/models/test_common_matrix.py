@@ -119,6 +119,7 @@ SKIP: dict[str, str] = {
     "vilt": "text+image dual IO; dedicated parity tests",
     "lxmert": "text+region two-stream IO; dedicated parity tests",
     "fsmt": "dual-vocab seq2seq; dedicated parity tests",
+    "cpmant": "prompt-prepended IO; dedicated parity tests",
 }
 
 

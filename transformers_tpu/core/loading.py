@@ -57,6 +57,10 @@ class WeightRule:
     pattern: str
     rename: Optional[str] = None
     transform: Optional[Callable[[np.ndarray], np.ndarray]] = None
+    # optional inverse applied at save time so our save_pretrained round-trips
+    # to the original checkpoint key (e.g. raw nn.Parameter names)
+    save_pattern: Optional[str] = None
+    save_rename: Optional[str] = None
 
     def apply_name(self, key: str) -> str:
         if self.rename is None:
@@ -360,6 +364,8 @@ def save_params_as_safetensors(
     for k in tied_keys:
         flat.pop(k, None)
     # Convert to torch layouts on host.
+    save_rules = [r for r in getattr(model, "_weight_rules", ())
+                  if isinstance(r, WeightRule) and r.save_pattern is not None]
     out: dict[str, np.ndarray] = {}
     for key, value in flat.items():
         path = key.split(".")
@@ -367,6 +373,10 @@ def save_params_as_safetensors(
         arr = np.asarray(jax.device_get(value))
         if owner is not None:
             arr = np.asarray(owner.param_save_transform(path[-1], arr))
+        for rule in save_rules:
+            if re.match(rule.save_pattern, key):
+                key = re.sub(rule.save_pattern, rule.save_rename, key)
+                break
         out[key] = arr
 
     total = sum(a.nbytes for a in out.values())

@@ -102,6 +102,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "detr": ("detr", "DetrConfig"),
     "convnext": ("convnext", "ConvNextConfig"),
     "convnextv2": ("convnextv2", "ConvNextV2Config"),
+    "cpmant": ("cpmant", "CpmAntConfig"),
     "swin": ("swin", "SwinConfig"),
     "deit": ("deit", "DeiTConfig"),
     "dinov2": ("dinov2", "Dinov2Config"),

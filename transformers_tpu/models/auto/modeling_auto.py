@@ -58,6 +58,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "detr": ("detr", "DetrModelStandalone"),
     "convnext": ("convnext", "ConvNextModelStandalone"),
     "convnextv2": ("convnextv2", "ConvNextV2ModelStandalone"),
+    "cpmant": ("cpmant", "CpmAntModelStandalone"),
     "swin": ("swin", "SwinModelStandalone"),
     "deit": ("deit", "DeiTModelStandalone"),
     "dinov2": ("dinov2", "Dinov2ModelStandalone"),
@@ -248,6 +249,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm4_moe": ("glm4_moe", "Glm4MoeForCausalLM"),
     "xglm": ("xglm", "XGLMForCausalLM"),
     "cohere": ("cohere", "CohereForCausalLM"),
+    "cpmant": ("cpmant", "CpmAntForCausalLM"),
     "granite": ("granite", "GraniteForCausalLM"),
     "mixtral": ("mixtral", "MixtralForCausalLM"),
     "olmo2": ("olmo2", "Olmo2ForCausalLM"),
