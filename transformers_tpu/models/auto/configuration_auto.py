@@ -244,6 +244,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "visual_bert": ("visual_bert", "VisualBertConfig"),
     "vilt": ("vilt", "ViltConfig"),
     "lxmert": ("lxmert", "LxmertConfig"),
+    "markuplm": ("markuplm", "MarkupLMConfig"),
+    "lilt": ("lilt", "LiltConfig"),
     "fsmt": ("fsmt", "FSMTConfig"),
     "decision_transformer": ("decision_transformer", "DecisionTransformerConfig"),
     "minimax": ("minimax", "MiniMaxConfig"),

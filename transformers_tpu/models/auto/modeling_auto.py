@@ -161,6 +161,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "visual_bert": ("visual_bert", "VisualBertModelStandalone"),
     "vilt": ("vilt", "ViltModelStandalone"),
     "lxmert": ("lxmert", "LxmertModelStandalone"),
+    "markuplm": ("markuplm", "MarkupLMModelStandalone"),
+    "lilt": ("lilt", "LiltModelStandalone"),
     "fsmt": ("fsmt", "FSMTForConditionalGeneration"),
     "decision_transformer": ("decision_transformer", "DecisionTransformerModel"),
     "minimax": ("minimax", "MiniMaxModelStandalone"),
@@ -334,6 +336,8 @@ MODEL_FOR_SEQUENCE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "yoso": ("yoso", "YosoForSequenceClassification"),
     "xmod": ("xmod", "XmodForSequenceClassification"),
     "roc_bert": ("roc_bert", "RoCBertForSequenceClassification"),
+    "markuplm": ("markuplm", "MarkupLMForSequenceClassification"),
+    "lilt": ("lilt", "LiltForSequenceClassification"),
 }
 MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "funnel": ("funnel", "FunnelForTokenClassification"),
@@ -352,6 +356,8 @@ MODEL_FOR_TOKEN_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "layoutlm": ("layoutlm", "LayoutLMForTokenClassification"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForTokenClassification"),
     "deberta": ("deberta", "DebertaForTokenClassification"),
+    "markuplm": ("markuplm", "MarkupLMForTokenClassification"),
+    "lilt": ("lilt", "LiltForTokenClassification"),
 }
 MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "splinter": ("splinter", "SplinterForQuestionAnswering"),
@@ -372,6 +378,8 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "distilbert": ("distilbert", "DistilBertForQuestionAnswering"),
     "deberta-v2": ("deberta_v2", "DebertaV2ForQuestionAnswering"),
     "deberta": ("deberta", "DebertaForQuestionAnswering"),
+    "markuplm": ("markuplm", "MarkupLMForQuestionAnswering"),
+    "lilt": ("lilt", "LiltForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "xlm": ("xlm", "XLMWithLMHeadModel"),
