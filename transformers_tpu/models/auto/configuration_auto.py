@@ -149,11 +149,13 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "fuyu": ("fuyu", "FuyuConfig"),
     "kosmos-2": ("kosmos2", "Kosmos2Config"),
     "llava_next": ("llava_next", "LlavaNextConfig"),
+    "llava_next_video": ("llava_next_video", "LlavaNextVideoConfig"),
     "llava_onevision": ("llava_onevision", "LlavaOnevisionConfig"),
     "aya_vision": ("aya_vision", "AyaVisionConfig"),
     "internvl": ("internvl", "InternVLConfig"),
     "internvl_vision": ("internvl", "InternVLVisionConfig"),
     "mobilevit": ("mobilevit", "MobileViTConfig"),
+    "mobilevitv2": ("mobilevitv2", "MobileViTV2Config"),
     "table-transformer": ("table_transformer", "TableTransformerConfig"),
     "yolos": ("yolos", "YolosConfig"),
     "levit": ("levit", "LevitConfig"),
@@ -189,6 +191,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "git": ("git", "GitConfig"),
     "encodec": ("encodec", "EncodecConfig"),
     "musicgen": ("musicgen", "MusicgenConfig"),
+    "musicgen_melody": ("musicgen_melody", "MusicgenMelodyConfig"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2Config"),
     "regnet": ("regnet", "RegNetConfig"),
     "efficientnet": ("efficientnet", "EfficientNetConfig"),
@@ -207,6 +210,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "canine": ("canine", "CanineConfig"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPConfig"),
     "clip": ("clip", "CLIPConfig"),
+    "metaclip_2": ("metaclip_2", "MetaClip2Config"),
+    "metaclip_2_text_model": ("metaclip_2", "MetaClip2TextConfig"),
+    "metaclip_2_vision_model": ("metaclip_2", "MetaClip2VisionConfig"),
     "funnel": ("funnel", "FunnelConfig"),
     "groupvit": ("groupvit", "GroupViTConfig"),
     "xclip": ("x_clip", "XCLIPConfig"),

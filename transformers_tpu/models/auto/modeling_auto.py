@@ -100,6 +100,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitModelStandalone"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ModelStandalone"),
     "mobilevit": ("mobilevit", "MobileViTModelStandalone"),
+    "mobilevitv2": ("mobilevitv2", "MobileViTV2ModelStandalone"),
     "levit": ("levit", "LevitModelStandalone"),
     "poolformer": ("poolformer", "PoolFormerModelStandalone"),
     "bit": ("bit", "BitModelStandalone"),
@@ -131,6 +132,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "altclip": ("altclip", "AltCLIPModel"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
+    "metaclip_2": ("metaclip_2", "MetaClip2Model"),
     "groupvit": ("groupvit", "GroupViTModel"),
     "xclip": ("x_clip", "XCLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -193,6 +195,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
     "musicgen": ("musicgen", "MusicgenForConditionalGeneration"),
+    "musicgen_melody": ("musicgen_melody", "MusicgenMelodyForConditionalGeneration"),
     "qwen2_audio": ("qwen2_audio", "Qwen2AudioForConditionalGeneration"),
     "clap": ("clap", "ClapModel"),
     "encodec": ("encodec", "EncodecModel"),
@@ -435,6 +438,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "beit": ("beit", "BeitForImageClassification"),
     "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ForImageClassification"),
     "mobilevit": ("mobilevit", "MobileViTForImageClassification"),
+    "mobilevitv2": ("mobilevitv2", "MobileViTV2ForImageClassification"),
     "levit": ("levit", "LevitForImageClassification"),
     "poolformer": ("poolformer", "PoolFormerForImageClassification"),
     "bit": ("bit", "BitForImageClassification"),
@@ -547,6 +551,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "kosmos-2": ("kosmos2", "Kosmos2ForConditionalGeneration"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "llava_next": ("llava_next", "LlavaNextForConditionalGeneration"),
+    "llava_next_video": ("llava_next_video", "LlavaNextVideoForConditionalGeneration"),
     "llava_onevision": ("llava_onevision", "LlavaOnevisionForConditionalGeneration"),
     "aya_vision": ("aya_vision", "AyaVisionForConditionalGeneration"),
     "internvl": ("internvl", "InternVLForConditionalGeneration"),
@@ -572,6 +577,7 @@ MODEL_FOR_ZERO_SHOT_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str
     "altclip": ("altclip", "AltCLIPModel"),
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
+    "metaclip_2": ("metaclip_2", "MetaClip2Model"),
     "groupvit": ("groupvit", "GroupViTModel"),
     "xclip": ("x_clip", "XCLIPModel"),
     "siglip": ("siglip", "SiglipModel"),

@@ -126,6 +126,15 @@ class CLIPTextTransformer(Module):
         self.final_layer_norm = LayerNorm(config.hidden_size, config.layer_norm_eps, **kw)
         self.eos_token_id = config.eos_token_id
 
+    def _pool_index(self, input_ids):
+        # Pooling (reference CLIPTextTransformer.forward): legacy configs with
+        # eos_token_id == 2 pool at argmax(input_ids) (the eot token is the
+        # highest id); updated configs pool at the first eos position.
+        if self.eos_token_id == 2:
+            return jnp.argmax(input_ids.astype(jnp.int32), axis=-1)
+        is_eos = (input_ids == self.eos_token_id).astype(jnp.int32)
+        return jnp.argmax(is_eos, axis=-1)
+
     def __call__(self, params, input_ids, attention_mask=None, position_ids=None,
                  output_hidden_states=False) -> BaseModelOutputWithPooling:
         hidden = self.embeddings(params["embeddings"], input_ids, position_ids)
@@ -136,14 +145,7 @@ class CLIPTextTransformer(Module):
         attn_args = {"q_positions": q_positions, "kv_valid": kv_valid, "is_causal": True}
         hidden, all_hidden = self.encoder(params["encoder"], hidden, attn_args, output_hidden_states)
         hidden = self.final_layer_norm(params["final_layer_norm"], hidden)
-        # Pooling (reference CLIPTextTransformer.forward): legacy configs with
-        # eos_token_id == 2 pool at argmax(input_ids) (the eot token is the
-        # highest id); updated configs pool at the first eos position.
-        if self.eos_token_id == 2:
-            idx = jnp.argmax(input_ids.astype(jnp.int32), axis=-1)
-        else:
-            is_eos = (input_ids == self.eos_token_id).astype(jnp.int32)
-            idx = jnp.argmax(is_eos, axis=-1)
+        idx = self._pool_index(input_ids)
         pooled = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         return BaseModelOutputWithPooling(
             last_hidden_state=hidden, pooler_output=pooled,
