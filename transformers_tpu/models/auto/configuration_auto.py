@@ -38,6 +38,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "m2m_100": ("m2m_100", "M2M100Config"),
     "nllb": ("m2m_100", "M2M100Config"),
     "paligemma": ("paligemma", "PaliGemmaConfig"),
+    "colpali": ("colpali", "ColPaliConfig"),
+    "colqwen2": ("colqwen2", "ColQwen2Config"),
     "gemma3": ("gemma3", "Gemma3Config"),
     "layoutlm": ("layoutlm", "LayoutLMConfig"),
     "sam": ("sam", "SamConfig"),

@@ -133,6 +133,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "chinese_clip": ("chinese_clip", "ChineseCLIPModel"),
     "clip": ("clip", "CLIPModel"),
     "metaclip_2": ("metaclip_2", "MetaClip2Model"),
+    "colpali": ("colpali", "ColPaliForRetrieval"),
+    "colqwen2": ("colqwen2", "ColQwen2ForRetrieval"),
     "groupvit": ("groupvit", "GroupViTModel"),
     "xclip": ("x_clip", "XCLIPModel"),
     "siglip": ("siglip", "SiglipModel"),
@@ -567,6 +569,8 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
     "paligemma": ("paligemma", "PaliGemmaForConditionalGeneration"),
+    "colpali": ("colpali", "ColPaliForRetrieval"),
+    "colqwen2": ("colqwen2", "ColQwen2ForRetrieval"),
     "gemma3": ("gemma3", "Gemma3ForConditionalGeneration"),
 }
 MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {

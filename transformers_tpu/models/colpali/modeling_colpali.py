@@ -31,6 +31,20 @@ class ColPaliForRetrieval(PreTrainedModel):
     config_class = ColPaliConfig
     base_model_prefix = "vlm"
     main_input_name = "input_ids"
+    # hub checkpoints nest the backbone as vlm.model.* (the full PaliGemma
+    # ForConditionalGeneration); our vlm IS the bare model
+    from ...core.loading import WeightRule as _WR
+
+    _weight_rules = (
+        # hub layout (legacy): vlm.language_model is the full ForCausalLM
+        _WR(pattern=r"^vlm\.language_model\.model\.",
+            rename="vlm.language_model.",
+            save_pattern=r"^vlm\.language_model\.",
+            save_rename="vlm.language_model.model."),
+        # composed layout: vlm.model.{language_model,vision_tower,...}
+        _WR(pattern=r"^vlm\.model\.", rename="vlm."),
+    )
+    _keys_to_ignore_on_load_unexpected = (r"^vlm\.(language_model\.)?lm_head\.",)
 
     def __init__(self, config: ColPaliConfig, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
