@@ -106,6 +106,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "convnextv2": ("convnextv2", "ConvNextV2Config"),
     "cpmant": ("cpmant", "CpmAntConfig"),
     "swin": ("swin", "SwinConfig"),
+    "donut-swin": ("donut", "DonutSwinConfig"),
     "deit": ("deit", "DeiTConfig"),
     "dinov2": ("dinov2", "Dinov2Config"),
     "segformer": ("segformer", "SegformerConfig"),

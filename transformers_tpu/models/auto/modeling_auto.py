@@ -60,6 +60,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "convnextv2": ("convnextv2", "ConvNextV2ModelStandalone"),
     "cpmant": ("cpmant", "CpmAntModelStandalone"),
     "swin": ("swin", "SwinModelStandalone"),
+    "donut-swin": ("donut", "DonutSwinModel"),
     "deit": ("deit", "DeiTModelStandalone"),
     "dinov2": ("dinov2", "Dinov2ModelStandalone"),
     "dinov2_with_registers": ("dinov2_with_registers", "Dinov2WithRegistersModelStandalone"),

@@ -1,2 +1,3 @@
 from .configuration_mbart import MBartConfig
-from .modeling_mbart import MBartForConditionalGeneration, MBartModel
+from .modeling_mbart import (MBartForCausalLM, MBartForConditionalGeneration,
+                             MBartModel)

@@ -304,6 +304,9 @@ SWIN_WEIGHT_RULES = (
 
 
 class SwinModel(Module):
+    # DonutSwin omits the final layernorm (reference modeling_donut_swin.py:801)
+    use_final_layernorm = True
+
     def __init__(self, config: SwinConfig, *, dtype, param_dtype, add_pooling_layer=True):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.config = config
@@ -312,13 +315,15 @@ class SwinModel(Module):
         g = config.image_size // config.patch_size
         self.encoder = SwinEncoder(config, (g, g), **kw)
         num_features = int(config.embed_dim * 2 ** (len(config.depths) - 1))
-        self.layernorm = LayerNorm(num_features, config.layer_norm_eps, **kw)
+        if self.use_final_layernorm:
+            self.layernorm = LayerNorm(num_features, config.layer_norm_eps, **kw)
         self.add_pooling_layer = add_pooling_layer
 
     def __call__(self, params, pixel_values, output_hidden_states=False) -> BaseModelOutputWithPooling:
         hidden, dims = self.embeddings(params["embeddings"], pixel_values)
         hidden, all_hidden = self.encoder(params["encoder"], hidden, output_hidden_states)
-        hidden = self.layernorm(params["layernorm"], hidden)
+        if self.use_final_layernorm:
+            hidden = self.layernorm(params["layernorm"], hidden)
         pooled = jnp.mean(hidden, axis=1) if self.add_pooling_layer else None
         return BaseModelOutputWithPooling(
             last_hidden_state=hidden, pooler_output=pooled,

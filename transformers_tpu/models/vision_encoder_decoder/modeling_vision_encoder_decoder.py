@@ -25,19 +25,26 @@ def _encoder_model(config, **kw):
 
     module_name, class_name = MODEL_MAPPING_NAMES[config.model_type]
     module = importlib.import_module(f"transformers_tpu.models.{module_name}")
-    standalone = getattr(module, class_name)(config, **kw)
+    cls = getattr(module, class_name)
+    standalone = cls(config, **kw)
     # unwrap to the bare module (the Standalone wrapper prefixes a child)
     children = standalone.children
-    return next(iter(children.values()))
+    return next(iter(children.values())), cls
 
 
 def _decoder_model(config, **kw):
-    if config.model_type != "trocr":
-        raise NotImplementedError(
-            f"VisionEncoderDecoder decoder {config.model_type!r} not supported yet (trocr only)")
-    from ..trocr.modeling_trocr import TrOCRForCausalLM
+    if config.model_type == "trocr":
+        from ..trocr.modeling_trocr import TrOCRForCausalLM
 
-    return TrOCRForCausalLM(config, **kw)
+        return TrOCRForCausalLM(config, **kw)
+    if config.model_type == "mbart":
+        # Donut checkpoints (naver-clova-ix/donut-*) decode with MBartForCausalLM
+        from ..mbart.modeling_mbart import MBartForCausalLM
+
+        return MBartForCausalLM(config, **kw)
+    raise NotImplementedError(
+        f"VisionEncoderDecoder decoder {config.model_type!r} not supported yet "
+        "(trocr, mbart)")
 
 
 class VisionEncoderDecoderModel(PreTrainedModel, EncoderDecoderGenerationMixin):
@@ -49,8 +56,18 @@ class VisionEncoderDecoderModel(PreTrainedModel, EncoderDecoderGenerationMixin):
     def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.encoder = _encoder_model(config.encoder, **kw)
+        self.encoder, enc_cls = _encoder_model(config.encoder, **kw)
         self.decoder = _decoder_model(config.decoder, **kw)
+        # inherit the encoder family's checkpoint-name rules, re-scoped under
+        # the ``encoder.`` prefix (rules are unanchored regexes, so they apply
+        # as-is; ignores are substring patterns)
+        self._weight_rules = (tuple(getattr(enc_cls, "_weight_rules", ()))
+                              + tuple(type(self)._weight_rules
+                                      if isinstance(type(self)._weight_rules, tuple)
+                                      else ()))
+        self._keys_to_ignore_on_load_unexpected = (
+            tuple(getattr(enc_cls, "_keys_to_ignore_on_load_unexpected", ()))
+            + tuple(type(self)._keys_to_ignore_on_load_unexpected))
         if (config.encoder.hidden_size != config.decoder.hidden_size
                 and config.decoder.cross_attention_hidden_size is None):
             self.enc_to_dec_proj = Linear(config.encoder.hidden_size,
