@@ -68,6 +68,9 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granitemoe": ("granitemoe", "GraniteMoeConfig"),
     "trocr": ("trocr", "TrOCRConfig"),
     "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderConfig"),
+    "encoder-decoder": ("encoder_decoder", "EncoderDecoderConfig"),
+    "speech-encoder-decoder": ("speech_encoder_decoder", "SpeechEncoderDecoderConfig"),
+    "vision-text-dual-encoder": ("vision_text_dual_encoder", "VisionTextDualEncoderConfig"),
     "superglue": ("superglue", "SuperGlueConfig"),
     "sam_vision_model": ("sam", "SamVisionConfig"),
     "glm": ("glm", "GlmConfig"),

@@ -222,6 +222,9 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "seed_oss": ("seed_oss", "SeedOssModelStandalone"),
     "granitemoe": ("granitemoe", "GraniteMoeModelStandalone"),
     "vision-encoder-decoder": ("vision_encoder_decoder", "VisionEncoderDecoderModel"),
+    "encoder-decoder": ("encoder_decoder", "EncoderDecoderModel"),
+    "speech-encoder-decoder": ("speech_encoder_decoder", "SpeechEncoderDecoderModel"),
+    "vision-text-dual-encoder": ("vision_text_dual_encoder", "VisionTextDualEncoderModel"),
     "superglue": ("superglue", "SuperGlueForKeypointMatching"),
     "sam_vision_model": ("sam", "SamVisionModel"),
 }
@@ -510,6 +513,9 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "umt5": ("umt5", "UMT5ForConditionalGeneration"),
     "switch_transformers": ("switch_transformers", "SwitchTransformersForConditionalGeneration"),
     "bart": ("bart", "BartForConditionalGeneration"),
+    "encoder-decoder": ("encoder_decoder", "EncoderDecoderModel"),
+    "speech-encoder-decoder": ("speech_encoder_decoder", "SpeechEncoderDecoderModel"),
+    "vision-text-dual-encoder": ("vision_text_dual_encoder", "VisionTextDualEncoderModel"),
     "mbart": ("mbart", "MBartForConditionalGeneration"),
     "mvp": ("mvp", "MvpForConditionalGeneration"),
     "pegasus_x": ("pegasus_x", "PegasusXForConditionalGeneration"),
