@@ -132,6 +132,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mamba2": ("mamba2", "Mamba2Config"),
     "lfm2": ("lfm2", "Lfm2Config"),
     "bamba": ("bamba", "BambaConfig"),
+    "jetmoe": ("jetmoe", "JetMoeConfig"),
     "jamba": ("jamba", "JambaConfig"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),
     "falcon_h1": ("falcon_h1", "FalconH1Config"),

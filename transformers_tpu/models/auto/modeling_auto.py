@@ -17,6 +17,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "canine": ("canine", "CanineModelStandalone"),
     "tapas": ("tapas", "TapasModelStandalone"),
     "llama": ("llama", "LlamaModelStandalone"),
+    "jetmoe": ("jetmoe", "JetMoeModelStandalone"),
     "mistral": ("mistral", "MistralModelStandalone"),
     "qwen2": ("qwen2", "Qwen2ModelStandalone"),
     "qwen3": ("qwen3", "Qwen3ModelStandalone"),
@@ -230,6 +231,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
+    "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
     "qwen2": ("qwen2", "Qwen2ForCausalLM"),
     "qwen3": ("qwen3", "Qwen3ForCausalLM"),
