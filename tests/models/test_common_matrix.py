@@ -141,6 +141,8 @@ def _register_patches():
                      num_heads=[2, 4], window_size=4)
     P["swinv2"] = dict(image_size=32, patch_size=4, embed_dim=16, depths=[1, 1],
                        num_heads=[2, 4], window_size=4)
+    P["donut-swin"] = dict(image_size=32, patch_size=4, embed_dim=16,
+                           depths=[1, 1], num_heads=[2, 4], window_size=4)
     P["helium"] = dict(head_dim=8)
     P["gptj"] = dict(rotary_dim=4)
     P["codegen"] = dict(rotary_dim=4)

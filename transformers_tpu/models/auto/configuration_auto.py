@@ -203,6 +203,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "regnet": ("regnet", "RegNetConfig"),
     "efficientnet": ("efficientnet", "EfficientNetConfig"),
     "qwen2_audio": ("qwen2_audio", "Qwen2AudioConfig"),
+    "voxtral": ("voxtral", "VoxtralConfig"),
+    "voxtral_encoder": ("voxtral", "VoxtralEncoderConfig"),
     "roformer": ("roformer", "RoFormerConfig"),
     "fnet": ("fnet", "FNetConfig"),
     "rembert": ("rembert", "RemBertConfig"),

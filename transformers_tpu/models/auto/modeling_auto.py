@@ -201,6 +201,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "musicgen": ("musicgen", "MusicgenForConditionalGeneration"),
     "musicgen_melody": ("musicgen_melody", "MusicgenMelodyForConditionalGeneration"),
     "qwen2_audio": ("qwen2_audio", "Qwen2AudioForConditionalGeneration"),
+    "voxtral": ("voxtral", "VoxtralForConditionalGeneration"),
     "clap": ("clap", "ClapModel"),
     "encodec": ("encodec", "EncodecModel"),
     "mimi": ("mimi", "MimiModel"),
