@@ -190,6 +190,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm4_moe": ("glm4_moe", "Glm4MoeConfig"),
     "glm4v": ("glm4v", "Glm4vConfig"),
     "glm4v_text": ("glm4v", "Glm4vTextConfig"),
+    "glm4v_moe": ("glm4v_moe", "Glm4vMoeConfig"),
+    "glm4v_moe_text": ("glm4v_moe", "Glm4vMoeTextConfig"),
+    # torch 4.57 serializes the text sub-config with this casing quirk
+    "Glm4vMoe_text": ("glm4v_moe", "Glm4vMoeTextConfig"),
     "beit": ("beit", "BeitConfig"),
     "dpt": ("dpt", "DPTConfig"),
     "depth_anything": ("depth_anything", "DepthAnythingConfig"),

@@ -576,6 +576,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen3_vl": ("qwen3_vl", "Qwen3VLForConditionalGeneration"),
     "qwen3_vl_moe": ("qwen3_vl_moe", "Qwen3VLMoeForConditionalGeneration"),
     "glm4v": ("glm4v", "Glm4vForConditionalGeneration"),
+    "glm4v_moe": ("glm4v_moe", "Glm4vMoeForConditionalGeneration"),
     "qwen2_5_vl": ("qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"),
     "blip": ("blip", "BlipForConditionalGeneration"),
     "paligemma": ("paligemma", "PaliGemmaForConditionalGeneration"),
