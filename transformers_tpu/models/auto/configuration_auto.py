@@ -134,6 +134,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaConfig"),
     "jetmoe": ("jetmoe", "JetMoeConfig"),
     "jamba": ("jamba", "JambaConfig"),
+    "zamba": ("zamba", "ZambaConfig"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),
     "falcon_h1": ("falcon_h1", "FalconH1Config"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeConfig"),

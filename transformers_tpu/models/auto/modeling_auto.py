@@ -92,6 +92,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "lfm2": ("lfm2", "Lfm2ModelStandalone"),
     "bamba": ("bamba", "BambaModelStandalone"),
     "jamba": ("jamba", "JambaModelStandalone"),
+    "zamba": ("zamba", "ZambaModelStandalone"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridModelStandalone"),
     "falcon_h1": ("falcon_h1", "FalconH1ModelStandalone"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeModelStandalone"),
@@ -254,6 +255,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "lfm2": ("lfm2", "Lfm2ForCausalLM"),
     "bamba": ("bamba", "BambaForCausalLM"),
     "jamba": ("jamba", "JambaForCausalLM"),
+    "zamba": ("zamba", "ZambaForCausalLM"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridForCausalLM"),
     "falcon_h1": ("falcon_h1", "FalconH1ForCausalLM"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeForCausalLM"),
