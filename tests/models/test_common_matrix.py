@@ -120,6 +120,7 @@ SKIP: dict[str, str] = {
     "lxmert": "text+region two-stream IO; dedicated parity tests",
     "fsmt": "dual-vocab seq2seq; dedicated parity tests",
     "cpmant": "prompt-prepended IO; dedicated parity tests",
+    "musicgen_melody": "composite text+chroma+audio decoder; dedicated parity tests",
 }
 
 
@@ -188,6 +189,34 @@ def _register_patches():
         v_head_dim=8, moe_intermediate_size=32, n_routed_experts=4,
         n_shared_experts=1, num_experts_per_tok=2, first_k_dense_replace=1,
         num_key_value_heads=4, n_group=2, topk_group=1)
+    # jetmoe derives num_attention_heads = kv_heads * top_k and head_dim from
+    # kv_channels; the default kv_channels=128 explodes against TINY's hidden
+    P["jetmoe"] = dict(kv_channels=8, num_key_value_heads=2,
+                       num_experts_per_tok=2, num_local_experts=4)
+    # lilt concatenates six hidden//6 coordinate embeddings into a linear of
+    # width hidden: hidden must be divisible by 6 (and by channel_shrink 4)
+    P["lilt"] = dict(hidden_size=48, intermediate_size=64)
+    # mobilevitv2 unfolds patch_size x patch_size windows on a /32 feature
+    # map: TINY's image 32 / patch 8 collapses to zero windows
+    P["mobilevitv2"] = dict(image_size=64, patch_size=2)
+    # composite families: real tiny sub-configs (the bare constructor leaves
+    # encoder/decoder as None, which cannot build a model)
+    tiny_bert = dict(model_type="bert", vocab_size=99, hidden_size=32,
+                     intermediate_size=64, num_hidden_layers=2,
+                     num_attention_heads=4, max_position_embeddings=128)
+    P["encoder-decoder"] = dict(
+        encoder=dict(tiny_bert),
+        decoder=dict(tiny_bert, is_decoder=True, add_cross_attention=True))
+    P["speech-encoder-decoder"] = dict(
+        encoder=dict(model_type="wav2vec2", vocab_size=99, hidden_size=32,
+                     intermediate_size=64, num_hidden_layers=2,
+                     num_attention_heads=4),
+        decoder=dict(tiny_bert, is_decoder=True, add_cross_attention=True))
+    P["vision-text-dual-encoder"] = dict(
+        vision_config=dict(model_type="vit", hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, image_size=32, patch_size=8),
+        text_config=dict(tiny_bert), projection_dim=32)
 
 
 _register_patches()

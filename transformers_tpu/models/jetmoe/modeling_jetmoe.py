@@ -160,6 +160,9 @@ class JetMoeAttention(Module):
         if cache is not None:
             cache = cache.update(self.layer_idx, k, v, cache_position)
             k, v = cache.layer(self.layer_idx)
+            if getattr(cache, "layout", "bshd") == "bhsd":
+                k = jnp.swapaxes(k, 1, 2)
+                v = jnp.swapaxes(v, 1, 2)
             k = k.astype(self.dtype)
             v = v.astype(self.dtype)
         # tile K/V heads top_k times (reference :492-494 repeats whole blocks)
