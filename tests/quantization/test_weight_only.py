@@ -113,3 +113,41 @@ def test_generate_with_quantized_cache(tiny):
                                     max_new_tokens=5, prompt_pad_multiple=4,
                                     cache_implementation="quantized"))
     assert out.shape == (1, 9)
+
+
+def test_quantized_dot_matches_dequant_reference():
+    """(x @ codes) * scale must equal x @ dequant(codes) — the identity the
+    runtime compute path relies on (core/module.py Linear.__call__)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transformers_tpu.quantizers.weight_only import (
+        dequantize_int8,
+        quantized_dot,
+        unpack_int4,
+        unpack_int4_codes,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)), jnp.float32)
+    q = jnp.asarray(rng.integers(-127, 128, size=(16, 24)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.01, 0.1, size=(24,)), jnp.float32)
+
+    ref = x @ dequantize_int8(q, scale, jnp.float32)
+    out = quantized_dot(x, q, scale, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    packed = jnp.asarray(rng.integers(-128, 128, size=(8, 24)), jnp.int8)
+    ref4 = x @ unpack_int4(packed, scale, jnp.float32)
+    out4 = quantized_dot(x, unpack_int4_codes(packed), scale, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4), rtol=1e-5, atol=1e-5)
+
+    # the int8 operand must reach dot_general unconverted (no bf16
+    # materialization of the weight): check the jaxpr has no convert of the
+    # weight before the dot
+    jaxpr = jax.make_jaxpr(lambda a, b, s: quantized_dot(a, b, s, jnp.float32))(x, q, scale)
+    dot_eqns = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dot_eqns, "quantized_dot must lower to dot_general"
+    assert str(dot_eqns[0].invars[1].aval.dtype) == "int8", \
+        "weight operand must stay int8 into the dot"

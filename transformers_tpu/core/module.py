@@ -216,7 +216,18 @@ class Linear(Module):
 
     def __call__(self, params, x):
         x = x.astype(self.dtype)
-        y = jnp.dot(x, self.materialize_weight(params))
+        if "weight_scale" in params:
+            # quantized runtime compute: codes stream from HBM at stored
+            # width, scales applied to the dot OUTPUT (per-output-channel
+            # scales commute with the contraction)
+            from ..quantizers.weight_only import quantized_dot, unpack_int4_codes
+
+            w = params["weight"]
+            if w.dtype == jnp.int8 and w.shape[0] != self.in_features:
+                w = unpack_int4_codes(w)
+            y = quantized_dot(x, w, params["weight_scale"], self.dtype)
+        else:
+            y = jnp.dot(x, params["weight"].astype(self.dtype))
         if "lora_A" in params:
             # LoRA adapter leaves in the same tree (peft.py): rank-r update
             a = params["lora_A"].astype(self.dtype)

@@ -88,3 +88,34 @@ class Fp8WeightOnlyQuantizer(Quantizer):
 
 def dequantize_fp8(q, scale, dtype):
     return q.astype(dtype) * scale.astype(dtype)[None, :]
+
+
+def unpack_int4_codes(packed):
+    """Packed [in/2, out] int8 -> sign-extended int4 codes [in, out] int8
+    (no scale applied)."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    in_half, out = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(in_half * 2, out)
+
+
+def quantized_dot(x, w, scale, out_dtype):
+    """y = x @ dequant(w)  computed as  (x @ w_codes) * scale.
+
+    With per-output-channel scales the two are algebraically identical, but
+    this form feeds the quantized codes straight into ``dot_general`` so the
+    weight streams from HBM at its stored width (int8/fp8 = half/quarter the
+    bf16 bytes — decode is HBM-bound, so this is the whole point of
+    quantization on TPU; reference executes GPTQ/AWQ through CUDA kernels
+    the same way, quantizers/quantizer_gptq.py).
+    """
+    import jax.lax as lax
+
+    if w.dtype == jnp.float8_e4m3fn:
+        w = w.astype(out_dtype)  # convert fuses into the dot operand read
+    nd = x.ndim
+    y = lax.dot_general(x, w, (((nd - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    return (y * scale.astype(jnp.float32)).astype(out_dtype)
