@@ -151,13 +151,26 @@ class BaseImageProcessor:
                                             size.get("longest_edge"))
         raise ValueError(f"Unsupported size dict {size}")
 
-    def preprocess(self, images, return_tensors: Optional[str] = "jax", **kwargs) -> BatchFeature:
+    def preprocess(self, images, return_tensors: Optional[str] = "jax",
+                   pil_exact: bool = False, **kwargs) -> BatchFeature:
         """reference image_processing_utils.py:383. Group-by-shape batching:
         same-shape inputs are stacked and processed in one device call
-        (reference image_processing_backends.py:176-200)."""
+        (reference image_processing_backends.py:176-200).
+
+        ``pil_exact=True`` (or ``resample="pil-exact"``) routes resizing
+        through the bit-for-bit PIL fixed-point path
+        (image_transforms.pil_exact_resize) and runs rescale/normalize with
+        the reference's exact host dtype sequence — the parity mode SURVEY
+        §7 hard part #2 calls for. The fused device path stays the default."""
         if not isinstance(images, (list, tuple)):
             images = [images]
         arrays = [load_image(im) for im in images]
+        if pil_exact or self.resample == "pil-exact":
+            out = [self._process_exact(a) for a in arrays]
+            pixel_values = np.stack(out)
+            if return_tensors == "jax":
+                pixel_values = jnp.asarray(pixel_values)
+            return BatchFeature({"pixel_values": pixel_values})
 
         # group by (H, W) so each group is one fused device program
         groups: dict[tuple, list[int]] = {}
@@ -182,6 +195,30 @@ class BaseImageProcessor:
         if return_tensors in ("np", "numpy"):
             pixel_values = np.asarray(pixel_values)
         return BatchFeature({"pixel_values": pixel_values})
+
+    def _process_exact(self, arr: np.ndarray) -> np.ndarray:
+        """Host parity pipeline on one uint8 [C, H, W] image: PIL-bit-exact
+        resize, then the reference slow processor's exact dtype sequence
+        (rescale in float64 -> float32, normalize in float32; reference
+        image_transforms.py rescale/normalize)."""
+        filt = {2: "bilinear", 3: "bicubic", "pil-exact": "bilinear"}.get(
+            self.resample, self.resample)
+        if self.do_resize:
+            h, w = arr.shape[-2], arr.shape[-1]
+            arr = T.pil_exact_resize(arr, self.resize_size(h, w), filt)
+        if self.do_center_crop and self.crop_size:
+            ch, cw = self.crop_size["height"], self.crop_size["width"]
+            top = (arr.shape[-2] - ch) // 2
+            left = (arr.shape[-1] - cw) // 2
+            arr = arr[..., top:top + ch, left:left + cw]
+        x = arr
+        if self.do_rescale:
+            x = (x.astype(np.float64) * self.rescale_factor).astype(np.float32)
+        if self.do_normalize:
+            mean = np.array(self.image_mean, np.float32)
+            std = np.array(self.image_std, np.float32)
+            x = ((x.astype(np.float32).T - mean) / std).T
+        return np.ascontiguousarray(x, np.float32)
 
     def _process_batch(self, batch: jnp.ndarray) -> jnp.ndarray:
         x = batch.astype(jnp.float32)

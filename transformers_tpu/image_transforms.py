@@ -85,11 +85,94 @@ def get_resize_output_size(height: int, width: int, shortest_edge: int,
     image_processing_utils.py get_size_dict conventions)."""
     short, long = (height, width) if height <= width else (width, height)
     new_short = shortest_edge
-    new_long = int(round(shortest_edge * long / short))
+    # truncation, not rounding (reference image_transforms.py:299
+    # get_resize_output_image_size)
+    new_long = int(shortest_edge * long / short)
     if longest_edge is not None and new_long > longest_edge:
+        new_short = int(longest_edge * new_short / new_long)
         new_long = longest_edge
-        new_short = int(round(longest_edge * short / long))
     return (new_short, new_long) if height <= width else (new_long, new_short)
+
+
+# --------------------------------------------------------------- PIL parity
+# Exact replication of Pillow's fixed-point resample (libImaging/Resample.c):
+# horizontal then vertical separable convolution; for 8-bit images the
+# coefficients are rounded to 1<<PRECISION_BITS fixed point, accumulation is
+# int32, and EACH pass rounds back to uint8 — this is why float resizes can
+# never be bit-identical to PIL. Selectable as ``resample="pil-exact"`` for
+# the parity suite (SURVEY §7 hard part #2); the fused jnp path stays the
+# production default.
+
+_PIL_PRECISION_BITS = 32 - 8 - 2  # Resample.c PRECISION_BITS
+
+
+def _pil_filter(name: str):
+    if name == "bilinear":
+        return 1.0, lambda x: np.clip(1.0 - np.abs(x), 0.0, None)
+
+    if name == "bicubic":  # Keys kernel, a = -0.5 (Resample.c bicubic_filter)
+        def cubic(x):
+            x = np.abs(x)
+            a = -0.5
+            return np.where(
+                x < 1, ((a + 2) * x - (a + 3)) * x * x + 1,
+                np.where(x < 2, (((x - 5) * x + 8) * x - 4) * a, 0.0))
+        return 2.0, cubic
+
+    raise ValueError(f"pil-exact supports bilinear/bicubic, got {name!r}")
+
+
+def _pil_coeffs(in_size: int, out_size: int, filter_name: str):
+    """Per-output-pixel (xmin, int32 coeffs) exactly as precompute_coeffs +
+    normalize_coeffs_8bpc."""
+    support0, filt = _pil_filter(filter_name)
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = support0 * filterscale
+    ksize = int(np.ceil(support)) * 2 + 1
+    bounds = np.empty((out_size, 2), np.int64)
+    coeffs = np.zeros((out_size, ksize), np.int32)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size) - xmin
+        k = filt((np.arange(xmax) + xmin - center + 0.5) / filterscale)
+        k = k / k.sum()
+        # fixed point, round-half-away-from-zero (normalize_coeffs_8bpc)
+        ik = np.where(k < 0, (k * (1 << _PIL_PRECISION_BITS) - 0.5),
+                      (k * (1 << _PIL_PRECISION_BITS) + 0.5)).astype(np.int32)
+        bounds[xx] = (xmin, xmax)
+        coeffs[xx, :xmax] = ik
+    return bounds, coeffs
+
+
+def _pil_pass(img: np.ndarray, out_size: int, axis: int, filter_name: str) -> np.ndarray:
+    """One uint8 fixed-point pass along ``axis`` of [..., H, W]."""
+    img = np.moveaxis(img, axis, -1)
+    in_size = img.shape[-1]
+    bounds, coeffs = _pil_coeffs(in_size, out_size, filter_name)
+    half = 1 << (_PIL_PRECISION_BITS - 1)
+    out = np.empty(img.shape[:-1] + (out_size,), np.uint8)
+    for xx in range(out_size):
+        xmin, xmax = bounds[xx]
+        acc = half + (img[..., xmin:xmin + xmax].astype(np.int64)
+                      * coeffs[xx, :xmax].astype(np.int64)).sum(-1)
+        out[..., xx] = np.clip(acc >> _PIL_PRECISION_BITS, 0, 255)
+    return np.moveaxis(out, -1, axis)
+
+
+def pil_exact_resize(image: np.ndarray, size: tuple[int, int],
+                     resample: Union[str, int] = "bilinear") -> np.ndarray:
+    """Bit-for-bit PIL ``Image.resize(..., resample)`` on uint8 [..., H, W]
+    arrays (Resample.c two-pass order: horizontal, then vertical)."""
+    name = {2: "bilinear", 3: "bicubic"}.get(resample, resample)
+    image = np.asarray(image, np.uint8)
+    h, w = size
+    if image.shape[-1] != w:
+        image = _pil_pass(image, w, -1, name)
+    if image.shape[-2] != h:
+        image = _pil_pass(image, h, -2, name)
+    return image
 
 
 @partial(jax.jit, static_argnames=("size", "resample", "do_rescale", "do_normalize", "antialias"))

@@ -13,7 +13,7 @@ from ...image_processing_utils import (
 class SiglipImageProcessor(BaseImageProcessor):
     def __init__(self, **kwargs):
         kwargs.setdefault("size", {"height": 224, "width": 224})
-        kwargs.setdefault("resample", "bilinear")
+        kwargs.setdefault("resample", "bicubic")
         kwargs.setdefault("image_mean", IMAGENET_STANDARD_MEAN)
         kwargs.setdefault("image_std", IMAGENET_STANDARD_STD)
         super().__init__(**kwargs)
