@@ -83,6 +83,23 @@ def load_image(image) -> np.ndarray:
     return arr
 
 
+def _center_crop_or_pad(arr: np.ndarray, ch: int, cw: int) -> np.ndarray:
+    """Torchvision-compatible center crop that zero-pads when the target
+    exceeds the image (reference center_crop semantics)."""
+    h, w = arr.shape[-2], arr.shape[-1]
+    pad_h, pad_w = max(ch - h, 0), max(cw - w, 0)
+    if pad_h or pad_w:
+        top, left = (ch - h) // 2, (cw - w) // 2
+        pads = [(0, 0)] * (arr.ndim - 2) + [
+            (max(top, 0), max(ch - h - max(top, 0), 0)),
+            (max(left, 0), max(cw - w - max(left, 0), 0))]
+        arr = np.pad(arr, pads)
+        h, w = arr.shape[-2], arr.shape[-1]
+    top = (h - ch) // 2
+    left = (w - cw) // 2
+    return arr[..., top:top + ch, left:left + cw]
+
+
 class BaseImageProcessor:
     """Serialization + the resize/rescale/normalize pipeline. Subclasses set
     defaults and may override ``preprocess``."""
@@ -151,8 +168,36 @@ class BaseImageProcessor:
                                             size.get("longest_edge"))
         raise ValueError(f"Unsupported size dict {size}")
 
+    # -------------------------------------------------- segmentation labels
+    def reduce_label(self, label: np.ndarray) -> np.ndarray:
+        """ADE-convention label reduction (reference
+        models/segformer/image_processing_segformer.py:138): background 0
+        becomes ignore-255 and classes shift down by one."""
+        label = label.astype(np.int64)
+        label = np.where(label == 0, 255, label - 1)
+        return np.where(label == 254, 255, label)
+
+    def _process_segmentation_maps(self, segmentation_maps) -> np.ndarray:
+        if not isinstance(segmentation_maps, (list, tuple)):
+            segmentation_maps = [segmentation_maps]
+        out = []
+        for seg in segmentation_maps:
+            seg = np.asarray(seg)
+            if seg.ndim == 3:
+                seg = seg[0] if seg.shape[0] == 1 else seg[..., 0]
+            if getattr(self, "do_reduce_labels", False):
+                seg = self.reduce_label(seg)
+            if self.do_resize:
+                th, tw = self.resize_size(*seg.shape[-2:])
+                # PIL-exact nearest keeps label ids intact
+                seg = seg[T.pil_nearest_indices(seg.shape[0], th)][
+                    :, T.pil_nearest_indices(seg.shape[1], tw)]
+            out.append(seg.astype(np.int64))
+        return np.stack(out)
+
     def preprocess(self, images, return_tensors: Optional[str] = "jax",
-                   pil_exact: bool = False, **kwargs) -> BatchFeature:
+                   pil_exact: bool = False, segmentation_maps=None,
+                   **kwargs) -> BatchFeature:
         """reference image_processing_utils.py:383. Group-by-shape batching:
         same-shape inputs are stacked and processed in one device call
         (reference image_processing_backends.py:176-200).
@@ -170,7 +215,10 @@ class BaseImageProcessor:
             pixel_values = np.stack(out)
             if return_tensors == "jax":
                 pixel_values = jnp.asarray(pixel_values)
-            return BatchFeature({"pixel_values": pixel_values})
+            feat = BatchFeature({"pixel_values": pixel_values})
+            if segmentation_maps is not None:
+                feat["labels"] = self._process_segmentation_maps(segmentation_maps)
+            return feat
 
         # group by (H, W) so each group is one fused device program
         groups: dict[tuple, list[int]] = {}
@@ -194,7 +242,24 @@ class BaseImageProcessor:
         pixel_values = jnp.stack(out)
         if return_tensors in ("np", "numpy"):
             pixel_values = np.asarray(pixel_values)
-        return BatchFeature({"pixel_values": pixel_values})
+        feat = BatchFeature({"pixel_values": pixel_values})
+        if segmentation_maps is not None:
+            feat["labels"] = self._process_segmentation_maps(segmentation_maps)
+        return feat
+
+    def post_process_semantic_segmentation(self, outputs, target_sizes=None):
+        """Logits -> per-image [H, W] class-id maps (reference
+        models/segformer/image_processing_segformer.py:192)."""
+        logits = np.asarray(outputs.logits if hasattr(outputs, "logits") else outputs)
+        maps = []
+        for i in range(logits.shape[0]):
+            seg = logits[i]  # [C, h, w]
+            if target_sizes is not None:
+                th, tw = target_sizes[i]
+                seg = np.asarray(T.resize(jnp.asarray(seg), (int(th), int(tw)),
+                                          resample="bilinear", antialias=False))
+            maps.append(seg.argmax(0))
+        return maps
 
     def _process_exact(self, arr: np.ndarray) -> np.ndarray:
         """Host parity pipeline on one uint8 [C, H, W] image: PIL-bit-exact
@@ -207,10 +272,8 @@ class BaseImageProcessor:
             h, w = arr.shape[-2], arr.shape[-1]
             arr = T.pil_exact_resize(arr, self.resize_size(h, w), filt)
         if self.do_center_crop and self.crop_size:
-            ch, cw = self.crop_size["height"], self.crop_size["width"]
-            top = (arr.shape[-2] - ch) // 2
-            left = (arr.shape[-1] - cw) // 2
-            arr = arr[..., top:top + ch, left:left + cw]
+            arr = _center_crop_or_pad(arr, self.crop_size["height"],
+                                      self.crop_size["width"])
         x = arr
         if self.do_rescale:
             x = (x.astype(np.float64) * self.rescale_factor).astype(np.float32)

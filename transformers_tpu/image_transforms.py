@@ -24,7 +24,9 @@ RESAMPLE_TO_METHOD = {
     "nearest": "nearest",
     "bilinear": "linear",
     "bicubic": "cubic",
+    "lanczos": "lanczos3",
     0: "nearest",      # PIL.Image.NEAREST
+    1: "lanczos3",     # PIL.Image.LANCZOS
     2: "linear",       # PIL.Image.BILINEAR
     3: "cubic",        # PIL.Image.BICUBIC
 }
@@ -119,21 +121,32 @@ def _pil_filter(name: str):
                 np.where(x < 2, (((x - 5) * x + 8) * x - 4) * a, 0.0))
         return 2.0, cubic
 
-    raise ValueError(f"pil-exact supports bilinear/bicubic, got {name!r}")
+    if name == "lanczos":  # Resample.c sinc_filter/lanczos_filter, support 3
+        def lanczos(x):
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.sinc(x) * np.sinc(x / 3.0)
+            return np.where(np.abs(x) < 3.0, out, 0.0)
+        return 3.0, lanczos
+
+    raise ValueError(f"pil-exact supports bilinear/bicubic/lanczos, got {name!r}")
 
 
-def _pil_coeffs(in_size: int, out_size: int, filter_name: str):
+def _pil_coeffs(in_size: int, out_size: int, filter_name: str,
+                box: tuple[float, float] | None = None):
     """Per-output-pixel (xmin, int32 coeffs) exactly as precompute_coeffs +
-    normalize_coeffs_8bpc."""
+    normalize_coeffs_8bpc. ``box=(in0, in1)`` restricts sampling to a
+    fractional source window (Image.resize ``box`` support, used by the
+    reducing_gap path)."""
+    in0, in1 = box if box is not None else (0.0, float(in_size))
     support0, filt = _pil_filter(filter_name)
-    scale = in_size / out_size
+    scale = (in1 - in0) / out_size
     filterscale = max(scale, 1.0)
     support = support0 * filterscale
     ksize = int(np.ceil(support)) * 2 + 1
     bounds = np.empty((out_size, 2), np.int64)
     coeffs = np.zeros((out_size, ksize), np.int32)
     for xx in range(out_size):
-        center = (xx + 0.5) * scale
+        center = in0 + (xx + 0.5) * scale
         xmin = max(int(center - support + 0.5), 0)
         xmax = min(int(center + support + 0.5), in_size) - xmin
         k = filt((np.arange(xmax) + xmin - center + 0.5) / filterscale)
@@ -146,11 +159,49 @@ def _pil_coeffs(in_size: int, out_size: int, filter_name: str):
     return bounds, coeffs
 
 
-def _pil_pass(img: np.ndarray, out_size: int, axis: int, filter_name: str) -> np.ndarray:
+def pil_reduce(img: np.ndarray, factor_h: int, factor_w: int) -> np.ndarray:
+    """Bit-exact PIL ``Image.reduce`` on uint8 [..., H, W]: per-block integer
+    average with Reduce.c's float32 fixed-point multiplier (division_UINT32)
+    and amend = div/2; edge blocks average their partial extent."""
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = -(-h // factor_h), -(-w // factor_w)
+    out = np.empty(img.shape[:-2] + (oh, ow), np.uint8)
+
+    def block_avg(blk_sum, div):
+        mult = int(np.float32((1 << 30) * 4.0) / np.float32((1 << 8) * div))
+        return ((blk_sum + div // 2) * mult) >> 24
+
+    # interior (full blocks) vectorized
+    fh, fw = (h // factor_h) * factor_h, (w // factor_w) * factor_w
+    if fh and fw:
+        core = img[..., :fh, :fw].astype(np.uint64)
+        core = core.reshape(*img.shape[:-2], fh // factor_h, factor_h,
+                            fw // factor_w, factor_w).sum((-3, -1))
+        out[..., :fh // factor_h, :fw // factor_w] = block_avg(
+            core, factor_h * factor_w)
+    # right edge / bottom edge / corner (partial blocks)
+    if fw < w:
+        edge = img[..., :fh, fw:].astype(np.uint64)
+        ew = w - fw
+        edge = edge.reshape(*img.shape[:-2], fh // factor_h, factor_h, ew).sum((-2, -1))
+        out[..., :fh // factor_h, -1] = block_avg(edge, factor_h * ew)
+    if fh < h:
+        edge = img[..., fh:, :fw].astype(np.uint64)
+        eh = h - fh
+        edge = edge.reshape(*img.shape[:-2], eh, fw // factor_w, factor_w).sum((-3, -1))
+        out[..., -1, :fw // factor_w] = block_avg(edge, eh * factor_w)
+    if fh < h and fw < w:
+        corner = img[..., fh:, fw:].astype(np.uint64).sum((-2, -1))
+        out[..., -1, -1] = block_avg(corner, (h - fh) * (w - fw))
+    return out
+
+
+def _pil_pass(img: np.ndarray, out_size: int, axis: int, filter_name: str,
+              box: tuple[float, float] | None = None) -> np.ndarray:
     """One uint8 fixed-point pass along ``axis`` of [..., H, W]."""
     img = np.moveaxis(img, axis, -1)
     in_size = img.shape[-1]
-    bounds, coeffs = _pil_coeffs(in_size, out_size, filter_name)
+    bounds, coeffs = _pil_coeffs(in_size, out_size, filter_name, box)
     half = 1 << (_PIL_PRECISION_BITS - 1)
     out = np.empty(img.shape[:-1] + (out_size,), np.uint8)
     for xx in range(out_size):
@@ -161,17 +212,49 @@ def _pil_pass(img: np.ndarray, out_size: int, axis: int, filter_name: str) -> np
     return np.moveaxis(out, -1, axis)
 
 
+def pil_nearest_indices(n_in: int, n_out: int) -> np.ndarray:
+    """Source indices of PIL's NEAREST resize (Geometry.c
+    ImagingScaleAffine): xo starts at a0/2 and ACCUMULATES a0 per pixel in
+    double, then truncates — the accumulated rounding error is part of the
+    observable mapping, so a closed-form (i+0.5)*scale does NOT match."""
+    a0 = n_in / n_out
+    xo = a0 * 0.5
+    idx = np.empty((n_out,), np.int64)
+    for i in range(n_out):
+        idx[i] = int(xo)
+        xo += a0
+    return np.clip(idx, 0, n_in - 1)
+
+
 def pil_exact_resize(image: np.ndarray, size: tuple[int, int],
-                     resample: Union[str, int] = "bilinear") -> np.ndarray:
+                     resample: Union[str, int] = "bilinear",
+                     reducing_gap: Optional[float] = None) -> np.ndarray:
     """Bit-for-bit PIL ``Image.resize(..., resample)`` on uint8 [..., H, W]
-    arrays (Resample.c two-pass order: horizontal, then vertical)."""
-    name = {2: "bilinear", 3: "bicubic"}.get(resample, resample)
+    arrays (Resample.c two-pass order: horizontal, then vertical).
+    ``reducing_gap`` replicates Image.resize's pre-reduction: integer
+    ``reduce()`` by factor int(in/out/gap), then a box-windowed resample over
+    the fractional remainder."""
+    name = {0: "nearest", 1: "lanczos", 2: "bilinear", 3: "bicubic"}.get(
+        resample, resample)
     image = np.asarray(image, np.uint8)
     h, w = size
-    if image.shape[-1] != w:
-        image = _pil_pass(image, w, -1, name)
-    if image.shape[-2] != h:
-        image = _pil_pass(image, h, -2, name)
+    if name == "nearest":
+        ys = pil_nearest_indices(image.shape[-2], h)
+        xs = pil_nearest_indices(image.shape[-1], w)
+        return image[..., ys, :][..., :, xs]
+    box = None
+    if reducing_gap is not None:
+        ih, iw = image.shape[-2], image.shape[-1]
+        factor_w = int(iw / w / reducing_gap) or 1
+        factor_h = int(ih / h / reducing_gap) or 1
+        if factor_w > 1 or factor_h > 1:
+            image = pil_reduce(image, factor_h, factor_w)
+            box = (iw / factor_w, ih / factor_h)  # fractional source window
+    bw, bh = box if box is not None else (image.shape[-1], image.shape[-2])
+    if image.shape[-1] != w or bw != image.shape[-1]:
+        image = _pil_pass(image, w, -1, name, (0.0, float(bw)))
+    if image.shape[-2] != h or bh != image.shape[-2]:
+        image = _pil_pass(image, h, -2, name, (0.0, float(bh)))
     return image
 
 

@@ -8,7 +8,10 @@ import json
 from ...image_processing_utils import IMAGE_PROCESSOR_NAME, BaseImageProcessor
 from ...utils.hub import cached_file
 
-# model_type -> (module, class)
+# model_type -> (module, class). Aliases follow the reference's
+# models/auto/image_processing_auto.py routing (e.g. resnet/regnet/cvt ->
+# ConvNext crop_pct semantics, dinov2/focalnet/hiera -> BiT, swin-family ->
+# ViT) so the per-family preprocessing semantics are preserved.
 IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit": ("vit", "ViTImageProcessor"),
     "clip": ("clip", "CLIPImageProcessor"),
@@ -16,51 +19,119 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("clip", "CLIPImageProcessor"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLImageProcessor"),
     "detr": ("detr", "DetrImageProcessor"),
-    "resnet": ("vit", "ViTImageProcessor"),
-    "convnext": ("vit", "ViTImageProcessor"),
-    "segformer": ("vit", "ViTImageProcessor"),
-    "glpn": ("vit", "ViTImageProcessor"),
-    "owlvit": ("clip", "CLIPImageProcessor"),
     "blip": ("blip", "BlipImageProcessor"),
     "sam": ("sam", "SamImageProcessor"),
     "superglue": ("superglue", "SuperGlueImageProcessor"),
-    "deit": ("vit", "ViTImageProcessor"),
-    "dinov2": ("vit", "ViTImageProcessor"),
+    # ConvNext crop_pct family
+    "convnext": ("convnext", "ConvNextImageProcessor"),
+    "convnextv2": ("convnext", "ConvNextV2ImageProcessor"),
+    "resnet": ("convnext", "ConvNextImageProcessor"),
+    "regnet": ("convnext", "ConvNextImageProcessor"),
+    "cvt": ("convnext", "ConvNextImageProcessor"),
+    # BiT family
+    "bit": ("bit", "BitImageProcessor"),
+    "dinov2": ("bit", "BitImageProcessor"),
+    "focalnet": ("bit", "BitImageProcessor"),
+    "hiera": ("bit", "BitImageProcessor"),
+    # ViT-default family
+    "deit": ("deit", "DeiTImageProcessor"),
     "swin": ("vit", "ViTImageProcessor"),
-    "convnextv2": ("vit", "ViTImageProcessor"),
+    "swinv2": ("vit", "ViTImageProcessor"),
+    "swiftformer": ("vit", "ViTImageProcessor"),
+    "dinat": ("vit", "ViTImageProcessor"),
+    "ijepa": ("vit", "ViTImageProcessor"),
+    "vit_mae": ("vit", "ViTImageProcessor"),
+    "vit_msn": ("vit", "ViTImageProcessor"),
+    "mgp-str": ("vit", "ViTImageProcessor"),
+    "trocr": ("vit", "ViTImageProcessor"),
+    "clipseg": ("clip", "CLIPImageProcessor"),
+    # segmentation tier
+    "segformer": ("segformer", "SegformerImageProcessor"),
+    "upernet": ("segformer", "SegformerImageProcessor"),
+    "beit": ("beit", "BeitImageProcessor"),
+    "data2vec-vision": ("beit", "BeitImageProcessor"),
+    "mobilevit": ("mobilevit", "MobileViTImageProcessor"),
+    "mobilevitv2": ("mobilevit", "MobileViTImageProcessor"),
+    "mobilenet_v1": ("mobilenet_v2", "MobileNetV1ImageProcessor"),
+    "mobilenet_v2": ("mobilenet_v2", "MobileNetV2ImageProcessor"),
+    # depth tier
+    "dpt": ("dpt", "DPTImageProcessor"),
+    "depth_anything": ("dpt", "DPTImageProcessor"),
+    "glpn": ("glpn", "GLPNImageProcessor"),
+    # detection tier
+    "yolos": ("detr", "DetrImageProcessor"),
+    "table-transformer": ("detr", "DetrImageProcessor"),
+    "owlvit": ("owlvit", "OwlViTImageProcessor"),
+    "owlv2": ("owlv2", "Owlv2ImageProcessor"),
+    # document tier
+    "donut-swin": ("donut", "DonutImageProcessor"),
+    "nougat": ("donut", "NougatImageProcessor"),
+    # classification long tail
+    "poolformer": ("poolformer", "PoolFormerImageProcessor"),
+    "efficientnet": ("efficientnet", "EfficientNetImageProcessor"),
+    "align": ("efficientnet", "EfficientNetImageProcessor"),
+    "levit": ("levit", "LevitImageProcessor"),
+    "pvt": ("pvt", "PvtImageProcessor"),
+    "pvt_v2": ("pvt", "PvtImageProcessor"),
+    "textnet": ("textnet", "TextNetImageProcessor"),
+    "chameleon": ("chameleon", "ChameleonImageProcessor"),
+    "imagegpt": ("imagegpt", "ImageGPTImageProcessor"),
+    "vilt": ("vilt", "ViltImageProcessor"),
+    "superpoint": ("superpoint", "SuperPointImageProcessor"),
+    # video tier
+    "videomae": ("videomae", "VideoMAEImageProcessor"),
+    "timesformer": ("videomae", "VideoMAEImageProcessor"),
+    "vivit": ("videomae", "VivitImageProcessor"),
+    # CLIP-stat dual encoders
+    "chinese_clip": ("bit", "BitImageProcessor"),
+    "aimv2": ("clip", "CLIPImageProcessor"),
+    "altclip": ("clip", "CLIPImageProcessor"),
+    "metaclip_2": ("clip", "CLIPImageProcessor"),
+    "groupvit": ("clip", "CLIPImageProcessor"),
+    "xclip": ("clip", "CLIPImageProcessor"),
+    "git": ("clip", "CLIPImageProcessor"),
+    "kosmos-2": ("clip", "CLIPImageProcessor"),
+    "vipllava": ("clip", "CLIPImageProcessor"),
+    "florence2": ("clip", "CLIPImageProcessor"),
+    # siglip consumers
+    "colpali": ("siglip", "SiglipImageProcessor"),
+    "paligemma": ("siglip", "SiglipImageProcessor"),
+    "gemma3n": ("siglip", "SiglipImageProcessor"),
+    # qwen2-vl consumers
+    "qwen2_5_vl": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "qwen3_vl": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "qwen3_vl_moe": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "colqwen2": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "blip-2": ("blip", "BlipImageProcessor"),
+    "instructblip": ("blip", "BlipImageProcessor"),
+    "sam2": ("sam", "SamImageProcessor"),
+    "sam_hq": ("sam", "SamImageProcessor"),
 }
 
-# image_processor_type class-name -> (module, class)
-_CLASS_NAMES = {
-    "ViTImageProcessor": ("vit", "ViTImageProcessor"),
-    "ViTImageProcessorFast": ("vit", "ViTImageProcessor"),
-    "CLIPImageProcessor": ("clip", "CLIPImageProcessor"),
-    "CLIPImageProcessorFast": ("clip", "CLIPImageProcessor"),
-    "SiglipImageProcessor": ("siglip", "SiglipImageProcessor"),
-    "SiglipImageProcessorFast": ("siglip", "SiglipImageProcessor"),
-    "Qwen2VLImageProcessor": ("qwen2_vl", "Qwen2VLImageProcessor"),
-    "Qwen2VLImageProcessorFast": ("qwen2_vl", "Qwen2VLImageProcessor"),
-    "DetrImageProcessor": ("detr", "DetrImageProcessor"),
-    "DetrImageProcessorFast": ("detr", "DetrImageProcessor"),
-    "ConvNextImageProcessor": ("vit", "ViTImageProcessor"),
-    "SegformerImageProcessor": ("vit", "ViTImageProcessor"),
-    "SegformerImageProcessorFast": ("vit", "ViTImageProcessor"),
-    "GLPNImageProcessor": ("vit", "ViTImageProcessor"),
-    "GLPNImageProcessorFast": ("vit", "ViTImageProcessor"),
-    "OwlViTImageProcessor": ("clip", "CLIPImageProcessor"),
-    "OwlViTImageProcessorFast": ("clip", "CLIPImageProcessor"),
-    "BlipImageProcessor": ("blip", "BlipImageProcessor"),
-    "BlipImageProcessorFast": ("blip", "BlipImageProcessor"),
-    "SamImageProcessor": ("sam", "SamImageProcessor"),
-    "SuperGlueImageProcessor": ("superglue", "SuperGlueImageProcessor"),
-    "SuperPointImageProcessor": ("superglue", "SuperGlueImageProcessor"),
-    "SamImageProcessorFast": ("sam", "SamImageProcessor"),
-    "DeiTImageProcessor": ("vit", "ViTImageProcessor"),
-    "DeiTImageProcessorFast": ("vit", "ViTImageProcessor"),
-    "BitImageProcessor": ("vit", "ViTImageProcessor"),
-    "BitImageProcessorFast": ("vit", "ViTImageProcessor"),
-    "ConvNextV2ImageProcessor": ("vit", "ViTImageProcessor"),
-}
+# image_processor_type class-name -> (module, class): derived from the
+# model_type mapping (every target class resolves by its own name, plus the
+# reference's "Fast"/"Pil" backend-suffixed aliases).
+_CLASS_NAMES: dict[str, tuple[str, str]] = {}
+for _mod, _cls in IMAGE_PROCESSOR_MAPPING_NAMES.values():
+    for _suffix in ("", "Fast", "Pil"):
+        _CLASS_NAMES.setdefault(_cls + _suffix, (_mod, _cls))
+_CLASS_NAMES.update({
+    "SuperPointImageProcessor": ("superpoint", "SuperPointImageProcessor"),
+    "SuperPointImageProcessorFast": ("superpoint", "SuperPointImageProcessor"),
+    "ConvNextV2ImageProcessor": ("convnext", "ConvNextV2ImageProcessor"),
+    "NougatImageProcessor": ("donut", "NougatImageProcessor"),
+    "NougatImageProcessorFast": ("donut", "NougatImageProcessor"),
+    "VivitImageProcessor": ("videomae", "VivitImageProcessor"),
+    "YolosImageProcessor": ("detr", "DetrImageProcessor"),
+    "YolosImageProcessorFast": ("detr", "DetrImageProcessor"),
+    "ChineseCLIPImageProcessor": ("bit", "BitImageProcessor"),
+    "ChineseCLIPImageProcessorFast": ("bit", "BitImageProcessor"),
+    "EfficientNetImageProcessor": ("efficientnet", "EfficientNetImageProcessor"),
+    "MobileNetV1ImageProcessor": ("mobilenet_v2", "MobileNetV1ImageProcessor"),
+    "PvtImageProcessor": ("pvt", "PvtImageProcessor"),
+    "Owlv2ImageProcessor": ("owlv2", "Owlv2ImageProcessor"),
+    "Owlv2ImageProcessorFast": ("owlv2", "Owlv2ImageProcessor"),
+})
 
 
 def _load(module_name: str, class_name: str):

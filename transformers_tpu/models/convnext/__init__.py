@@ -4,3 +4,4 @@ from .modeling_convnext import (
     ConvNextModel,
     ConvNextModelStandalone,
 )
+from .image_processing_convnext import ConvNextImageProcessor, ConvNextV2ImageProcessor

@@ -5,3 +5,4 @@ from .modeling_deit import (
     DeiTModel,
     DeiTModelStandalone,
 )
+from .image_processing_deit import DeiTImageProcessor

@@ -4,3 +4,4 @@ from .modeling_efficientnet import (
     EfficientNetModel,
     EfficientNetModelStandalone,
 )
+from .image_processing_efficientnet import EfficientNetImageProcessor

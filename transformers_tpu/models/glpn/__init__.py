@@ -3,3 +3,4 @@ from .modeling_glpn import (
     GLPNForDepthEstimation,
     GLPNModelStandalone,
 )
+from .image_processing_glpn import GLPNImageProcessor

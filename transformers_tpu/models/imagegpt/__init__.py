@@ -5,3 +5,4 @@ from .modeling_imagegpt import (
     ImageGPTModel,
     ImageGPTModelStandalone,
 )
+from .image_processing_imagegpt import ImageGPTImageProcessor

@@ -4,3 +4,4 @@ from .modeling_levit import (
     LevitForImageClassificationWithTeacher,
     LevitModelStandalone,
 )
+from .image_processing_levit import LevitImageProcessor

@@ -4,3 +4,4 @@ from .modeling_mobilenet_v2 import (
     MobileNetV2Model,
     MobileNetV2ModelStandalone,
 )
+from .image_processing_mobilenet_v2 import MobileNetV1ImageProcessor, MobileNetV2ImageProcessor

@@ -4,3 +4,4 @@ from .modeling_mobilevit import (
     MobileViTForSemanticSegmentation,
     MobileViTModelStandalone,
 )
+from .image_processing_mobilevit import MobileViTImageProcessor

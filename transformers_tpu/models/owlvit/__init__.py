@@ -4,3 +4,4 @@ from .modeling_owlvit import (
     OwlViTModel,
     OwlViTModelStandalone,
 )
+from .image_processing_owlvit import OwlViTImageProcessor

@@ -3,3 +3,4 @@ from .modeling_poolformer import (
     PoolFormerForImageClassification,
     PoolFormerModelStandalone,
 )
+from .image_processing_poolformer import PoolFormerImageProcessor

@@ -5,3 +5,4 @@ from .modeling_segformer import (
     SegformerModel,
     SegformerModelStandalone,
 )
+from .image_processing_segformer import SegformerImageProcessor

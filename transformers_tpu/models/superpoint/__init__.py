@@ -3,3 +3,4 @@ from .modeling_superpoint import (
     SuperPointForKeypointDetection,
     SuperPointKeypointDescriptionOutput,
 )
+from .image_processing_superpoint import SuperPointImageProcessor

@@ -4,3 +4,4 @@ from .modeling_textnet import (
     TextNetModel,
     TextNetModelStandalone,
 )
+from .image_processing_textnet import TextNetImageProcessor

@@ -4,3 +4,4 @@ from .modeling_videomae import (
     VideoMAEModel,
     VideoMAEModelStandalone,
 )
+from .image_processing_videomae import VideoMAEImageProcessor, VivitImageProcessor

@@ -5,3 +5,4 @@ from .modeling_vilt import (
     ViltModel,
     ViltModelStandalone,
 )
+from .image_processing_vilt import ViltImageProcessor
