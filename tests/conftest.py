@@ -9,14 +9,19 @@ backend initialization.
 import os
 
 # Must happen before first jax backend use (conftest imports run before tests).
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TTPU_TEST_PLATFORM=tpu leaves the real backend attached so kernel tests can
+# run COMPILED on hardware (e.g. `TTPU_TEST_PLATFORM=tpu pytest tests/ops`).
+_ON_TPU = os.environ.get("TTPU_TEST_PLATFORM", "cpu") != "cpu"
+if not _ON_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: identical tiny-model graphs recur massively
 # across the suite (and across pytest-xdist workers); caching them cuts
 # wall-clock several-fold.
