@@ -131,8 +131,11 @@ class LlamaAttention(Module):
         from ...ops.pallas.fused_decode import (fused_decode_attention,
                                                 fused_decode_supported)
 
+        import os
+
         cls = type(self)
-        if (cache is None
+        if (os.environ.get("TTPU_NO_FUSED_DECODE")
+                or cache is None
                 or not isinstance(cache, StaticKVCache)
                 or getattr(cache, "layout", "bshd") != "bhsd"
                 or q.shape[1] != 1

@@ -201,6 +201,14 @@ def _fused_decode_kernel_whole(
 
     pos = pos_ref[0]
 
+    # ONE whole-array DMA per pool (the [B, KVH, S, D] slab is contiguous) —
+    # issued FIRST so the HBM stream overlaps the rope math below; per-row
+    # copies cost b× the scalar-core issue overhead for the same bytes.
+    kd = pltpu.make_async_copy(k_cache_hbm, k_buf, sems.at[0, 0])
+    vd = pltpu.make_async_copy(v_cache_hbm, v_buf, sems.at[0, 1])
+    kd.start()
+    vd.start()
+
     cos = cos_ref[...][:, None].astype(jnp.float32)  # [B, 1, 1, D]
     sin = sin_ref[...][:, None].astype(jnp.float32)
     q = q_ref[...]               # [B, KVH, Gp, D]
@@ -209,16 +217,8 @@ def _fused_decode_kernel_whole(
     knr = (kn.astype(jnp.float32) * cos + _rotate_half(kn, d) * sin).astype(kn.dtype)
     knr_ref[...] = knr.astype(knr_ref.dtype)
 
-    dmas = []
-    for r in range(b):
-        kd = pltpu.make_async_copy(k_cache_hbm.at[r], k_buf.at[r], sems.at[r, 0])
-        vd = pltpu.make_async_copy(v_cache_hbm.at[r], v_buf.at[r], sems.at[r, 1])
-        kd.start()
-        vd.start()
-        dmas.append((kd, vd))
-    for kd, vd in dmas:
-        kd.wait()
-        vd.wait()
+    kd.wait()
+    vd.wait()
 
     k = k_buf[...].reshape(b * kvh, s_len, d)
     v = v_buf[...].reshape(b * kvh, s_len, d)
@@ -279,9 +279,12 @@ def fused_decode_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # small contexts: single grid step, whole-slab fetch, batched dots
+    # small contexts: single grid step, whole-slab fetch, batched dots.
+    # The scratch K+V buffers together hold exactly slab_bytes; 24 MB leaves
+    # ample headroom in v5e's ~128 MB VMEM and covers serving batches
+    # (B=16 x S=224 at Llama-3-8B geometry = 14.7 MB).
     slab_bytes = 2 * b * kvh * s * d * jnp.dtype(k_cache.dtype).itemsize
-    if slab_bytes <= 12 * 1024 * 1024:
+    if slab_bytes <= 24 * 1024 * 1024:
         kernel = functools.partial(_fused_decode_kernel_whole, scale=scale)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -387,6 +390,6 @@ def fused_decode_supported(q, k_cache, d_head: int) -> bool:
     # whole-slab mode (everything fits VMEM) has no alignment constraint;
     # the chunked long-context mode needs a 128-aligned chunk dividing S
     slab_bytes = 2 * b * kvh * s * d * jnp.dtype(k_cache.dtype).itemsize
-    if slab_bytes <= 12 * 1024 * 1024:
+    if slab_bytes <= 24 * 1024 * 1024:
         return True
     return any(s % c == 0 for c in (512, 384, 256, 128))
