@@ -46,17 +46,23 @@ def build_8b(batch_hint: int = 16):
     return model
 
 
-def main(n_requests: int = 32, max_new: int = 64):
+def main(n_requests: int = 16, max_new: int = 64):
     model = build_8b()
     rng = np.random.default_rng(0)
     prompts = [list(map(int, rng.integers(1, VOCAB, size=PROMPT)))
                for _ in range(n_requests)]
 
-    kwargs = dict(num_blocks=512, block_size=32, max_batch=16,
-                  token_budget=256, scheduler="prefill_first")
+    # pool sizing: params are 14.96 GiB of the 15.75 GiB usable HBM, leaving
+    # <0.8 GiB for pools + program temporaries, so the paged pools get 64
+    # blocks x 32 slots (0.25 GiB across 32 layers) and decode batches 8 —
+    # max_batch resident sequences at prompt 128 + 64 generated need 48
+    # blocks; the scheduler defers admission when blocks run out.
+    kwargs = dict(num_blocks=64, block_size=32, max_batch=8,
+                  token_budget=128, scheduler="prefill_first")
 
-    # warm the compile caches with a 2-request run
-    model.generate_batch(prompts[:2], max_new_tokens=4, **kwargs)
+    # warm every program the timed run will replay: prefill at the chunk
+    # bucket and decode at every pow2 batch bucket the ramp/tail will touch
+    model.generate_batch(prompts[:8], max_new_tokens=4, **kwargs)
 
     t0 = time.perf_counter()
     outs = model.generate_batch(prompts, max_new_tokens=max_new, **kwargs)

@@ -131,7 +131,7 @@ class ContinuousBatchingEngine:
             cache_ids = req.cache_ids
             chunk_ids = np.asarray(
                 cache_ids[req.prefilled : req.prefilled + plan.prefill_chunk], np.int32)
-            logits = self.runner.prefill_chunk(
+            logits, greedy_tok = self.runner.prefill_chunk(
                 None, chunk_ids, req.block_table, req.prefilled,
                 req.prefilled + len(chunk_ids), chunk_bucket=self.token_budget)
             req.prefilled += len(chunk_ids)
@@ -141,7 +141,12 @@ class ContinuousBatchingEngine:
                     # before preemption — nothing to sample here
                     req.status = RequestStatus.DECODING
                     return out_events
-                tok = self._sample(req, np.asarray(logits))
+                if not req.temperature or req.temperature <= 0:
+                    # greedy: the token was argmaxed in-program; transfer one
+                    # int32 instead of the [V] logits row
+                    tok = int(np.asarray(greedy_tok))
+                else:
+                    tok = self._sample(req, np.asarray(logits))
                 req.pending_token = tok
                 req.status = RequestStatus.DECODING
                 if req.is_done():
@@ -167,10 +172,18 @@ class ContinuousBatchingEngine:
                 tokens[i] = r.pending_token
                 positions[i] = r.context_len  # slot of the pending token
                 tables[i] = r.block_table
-            logits = np.asarray(self.runner.decode_step(None, tokens, tables, positions))
+            dev_logits, dev_greedy = self.runner.decode_step(None, tokens, tables, positions)
+            all_greedy = all(not r.temperature or r.temperature <= 0 for r in decode)
+            if all_greedy:
+                # transfer [N] int32 sampled in-program, not [N, V] logits
+                # (4MB/step at 8B vocab — the dominant cost over a tunneled
+                # device link)
+                greedy_toks = np.asarray(dev_greedy)
+            else:
+                logits = np.asarray(dev_logits)
             for i, r in enumerate(decode):
                 r.generated_ids.append(int(r.pending_token))
-                tok = self._sample(r, logits[i])
+                tok = int(greedy_toks[i]) if all_greedy else self._sample(r, logits[i])
                 r.pending_token = tok
                 if r.is_done():
                     # a trailing EOS still counts as generated (parity with

@@ -118,7 +118,10 @@ class ModelRunner:
             new_pools = PagedKVCache(keys=out.past_key_values.keys,
                                      values=out.past_key_values.values,
                                      block_size=pools.block_size, num_blocks=pools.num_blocks)
-            return new_pools, out.logits[0, last_idx]
+            last = out.logits[0, last_idx]
+            # argmax computed in-program: greedy requests transfer ONE int32
+            # instead of the [V] logits row (a 513KB tunnel round-trip)
+            return new_pools, (last, jnp.argmax(last, axis=-1).astype(jnp.int32))
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -136,7 +139,11 @@ class ModelRunner:
             new_pools = PagedKVCache(keys=out.past_key_values.keys,
                                      values=out.past_key_values.values,
                                      block_size=pools.block_size, num_blocks=pools.num_blocks)
-            return new_pools, out.logits[:, -1, :]
+            last = out.logits[:, -1, :]
+            # in-program argmax: the greedy path transfers [N] int32 tokens,
+            # not the [N, V] logits block (4MB at 8B vocab — the dominant
+            # per-step cost over a remote/tunneled device link)
+            return new_pools, (last, jnp.argmax(last, axis=-1).astype(jnp.int32))
 
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -170,21 +177,34 @@ class ModelRunner:
     def decode_step(self, params, tokens: np.ndarray, block_tables: list[list[int]],
                     positions: np.ndarray):
         """One decode step for N sequences. tokens [N], positions [N] (the
-        slot each token goes to). Returns logits [N, V]."""
+        slot each token goes to). Returns logits [N, V].
+
+        N is padded up to a power-of-two bucket so a varying live batch
+        (admission ramp-up, finished-request tail) replays a handful of
+        compiled programs instead of compiling one per distinct N — the
+        reference's CUDA-graph-per-bucket discipline (continuous_batching/
+        model_runner per-batch graphs). Pad rows write to the null block
+        (block 0) and read ctx_len=1 there; decode at 8B geometry is
+        weight-stream-bound, so the padding rows are free."""
         n = len(tokens)
-        key = ("decode", n)
+        bucket = 1 << max(n - 1, 0).bit_length()  # next pow2 >= n
+        key = ("decode", bucket)
         if key not in self._fns:
-            self._fns[key] = self._build_decode(n)
+            self._fns[key] = self._build_decode(bucket)
         bs = self.cache.block_size
-        bt = np.zeros((n, self.max_blocks_per_seq), np.int32)
-        slots = np.zeros((n, 1), np.int32)
+        bt = np.zeros((bucket, self.max_blocks_per_seq), np.int32)
+        slots = np.zeros((bucket, 1), np.int32)
+        toks = np.zeros((bucket,), np.int32)
+        toks[:n] = tokens
+        pos = np.zeros((bucket,), np.int32)
+        pos[:n] = positions
         for i, table in enumerate(block_tables):
             bt[i, : len(table)] = table
             p = int(positions[i])
             slots[i, 0] = table[p // bs] * bs + p % bs if table else 0
-        ctx_lens = (positions + 1).astype(np.int32)
-        self.cache, logits = self._fns[key](
+        ctx_lens = (pos + 1).astype(np.int32)
+        self.cache, (logits, greedy) = self._fns[key](
             self.model.params if params is None else params, self.cache,
-            jnp.asarray(tokens[:, None], jnp.int32), jnp.asarray(bt), jnp.asarray(slots),
-            jnp.asarray(positions.astype(np.int32)), jnp.asarray(ctx_lens))
-        return logits
+            jnp.asarray(toks[:, None], jnp.int32), jnp.asarray(bt), jnp.asarray(slots),
+            jnp.asarray(pos), jnp.asarray(ctx_lens))
+        return logits[:n], greedy[:n]
