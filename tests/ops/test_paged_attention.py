@@ -71,11 +71,13 @@ def _oracle(q, k_pool, v_pool, tables, ctx_lens, scale, sliding_window=None):
     return out
 
 
-def _run(n, h, kvh, d, bs, ctx_lens, sliding_window=None, dtype=jnp.float32, seed=0):
+def _run(n, h, kvh, d, bs, ctx_lens, sliding_window=None, dtype=jnp.float32,
+         seed=0, interpret=None):
     q, kp, vp, tables, ctx = _build(n, h, kvh, d, bs, ctx_lens, seed=seed, dtype=dtype)
     scale = d ** -0.5
     out = paged_decode_attention(q, kp, vp, tables, ctx, scale=scale,
-                                 sliding_window=sliding_window)
+                                 sliding_window=sliding_window,
+                                 interpret=interpret)
     ref = _oracle(q, kp, vp, tables, ctx, scale, sliding_window)
     atol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=atol, rtol=1e-2)
@@ -99,7 +101,15 @@ def test_context_spanning_many_groups():
 
 def test_ragged_ctx_lens():
     # rows at wildly different fill levels, incl. exact page multiples
-    _run(n=5, h=8, kvh=4, d=64, bs=32, ctx_lens=[32, 1, 317, 64, 200], seed=5)
+    _run(n=5, h=8, kvh=4, d=128, bs=32, ctx_lens=[32, 1, 317, 64, 200], seed=5)
+
+
+def test_small_head_dim_interpret_only():
+    # d=64 violates Mosaic's 128-lane DMA alignment: the compiled kernel
+    # rejects it (the model dispatch gathers instead), but the kernel logic
+    # itself still holds — exercised in interpret mode on any backend.
+    _run(n=5, h=8, kvh=4, d=64, bs=32, ctx_lens=[32, 1, 317, 64, 200], seed=5,
+         interpret=True)
 
 
 @pytest.mark.parametrize("window", [16, 40, 128])

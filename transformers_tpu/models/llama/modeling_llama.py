@@ -226,10 +226,14 @@ class LlamaAttention(Module):
             attn_fn = get_attention_fn(self.config.attn_implementation)
             out = attn_fn(q, k, v, scale=self.scale, **kwargs)
         elif (getattr(cache, "layout", "bshd") == "paged" and s == 1
+              and self.head_dim % 128 == 0
               and kwargs.get("logit_cap") is None and kwargs.get("sinks") is None
               and kwargs.get("probs_sink") is None):
             # continuous-batching decode: block-table kernel, no gather
-            # (reference flash_attn_with_kvcache, integrations/flash_paged.py:50)
+            # (reference flash_attn_with_kvcache, integrations/flash_paged.py:50).
+            # head_dim % 128 gate: Mosaic DMA lane alignment
+            # (ops/pallas/paged_attention.paged_decode_supported) — odd head
+            # dims take the gather fallback below.
             from ...ops.pallas.paged_attention import paged_decode_attention
 
             k_pool, v_pool, block_tables, ctx_lens = cache.paged_layer(self.layer_idx)

@@ -67,6 +67,7 @@ def _fused_decode_kernel(
     scale: float,
     chunk: int,
     seq_len: int,
+    precision: jax.lax.Precision,
 ):
     n = pl.program_id(0)
     kvh, g, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
@@ -121,7 +122,8 @@ def _fused_decode_kernel(
         k = k_buf[slot]  # [KVH, CH, D]
         v = v_buf[slot]
         s = jax.lax.dot_general(qf, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)  # [KVH, Gp, CH]
+                                preferred_element_type=jnp.float32,
+                                precision=precision)  # [KVH, Gp, CH]
         s = (s * scale).reshape(kvh * g, ch)
         slots = p0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         ok = (slots >= start) & (slots < pos)
@@ -138,7 +140,8 @@ def _fused_decode_kernel(
         l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(p.reshape(kvh, g, ch).astype(v.dtype), v,
                                  (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
         acc = acc * alpha + pv.reshape(kvh * g, d)
 
         @pl.when(ci + 2 < num_chunks)
@@ -191,6 +194,7 @@ def _fused_decode_kernel_whole(
     sems,       # DMA [B, 2]
     *,
     scale: float,
+    precision: jax.lax.Precision,
 ):
     """Small-context variant: ONE grid step fetches every row's whole live
     KV slab and scores the batch with two batched MXU dots — minimal launch
@@ -224,7 +228,8 @@ def _fused_decode_kernel_whole(
     v = v_buf[...].reshape(b * kvh, s_len, d)
     qf = qr.reshape(b * kvh, g, d)
     s = jax.lax.dot_general(qf, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)  # [B*KVH, Gp, S]
+                            preferred_element_type=jnp.float32,
+                            precision=precision)  # [B*KVH, Gp, S]
     s = (s * scale).reshape(b, kvh, g, s_len)
     slots = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, s_len), 3)
     startv = startv_ref[...][:, None, None, :]  # [B, 1, 1, 1]
@@ -241,7 +246,8 @@ def _fused_decode_kernel_whole(
     l = jnp.sum(p, axis=-1, keepdims=True) + p_new
     pv = jax.lax.dot_general(p.reshape(b * kvh, g, s_len).astype(v.dtype), v,
                              (((2,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
     pv = pv.reshape(b, kvh, g, d)
     vn = vnew_ref[...].astype(jnp.float32)            # [B, KVH, 1, D]
     acc = pv + p_new * vn
@@ -279,13 +285,20 @@ def fused_decode_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # f32 caches: the MXU's default f32 matmul is a single bf16 pass (~1e-3
+    # error vs interpret mode's true f32); request HIGHEST so compiled ==
+    # interpret == oracle. bf16 (the serving path) keeps the fast default.
+    precision = (jax.lax.Precision.HIGHEST if k_cache.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
     # small contexts: single grid step, whole-slab fetch, batched dots.
     # The scratch K+V buffers together hold exactly slab_bytes; 24 MB leaves
     # ample headroom in v5e's ~128 MB VMEM and covers serving batches
     # (B=16 x S=224 at Llama-3-8B geometry = 14.7 MB).
     slab_bytes = 2 * b * kvh * s * d * jnp.dtype(k_cache.dtype).itemsize
     if slab_bytes <= 24 * 1024 * 1024:
-        kernel = functools.partial(_fused_decode_kernel_whole, scale=scale)
+        kernel = functools.partial(_fused_decode_kernel_whole, scale=scale,
+                                   precision=precision)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(1,),
@@ -297,8 +310,8 @@ def fused_decode_attention(
                 pl.BlockSpec((b, 1, d), lambda *_: (0, 0, 0)),
                 pl.BlockSpec((b, s), lambda *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda *_: (0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             ],
             out_specs=(
                 pl.BlockSpec((b, kvh, pad_g, d), lambda *_: (0, 0, 0, 0)),
@@ -319,6 +332,9 @@ def fused_decode_attention(
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                # the whole-slab scratch (up to 24 MB) exceeds Mosaic's
+                # default 16 MB scoped-vmem budget; v5e has 128 MB VMEM
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
         )(jnp.atleast_1d(jnp.asarray(pos, jnp.int32)), start.astype(jnp.int32),
@@ -334,7 +350,7 @@ def fused_decode_attention(
 
     ch = next(c for c in (512, 384, 256, 128, s) if s % c == 0)
     kernel = functools.partial(_fused_decode_kernel, scale=scale, chunk=ch,
-                               seq_len=s)
+                               seq_len=s, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
@@ -345,8 +361,8 @@ def fused_decode_attention(
             pl.BlockSpec((1, 1, d), lambda ni, *_: (ni, 0, 0)),
             pl.BlockSpec((1, 1, d), lambda ni, *_: (ni, 0, 0)),
             pl.BlockSpec((1, s), lambda ni, *_: (ni, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, kvh, pad_g, d), lambda ni, *_: (ni, 0, 0, 0)),

@@ -55,6 +55,7 @@ def _paged_decode_kernel(
     *,
     scale: float,
     block_size: int,
+    precision: jax.lax.Precision,
 ):
     n = pl.program_id(0)
     kvh, g, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
@@ -110,7 +111,8 @@ def _paged_decode_kernel(
         v = v_buf[buf_slot]
         # ONE batched MXU dot for the whole group: [KVH, G, GROUP*BS]
         s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
         s2 = (s * scale).reshape(kvh * g, GROUP * bs)
         page_base = (first_page + gi * GROUP) * bs
         slots = page_base + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
@@ -125,7 +127,8 @@ def _paged_decode_kernel(
         # ONE PV dot: [KVH, G, GROUP*BS] x [KVH, GROUP*BS, D] -> [KVH, G, D]
         pg = p.reshape(kvh, g, GROUP * bs).astype(v.dtype)
         pv = jax.lax.dot_general(pg, v, (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
         acc = acc * alpha + pv.reshape(kvh * g, d)
 
         # refill this buffer with the group after the in-flight one
@@ -163,6 +166,12 @@ def paged_decode_attention(
     n, sq, h, d = q.shape
     assert sq == 1, "paged_decode_attention is the single-token decode path"
     p, kvh, bs, _ = k_pool.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # Mosaic DMA slices must be 128-aligned on the lane (last) dim; callers
+    # gate on paged_decode_supported() and use the gather fallback otherwise.
+    assert interpret or d % 128 == 0, \
+        f"paged decode kernel needs head_dim % 128 == 0, got {d}"
     g = h // kvh
     pad_g = max(g, 8)  # sublane minimum
 
@@ -182,14 +191,20 @@ def paged_decode_attention(
     else:
         start = jnp.zeros_like(ctx)
 
-    kernel = functools.partial(_paged_decode_kernel, scale=scale, block_size=bs)
+    # f32 pools: the MXU's default f32 matmul is a single bf16 pass (~1e-3
+    # error vs interpret mode's true f32); request HIGHEST so compiled ==
+    # interpret == oracle. bf16 pools (the serving path) keep the fast default.
+    precision = (jax.lax.Precision.HIGHEST if k_pool.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_paged_decode_kernel, scale=scale, block_size=bs,
+                               precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, kvh, pad_g, d), lambda ni, *_: (ni, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((1, kvh, pad_g, d), lambda ni, *_: (ni, 0, 0, 0)),
         scratch_shapes=[
@@ -198,8 +213,6 @@ def paged_decode_attention(
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -210,3 +223,10 @@ def paged_decode_attention(
         interpret=interpret,
     )(block_tables.astype(jnp.int32), ctx, start, qg, k_pool, v_pool)
     return out[:, :, :g, :].reshape(n, 1, h, d)
+
+
+def paged_decode_supported(head_dim: int) -> bool:
+    """True when the compiled kernel can serve this geometry (Mosaic DMA
+    slices must be 128-aligned on the lane dim). Callers fall back to the
+    gather path otherwise."""
+    return head_dim % 128 == 0
