@@ -150,6 +150,9 @@ def _register_patches():
     P["dots1"] = dict(n_group=2, topk_group=1, n_routed_experts=4,
                       n_shared_experts=1, num_experts_per_tok=2,
                       moe_intermediate_size=32, first_k_dense_replace=1)
+    P["solar_open"] = dict(n_group=1, topk_group=1, n_routed_experts=4,
+                           n_shared_experts=1, num_experts_per_tok=2,
+                           moe_intermediate_size=32, head_dim=8)
     P["mobilebert"] = dict(true_hidden_size=32, intra_bottleneck_size=32,
                            intermediate_size=64, num_feedforward_networks=2,
                            embedding_size=32)

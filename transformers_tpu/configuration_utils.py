@@ -143,6 +143,19 @@ class PretrainedConfig:
         return_unused = kwargs.pop("return_unused_kwargs", False)
         config_dict.pop("transformers_version", None)
         config_dict.pop("transformers_tpu_version", None)
+        # v5 checkpoints store rope under a single ``rope_parameters`` dict
+        # (reference modeling_rope_utils.py RopeParameters) instead of
+        # rope_theta + rope_scaling; translate on load. The per-layer-type
+        # dict form ({"full_attention": {...}, ...}) is left for families
+        # that consume it directly.
+        rp = config_dict.get("rope_parameters")
+        if (isinstance(rp, dict) and "rope_theta" in rp
+                and "rope_theta" not in config_dict):
+            rp = dict(rp)
+            config_dict["rope_theta"] = rp.pop("rope_theta")
+            rope_type = rp.get("rope_type", "default")
+            if rope_type != "default" or len(rp) > 1:
+                config_dict.setdefault("rope_scaling", rp)
         name_or_path = config_dict.pop("_name_or_path", "")
         # Instantiate nested sub-configs.
         for sub_name, sub_cls in cls.sub_configs.items():

@@ -17,6 +17,10 @@ from ...utils.hub import CONFIG_NAME, cached_file
 # model_type -> (module under transformers_tpu.models, config class name)
 CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaConfig"),
+    "cwm": ("cwm", "CwmConfig"),
+    "jais2": ("jais2", "Jais2Config"),
+    "solar_open": ("solar_open", "SolarOpenConfig"),
+    "granite_swa": ("granite_swa", "GraniteSWAConfig"),
     "mistral": ("mistral", "MistralConfig"),
     "qwen2": ("qwen2", "Qwen2Config"),
     "qwen3": ("qwen3", "Qwen3Config"),

@@ -93,6 +93,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaModelStandalone"),
     "jamba": ("jamba", "JambaModelStandalone"),
     "zamba": ("zamba", "ZambaModelStandalone"),
+    "cwm": ("cwm", "CwmModelStandalone"),
+    "jais2": ("jais2", "Jais2ModelStandalone"),
+    "solar_open": ("solar_open", "SolarOpenModelStandalone"),
+    "granite_swa": ("granite_swa", "GraniteSWAModelStandalone"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridModelStandalone"),
     "falcon_h1": ("falcon_h1", "FalconH1ModelStandalone"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeModelStandalone"),
@@ -256,6 +260,10 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaForCausalLM"),
     "jamba": ("jamba", "JambaForCausalLM"),
     "zamba": ("zamba", "ZambaForCausalLM"),
+    "cwm": ("cwm", "CwmForCausalLM"),
+    "jais2": ("jais2", "Jais2ForCausalLM"),
+    "solar_open": ("solar_open", "SolarOpenForCausalLM"),
+    "granite_swa": ("granite_swa", "GraniteSWAForCausalLM"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridForCausalLM"),
     "falcon_h1": ("falcon_h1", "FalconH1ForCausalLM"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeForCausalLM"),
