@@ -13,7 +13,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from .core.module import Linear, normal_init
+from .core.module import Linear, Module, normal_init
 from .modeling_outputs import (
     QuestionAnsweringModelOutput,
     SequenceClassifierOutputWithPast,
@@ -120,3 +120,4 @@ class GenericForQuestionAnswering(PreTrainedModel):
             loss=loss, start_logits=start_logits, end_logits=end_logits,
             hidden_states=outputs.hidden_states,
         )
+

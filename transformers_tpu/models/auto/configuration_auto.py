@@ -18,6 +18,12 @@ from ...utils.hub import CONFIG_NAME, cached_file
 CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaConfig"),
     "cwm": ("cwm", "CwmConfig"),
+    "minicpm3": ("minicpm3", "MiniCPM3Config"),
+    "minimax_m2": ("minimax_m2", "MiniMaxM2Config"),
+    "glm4_moe_lite": ("glm4_moe_lite", "Glm4MoeLiteConfig"),
+    "youtu": ("youtu", "YoutuConfig"),
+    "exaone_moe": ("exaone_moe", "ExaoneMoeConfig"),
+    "lfm2_moe": ("lfm2_moe", "Lfm2MoeConfig"),
     "jais2": ("jais2", "Jais2Config"),
     "solar_open": ("solar_open", "SolarOpenConfig"),
     "granite_swa": ("granite_swa", "GraniteSWAConfig"),

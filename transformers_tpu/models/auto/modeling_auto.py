@@ -94,6 +94,12 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "jamba": ("jamba", "JambaModelStandalone"),
     "zamba": ("zamba", "ZambaModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
+    "minicpm3": ("minicpm3", "MiniCPM3ModelStandalone"),
+    "minimax_m2": ("minimax_m2", "MiniMaxM2ModelStandalone"),
+    "glm4_moe_lite": ("glm4_moe_lite", "Glm4MoeLiteModelStandalone"),
+    "youtu": ("youtu", "YoutuModelStandalone"),
+    "exaone_moe": ("exaone_moe", "ExaoneMoeModelStandalone"),
+    "lfm2_moe": ("lfm2_moe", "Lfm2MoeModelStandalone"),
     "jais2": ("jais2", "Jais2ModelStandalone"),
     "solar_open": ("solar_open", "SolarOpenModelStandalone"),
     "granite_swa": ("granite_swa", "GraniteSWAModelStandalone"),
@@ -261,6 +267,12 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "jamba": ("jamba", "JambaForCausalLM"),
     "zamba": ("zamba", "ZambaForCausalLM"),
     "cwm": ("cwm", "CwmForCausalLM"),
+    "minicpm3": ("minicpm3", "MiniCPM3ForCausalLM"),
+    "minimax_m2": ("minimax_m2", "MiniMaxM2ForCausalLM"),
+    "glm4_moe_lite": ("glm4_moe_lite", "Glm4MoeLiteForCausalLM"),
+    "youtu": ("youtu", "YoutuForCausalLM"),
+    "exaone_moe": ("exaone_moe", "ExaoneMoeForCausalLM"),
+    "lfm2_moe": ("lfm2_moe", "Lfm2MoeForCausalLM"),
     "jais2": ("jais2", "Jais2ForCausalLM"),
     "solar_open": ("solar_open", "SolarOpenForCausalLM"),
     "granite_swa": ("granite_swa", "GraniteSWAForCausalLM"),
