@@ -145,6 +145,8 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "jetmoe": ("jetmoe", "JetMoeConfig"),
     "jamba": ("jamba", "JambaConfig"),
     "zamba": ("zamba", "ZambaConfig"),
+    "zamba2": ("zamba2", "Zamba2Config"),
+    "nemotron_h": ("nemotron_h", "NemotronHConfig"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),
     "falcon_h1": ("falcon_h1", "FalconH1Config"),
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeConfig"),

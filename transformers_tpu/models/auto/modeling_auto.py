@@ -93,6 +93,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaModelStandalone"),
     "jamba": ("jamba", "JambaModelStandalone"),
     "zamba": ("zamba", "ZambaModelStandalone"),
+    "zamba2": ("zamba2", "Zamba2ModelStandalone"),
+    "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
     "minicpm3": ("minicpm3", "MiniCPM3ModelStandalone"),
     "minimax_m2": ("minimax_m2", "MiniMaxM2ModelStandalone"),
@@ -266,6 +268,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "bamba": ("bamba", "BambaForCausalLM"),
     "jamba": ("jamba", "JambaForCausalLM"),
     "zamba": ("zamba", "ZambaForCausalLM"),
+    "zamba2": ("zamba2", "Zamba2ForCausalLM"),
+    "nemotron_h": ("nemotron_h", "NemotronHForCausalLM"),
     "cwm": ("cwm", "CwmForCausalLM"),
     "minicpm3": ("minicpm3", "MiniCPM3ForCausalLM"),
     "minimax_m2": ("minimax_m2", "MiniMaxM2ForCausalLM"),
