@@ -85,6 +85,7 @@ PATCHES: dict[str, dict] = {}
 # (enforced at skip time via _dedicated_test_exists).
 SKIP: dict[str, str] = {
     "encodec": "codec waveform IO; dedicated parity tests",
+    "dac": "codec waveform IO; dedicated parity tests",
     "mimi": "codec waveform IO; dedicated parity tests",
     "speecht5": "multi-entry seq2seq speech; dedicated parity tests",
     "speech_to_text": "fbank seq2seq; dedicated parity tests",
