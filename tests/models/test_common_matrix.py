@@ -86,6 +86,7 @@ PATCHES: dict[str, dict] = {}
 SKIP: dict[str, str] = {
     "encodec": "codec waveform IO; dedicated parity tests",
     "dac": "codec waveform IO; dedicated parity tests",
+    "xcodec": "codec waveform IO; dedicated parity tests",
     "mimi": "codec waveform IO; dedicated parity tests",
     "speecht5": "multi-entry seq2seq speech; dedicated parity tests",
     "speech_to_text": "fbank seq2seq; dedicated parity tests",

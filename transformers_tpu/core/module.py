@@ -383,7 +383,8 @@ class ConvTranspose(Module):
     ``padding`` on each spatial edge."""
 
     def __init__(self, in_channels, out_channels, kernel_size, stride=1, padding=0,
-                 use_bias=True, *, ndim=2, dtype=jnp.float32, param_dtype=jnp.float32):
+                 use_bias=True, output_padding=0, *, ndim=2, dtype=jnp.float32,
+                 param_dtype=jnp.float32):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         to_tuple = lambda v: tuple(v) if isinstance(v, (tuple, list)) else (v,) * ndim
         self.in_channels = in_channels
@@ -391,6 +392,7 @@ class ConvTranspose(Module):
         self.kernel_size = to_tuple(kernel_size)
         self.stride = to_tuple(stride)
         self.padding = to_tuple(padding)
+        self.output_padding = to_tuple(output_padding)
         self.use_bias = use_bias
         self.ndim = ndim
 
@@ -413,8 +415,11 @@ class ConvTranspose(Module):
             strides=self.stride, padding="VALID",
             dimension_numbers=(lhs, "OI" + "HWD"[: self.ndim], lhs),
             transpose_kernel=True)
+        # torch output_padding extends the RIGHT edge: crop p on the left and
+        # p - output_padding on the right
         idx = (slice(None), slice(None)) + tuple(
-            slice(p, y.shape[2 + i] - p) for i, p in enumerate(self.padding))
+            slice(p, y.shape[2 + i] - p + op)
+            for i, (p, op) in enumerate(zip(self.padding, self.output_padding)))
         y = y[idx]
         if self.use_bias:
             b = params["bias"].astype(self.dtype)

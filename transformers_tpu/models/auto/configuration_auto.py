@@ -147,6 +147,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "zamba": ("zamba", "ZambaConfig"),
     "zamba2": ("zamba2", "Zamba2Config"),
     "dac": ("dac", "DacConfig"),
+    "xcodec": ("xcodec", "XcodecConfig"),
     "nemotron_h": ("nemotron_h", "NemotronHConfig"),
     "granitemoehybrid": ("granitemoehybrid", "GraniteMoeHybridConfig"),
     "falcon_h1": ("falcon_h1", "FalconH1Config"),

@@ -95,6 +95,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "zamba": ("zamba", "ZambaModelStandalone"),
     "zamba2": ("zamba2", "Zamba2ModelStandalone"),
     "dac": ("dac", "DacModel"),
+    "xcodec": ("xcodec", "XcodecModel"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
     "minicpm3": ("minicpm3", "MiniCPM3ModelStandalone"),

@@ -135,14 +135,18 @@ class DacEncoderBlock(Module):
 
 
 class DacDecoderBlock(Module):
-    def __init__(self, config, stride, stride_index, *, dtype, param_dtype):
+    def __init__(self, config, stride, stride_index, *, odd_stride_output_padding=False,
+                 dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         in_dim = config.decoder_hidden_size // 2**stride_index
         out_dim = config.decoder_hidden_size // 2 ** (stride_index + 1)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.snake1 = Snake1d(in_dim, **kw)
+        # Xcodec's DAC variant sets output_padding = stride % 2
+        op = (stride % 2) if odd_stride_output_padding else 0
         self.conv_t1 = ConvTranspose(in_dim, out_dim, 2 * stride, stride=stride,
-                                     padding=math.ceil(stride / 2), ndim=1, **kw)
+                                     padding=math.ceil(stride / 2),
+                                     output_padding=op, ndim=1, **kw)
         self.res_unit1 = DacResidualUnit(out_dim, 1, **kw)
         self.res_unit2 = DacResidualUnit(out_dim, 3, **kw)
         self.res_unit3 = DacResidualUnit(out_dim, 9, **kw)
@@ -214,13 +218,16 @@ class DacEncoder(Module):
 
 
 class DacDecoder(Module):
-    def __init__(self, config, *, dtype, param_dtype):
+    def __init__(self, config, *, odd_stride_output_padding=False, final_tanh=True,
+                 dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
+        self.final_tanh = final_tanh
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.conv1 = Conv(config.hidden_size, config.decoder_hidden_size, 7,
                           padding=3, ndim=1, **kw)
-        self.block = [DacDecoderBlock(config, s, i, **kw)
-                      for i, s in enumerate(config.upsampling_ratios)]
+        self.block = [DacDecoderBlock(
+            config, s, i, odd_stride_output_padding=odd_stride_output_padding, **kw)
+            for i, s in enumerate(config.upsampling_ratios)]
         out_dim = config.decoder_hidden_size // 2 ** len(config.upsampling_ratios)
         self.snake1 = Snake1d(out_dim, **kw)
         self.conv2 = Conv(out_dim, 1, 7, padding=3, ndim=1, **kw)
@@ -230,7 +237,8 @@ class DacDecoder(Module):
         for i, blk in enumerate(self.block):
             x = blk(params["block"][str(i)], x)
         x = self.snake1(params["snake1"], x)
-        return jnp.tanh(self.conv2(params["conv2"], x))
+        x = self.conv2(params["conv2"], x)
+        return jnp.tanh(x) if self.final_tanh else x
 
 
 class DacPreTrainedModel(PreTrainedModel):
