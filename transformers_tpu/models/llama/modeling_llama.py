@@ -483,6 +483,7 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
         cache_position=0,
         inputs_embeds: Optional[jnp.ndarray] = None,
         labels: Optional[jnp.ndarray] = None,
+        shift_labels: Optional[jnp.ndarray] = None,
         logits_to_keep: int = 0,
         output_hidden_states: bool = False,
         output_attentions: bool = False,
@@ -497,10 +498,11 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
             hidden = hidden[:, -logits_to_keep:, :]
         logits = self.compute_logits(params, hidden)
         loss = None
-        if labels is not None:
+        if labels is not None or shift_labels is not None:
             from ...loss import for_causal_lm_loss
 
-            loss = for_causal_lm_loss(logits, labels, self.config.vocab_size)
+            loss = for_causal_lm_loss(logits, labels, self.config.vocab_size,
+                                      shift_labels=shift_labels)
         return CausalLMOutputWithPast(
             loss=loss,
             logits=logits,

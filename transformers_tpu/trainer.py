@@ -31,7 +31,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .optimization import create_optimizer, get_scheduler
-from .parallel.mesh import DATA_AXIS, FSDP_AXIS, make_mesh
+from .parallel.mesh import DATA_AXIS, FSDP_AXIS, SEQUENCE_AXIS, make_mesh
 from .parallel.plans import param_specs_with_plan
 from .trainer_callback import (
     CallbackHandler,
@@ -88,12 +88,17 @@ class Trainer:
         pc = self.args.parallelism_config
         if pc is not None:
             self.mesh = make_mesh(data=pc.dp_size, fsdp=pc.fsdp_size, tensor=pc.tp_size,
+                                  sequence=pc.cp_size,
                                   devices=jax.devices()[: pc.total()])
         else:
             self.mesh = make_mesh(data=len(jax.devices()))
         axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         batch_axes = tuple(a for a in (DATA_AXIS, FSDP_AXIS) if axis_sizes.get(a, 1) > 1)
         self.batch_sharding = NamedSharding(self.mesh, P(batch_axes if batch_axes else None))
+        self.cp_enabled = axis_sizes.get(SEQUENCE_AXIS, 1) > 1
+        # [B, S] buffers sharded on (batch axes, sequence) under CP
+        self.seq_sharding = NamedSharding(
+            self.mesh, P(batch_axes if batch_axes else None, SEQUENCE_AXIS))
         self.param_specs = param_specs_with_plan(model, mesh=self.mesh)
         self.param_shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), self.param_specs,
@@ -284,20 +289,45 @@ class Trainer:
 
     def _stack_and_shard(self, micro_batches: list[dict]) -> dict:
         ga = self.args.gradient_accumulation_steps
+        if self.cp_enabled:
+            micro_batches = [self._prepare_context_parallel_inputs(mb)
+                             for mb in micro_batches]
         if ga > 1:
             batch = {k: np.stack([np.asarray(mb[k]) for mb in micro_batches])
                      for k in micro_batches[0]}
         else:
             batch = {k: np.asarray(v) for k, v in micro_batches[0].items()}
 
-        def put(x):
-            if ga > 1:
-                # shard the inner batch dim
-                return jax.device_put(x, NamedSharding(
-                    self.mesh, P(None, *self.batch_sharding.spec)))
-            return jax.device_put(x, self.batch_sharding)
+        # sequence-dim buffers get the extra "sequence" shard under CP
+        seq_keys = {"input_ids", "labels", "shift_labels", "position_ids",
+                    "attention_mask"} if self.cp_enabled else set()
 
-        return {k: put(v) for k, v in batch.items()}
+        def put(k, x):
+            base = self.seq_sharding if (k in seq_keys and x.ndim >= 2) \
+                else self.batch_sharding
+            if ga > 1:
+                return jax.device_put(x, NamedSharding(self.mesh, P(None, *base.spec)))
+            return jax.device_put(x, base)
+
+        return {k: put(k, v) for k, v in batch.items()}
+
+    def _prepare_context_parallel_inputs(self, inputs: dict) -> dict:
+        """Host-side CP prep (reference trainer.py:2235): the shift-by-one of
+        the causal-LM loss crosses shard boundaries once the sequence dim is
+        sharded, so labels are pre-shifted here and passed as ``shift_labels``;
+        position_ids are materialized so every shard knows its absolute
+        offsets."""
+        inputs = dict(inputs)
+        ids = np.asarray(inputs["input_ids"])
+        if "shift_labels" not in inputs and "labels" in inputs:
+            labels = np.asarray(inputs["labels"])
+            inputs["shift_labels"] = np.concatenate(
+                [labels[:, 1:], np.full((labels.shape[0], 1), -100, labels.dtype)], axis=1)
+            del inputs["labels"]
+        if "position_ids" not in inputs:
+            inputs["position_ids"] = np.broadcast_to(
+                np.arange(ids.shape[1], dtype=np.int32), ids.shape)
+        return inputs
 
     def _put_batch_leaf(self, x):
         """Shard a batch leaf on the data axes; replicate when the row count

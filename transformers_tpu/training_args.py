@@ -17,14 +17,20 @@ from typing import Optional
 @dataclass
 class ParallelismConfig:
     """Mesh axis sizes (reference training_args.py:1282 parallelism_config,
-    compiled here to one Mesh with axes data/fsdp/tensor)."""
+    compiled here to one Mesh with axes data/fsdp/sequence/tensor).
+
+    ``cp_size`` is context parallelism: the Trainer shards every sequence-dim
+    input buffer over the ``sequence`` mesh axis (the GSPMD analog of the
+    reference's ``_prepare_context_parallel_inputs``, trainer.py:2235 — XLA
+    inserts the attention collectives instead of torch's ring hooks)."""
 
     dp_size: int = 1
     fsdp_size: int = 1
     tp_size: int = 1
+    cp_size: int = 1
 
     def total(self) -> int:
-        return self.dp_size * self.fsdp_size * self.tp_size
+        return self.dp_size * self.fsdp_size * self.tp_size * self.cp_size
 
 
 @dataclass
