@@ -50,6 +50,7 @@ from .utils import logging
 from .generation import TextIteratorStreamer, TextStreamer
 from .optimization import create_optimizer, get_scheduler
 from .trainer import Trainer
+from .trainer_seq2seq import Seq2SeqTrainer, Seq2SeqTrainingArguments
 from .trainer_callback import (
     DefaultFlowCallback,
     PrinterCallback,
