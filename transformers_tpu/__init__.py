@@ -53,6 +53,7 @@ from .trainer import Trainer
 from .trainer_seq2seq import Seq2SeqTrainer, Seq2SeqTrainingArguments
 from .trainer_callback import (
     DefaultFlowCallback,
+    EarlyStoppingCallback,
     PrinterCallback,
     TrainerCallback,
     TrainerControl,

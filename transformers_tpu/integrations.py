@@ -88,9 +88,90 @@ class WandbCallback(TrainerCallback):
             self._wandb.finish()
 
 
+def is_mlflow_available() -> bool:
+    return importlib.util.find_spec("mlflow") is not None
+
+
+def is_comet_available() -> bool:
+    return importlib.util.find_spec("comet_ml") is not None
+
+
+class MLflowCallback(TrainerCallback):
+    """reference integration_utils.py:1286 — params at train begin, metrics
+    per log, run closed at train end. MLFLOW_EXPERIMENT_NAME /
+    MLFLOW_TRACKING_URI env vars are honored by mlflow itself."""
+
+    # mlflow caps (reference MLflowCallback uses mlflow's own validation caps)
+    MAX_PARAM_VAL_LENGTH = 250
+
+    def __init__(self):
+        if not is_mlflow_available():
+            raise RuntimeError("MLflowCallback requires mlflow")
+        import mlflow
+
+        self._ml = mlflow
+        self._initialized = False
+
+    def on_train_begin(self, args, state, control, **kwargs):
+        if self._initialized:
+            return
+        if self._ml.active_run() is None:
+            self._ml.start_run(run_name=getattr(args, "run_name", None))
+        params = {k: str(v)[: self.MAX_PARAM_VAL_LENGTH]
+                  for k, v in args.to_dict().items() if v is not None}
+        # mlflow rejects >100 params per call; chunk like the reference
+        items = list(params.items())
+        for i in range(0, len(items), 100):
+            self._ml.log_params(dict(items[i : i + 100]))
+        self._initialized = True
+
+    def on_log(self, args, state, control, logs=None, **kwargs):
+        if not self._initialized or not logs:
+            return
+        metrics = {k: float(v) for k, v in logs.items() if isinstance(v, (int, float))}
+        if metrics:
+            self._ml.log_metrics(metrics=metrics, step=state.global_step)
+
+    def on_train_end(self, args, state, control, **kwargs):
+        if self._initialized and self._ml.active_run() is not None:
+            self._ml.end_run()
+            self._initialized = False
+
+
+class CometCallback(TrainerCallback):
+    """reference integration_utils.py:943 — one Experiment per run."""
+
+    def __init__(self):
+        if not is_comet_available():
+            raise RuntimeError("CometCallback requires comet_ml")
+        import comet_ml
+
+        self._comet = comet_ml
+        self._experiment = None
+
+    def on_train_begin(self, args, state, control, **kwargs):
+        if self._experiment is None:
+            self._experiment = self._comet.Experiment(
+                project_name=os.environ.get("COMET_PROJECT_NAME", "transformers_tpu"))
+            self._experiment.log_parameters(args.to_dict())
+
+    def on_log(self, args, state, control, logs=None, **kwargs):
+        if self._experiment is not None and logs:
+            self._experiment.log_metrics(
+                {k: v for k, v in logs.items() if isinstance(v, (int, float))},
+                step=state.global_step)
+
+    def on_train_end(self, args, state, control, **kwargs):
+        if self._experiment is not None:
+            self._experiment.end()
+            self._experiment = None
+
+
 REPORTER_REGISTRY = {
     "tensorboard": TensorBoardCallback,
     "wandb": WandbCallback,
+    "mlflow": MLflowCallback,
+    "comet_ml": CometCallback,
 }
 
 
@@ -106,6 +187,10 @@ def get_reporting_callbacks(report_to) -> list:
                 out.append(TensorBoardCallback())
             if is_wandb_available():
                 out.append(WandbCallback())
+            if is_mlflow_available():
+                out.append(MLflowCallback())
+            if is_comet_available():
+                out.append(CometCallback())
             continue
         if name not in REPORTER_REGISTRY:
             logger.warning(f"Unknown reporter {name!r}; known: {sorted(REPORTER_REGISTRY)}")

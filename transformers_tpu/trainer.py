@@ -127,12 +127,34 @@ class Trainer:
         idx = np.arange(n)
         if shuffle:
             # deterministic per-epoch order so resume reproduces the stream
-            rng = np.random.default_rng(self.args.seed + epoch)
+            seed = self.args.data_seed if self.args.data_seed is not None else self.args.seed
+            rng = np.random.default_rng(seed + epoch)
             rng.shuffle(idx)
+            if self.args.group_by_length:
+                idx = self._group_by_length(dataset, idx, batch_size)
         end = (n // batch_size) * batch_size if drop_last else n
         for start in range(0, end, batch_size):
             rows = [dataset[int(i)] for i in idx[start : start + batch_size]]
             yield self.data_collator(rows)
+
+    def _group_by_length(self, dataset, idx: np.ndarray, batch_size: int) -> np.ndarray:
+        """LengthGroupedSampler analog (reference trainer_pt_utils.py:563):
+        shuffle, then sort by length inside megabatches of 50*batch so each
+        batch pads to near-uniform lengths while the stream stays random."""
+        col = self.args.length_column_name
+
+        def length_of(i):
+            row = dataset[int(i)]
+            if col in row:
+                return int(np.asarray(row[col]))
+            return len(np.asarray(row["input_ids"]))
+
+        mega = batch_size * 50
+        out = []
+        for start in range(0, len(idx), mega):
+            chunk = idx[start : start + mega]
+            out.append(sorted(chunk.tolist(), key=length_of, reverse=True))
+        return np.asarray([i for c in out for i in c])
 
     def num_update_steps_per_epoch(self) -> int:
         n = len(self.train_dataset)
@@ -164,12 +186,22 @@ class Trainer:
         optimizer = self.optimizer
         ga = self.args.gradient_accumulation_steps
         loss_fn_custom = self.compute_loss_func
+        smoothing = self.args.label_smoothing_factor
 
         def loss_fn(params, batch):
+            if smoothing > 0 and loss_fn_custom is None:
+                return self._smoothed_loss(model, params, batch, smoothing)
             out = model(params, **batch)
             if loss_fn_custom is not None:
                 return loss_fn_custom(out, batch)
             return out.loss
+
+        if self.args.gradient_checkpointing:
+            # rematerialize the forward during backprop: activations are not
+            # kept between fwd and bwd (reference gradient_checkpointing_enable
+            # — per-layer there; whole-forward jax.checkpoint here, the
+            # jit-native equivalent trade of FLOPs for HBM)
+            loss_fn = jax.checkpoint(loss_fn)
 
         def train_step(params, opt_state, batch):
             if ga > 1:
@@ -191,6 +223,30 @@ class Trainer:
             return params, opt_state, loss, grad_norm
 
         return jax.jit(train_step, donate_argnums=(0, 1))
+
+    @staticmethod
+    def _smoothed_loss(model, params, batch, eps):
+        """Label-smoothed CE (reference trainer_pt_utils.py LabelSmoother:
+        loss = (1-eps)*nll + eps*mean(-logprobs)), shift-by-one for causal
+        LMs unless the batch already carries pre-shifted labels."""
+        batch = dict(batch)
+        labels = batch.pop("shift_labels", None)
+        shifted = labels is not None
+        if labels is None:
+            labels = batch.pop("labels")
+        out = model(params, **batch)
+        logits = out.logits
+        if not shifted:
+            logits = logits[:, :-1, :]
+            labels = labels[:, 1:]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        valid = labels != -100
+        safe = jnp.where(valid, labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        smooth = -jnp.mean(logp, axis=-1)
+        per_tok = (1.0 - eps) * nll + eps * smooth
+        count = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(jnp.where(valid, per_tok, 0.0)) / count
 
     # ---------------------------------------------------------------- train
     def train(self, resume_from_checkpoint: Optional[str] = None):
@@ -240,9 +296,13 @@ class Trainer:
                     continue
                 seen_steps += 1
                 # dataloader fast-forward on resume (reference trainer.py:1507)
-                if seen_steps <= start_step:
+                if seen_steps <= start_step and not args.ignore_data_skip:
                     micro_batches = []
                     continue
+                if args.include_num_input_tokens_seen:
+                    self.state.num_input_tokens_seen += sum(
+                        int(np.asarray(mb["input_ids"]).size)
+                        for mb in micro_batches if "input_ids" in mb)
                 self.control._new_step()
                 self.control = self.callback_handler.call_event(
                     "on_step_begin", args, self.state, self.control)
@@ -269,16 +329,28 @@ class Trainer:
                     self.evaluate()
                 if self.control.should_save:
                     self._save_checkpoint(opt_state)
+                    self._track_best_checkpoint()
                 if self.state.global_step >= max_steps or self.control.should_training_stop:
                     done = True
                     break
             self.control = self.callback_handler.call_event(
                 "on_epoch_end", args, self.state, self.control)
+            if self.control.should_evaluate and self.eval_dataset is not None:
+                self.evaluate()
+                self.control.should_evaluate = False
             if self.control.should_save:
                 self._save_checkpoint(opt_state)
+                self._track_best_checkpoint()
                 self.control.should_save = False
 
         self._last_opt_state = opt_state
+        if args.load_best_model_at_end and self.state.best_model_checkpoint:
+            logger.info(f"Loading best model from {self.state.best_model_checkpoint} "
+                        f"({args.metric_for_best_model}={self.state.best_metric})")
+            loaded = type(self.model).from_pretrained(
+                self.state.best_model_checkpoint, dtype=None)
+            self.params = jax.tree.map(
+                lambda v, s: jax.device_put(v, s), loaded.params, self.param_shardings)
         self.model.params = self.params
         train_time = time.time() - t0
         self.control = self.callback_handler.call_event(
@@ -430,12 +502,37 @@ class Trainer:
         if self.processing_class is not None and hasattr(self.processing_class, "save_pretrained"):
             self.processing_class.save_pretrained(output_dir)
 
+    def _track_best_checkpoint(self):
+        """Record best_metric/best_model_checkpoint after a save (reference
+        trainer.py _determine_best_metric)."""
+        args = self.args
+        if args.metric_for_best_model is None:
+            return
+        key = args.metric_for_best_model
+        if not key.startswith("eval_"):
+            key = f"eval_{key}"
+        value = None
+        for entry in reversed(self.state.log_history):
+            if key in entry:
+                value = float(entry[key])
+                break
+        if value is None:
+            return
+        better = (self.state.best_metric is None
+                  or (value > self.state.best_metric if args.greater_is_better
+                      else value < self.state.best_metric))
+        if better:
+            self.state.best_metric = value
+            self.state.best_model_checkpoint = os.path.join(
+                args.output_dir, f"checkpoint-{self.state.global_step}")
+
     def _save_checkpoint(self, opt_state):
         """reference trainer.py:3079 (model + optimizer + state + rotation)."""
         ckpt_dir = os.path.join(self.args.output_dir, f"checkpoint-{self.state.global_step}")
         os.makedirs(ckpt_dir, exist_ok=True)
         self.save_model(ckpt_dir)
-        self._save_opt_state(os.path.join(ckpt_dir, OPTIMIZER_DIR), opt_state)
+        if not self.args.save_only_model:
+            self._save_opt_state(os.path.join(ckpt_dir, OPTIMIZER_DIR), opt_state)
         self.state.save_to_json(os.path.join(ckpt_dir, TRAINER_STATE_NAME))
         self.control = self.callback_handler.call_event(
             "on_save", self.args, self.state, self.control)
@@ -449,7 +546,10 @@ class Trainer:
         ckpts = sorted(
             (d for d in os.listdir(out) if d.startswith("checkpoint-")),
             key=lambda d: int(d.split("-")[-1]))
+        best = os.path.basename(self.state.best_model_checkpoint or "")
         for stale in ckpts[:-limit]:
+            if stale == best:  # never rotate away the best checkpoint
+                continue
             shutil.rmtree(os.path.join(out, stale), ignore_errors=True)
 
     def _save_opt_state(self, path, opt_state):
@@ -470,6 +570,10 @@ class Trainer:
         loaded = type(self.model).from_pretrained(ckpt_dir, dtype=None)
         self.params = jax.tree.map(
             lambda v, s: jax.device_put(v, s), loaded.params, self.param_shardings)
+        if not os.path.isdir(os.path.join(ckpt_dir, OPTIMIZER_DIR)):
+            logger.warning("No optimizer state in checkpoint (save_only_model); "
+                           "resuming with a fresh optimizer")
+            return opt_state_template
         with ocp.StandardCheckpointer() as ckptr:
             opt_state = ckptr.restore(
                 os.path.abspath(os.path.join(ckpt_dir, OPTIMIZER_DIR)),

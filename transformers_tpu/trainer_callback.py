@@ -24,6 +24,7 @@ class TrainerState:
     best_model_checkpoint: Optional[str] = None
     is_world_process_zero: bool = True
     total_flos: float = 0.0
+    num_input_tokens_seen: int = 0
 
     def save_to_json(self, json_path: str):
         with open(json_path, "w", encoding="utf-8") as f:
@@ -113,11 +114,14 @@ class DefaultFlowCallback(TrainerCallback):
     """Log/eval/save cadence (reference trainer_callback.py DefaultFlowCallback)."""
 
     def on_step_end(self, args, state, control, **kwargs):
-        if args.logging_steps and state.global_step % args.logging_steps == 0:
+        log_on_steps = getattr(args, "logging_strategy", "steps") == "steps"
+        if log_on_steps and args.logging_steps and state.global_step % args.logging_steps == 0:
             control.should_log = True
         if args.logging_first_step and state.global_step == 1:
             control.should_log = True
-        if args.eval_strategy == "steps" and args.eval_steps and state.global_step % args.eval_steps == 0:
+        if (args.eval_strategy == "steps" and args.eval_steps
+                and state.global_step % args.eval_steps == 0
+                and state.global_step >= getattr(args, "eval_delay", 0)):
             control.should_evaluate = True
         if args.save_strategy == "steps" and args.save_steps and state.global_step % args.save_steps == 0:
             control.should_save = True
@@ -126,10 +130,52 @@ class DefaultFlowCallback(TrainerCallback):
         return control
 
     def on_epoch_end(self, args, state, control, **kwargs):
-        if args.eval_strategy == "epoch":
+        if getattr(args, "logging_strategy", "steps") == "epoch":
+            control.should_log = True
+        if args.eval_strategy == "epoch" and state.epoch >= getattr(args, "eval_delay", 0):
             control.should_evaluate = True
         if args.save_strategy == "epoch":
             control.should_save = True
+        return control
+
+
+class EarlyStoppingCallback(TrainerCallback):
+    """Stop when the tracked metric fails to improve for ``patience`` evals
+    (reference trainer_callback.py:585 EarlyStoppingCallback)."""
+
+    def __init__(self, early_stopping_patience: int = 1,
+                 early_stopping_threshold: float = 0.0):
+        self.early_stopping_patience = early_stopping_patience
+        self.early_stopping_threshold = early_stopping_threshold
+        self.early_stopping_patience_counter = 0
+        self._best = None
+
+    def on_train_begin(self, args, state, control, **kwargs):
+        if args.metric_for_best_model is None:
+            raise ValueError("EarlyStoppingCallback requires metric_for_best_model")
+        if args.eval_strategy == "no":
+            raise ValueError("EarlyStoppingCallback requires eval_strategy != 'no'")
+
+    def on_evaluate(self, args, state, control, metrics=None, **kwargs):
+        key = args.metric_for_best_model
+        if not key.startswith("eval_"):
+            key = f"eval_{key}"
+        value = (metrics or {}).get(key)
+        if value is None:
+            logger.warning(f"EarlyStopping: metric {key!r} missing from eval metrics")
+            return control
+        value = float(value)
+        greater = bool(args.greater_is_better)
+        improved = self._best is None or (
+            value > self._best + self.early_stopping_threshold if greater
+            else value < self._best - self.early_stopping_threshold)
+        if improved:
+            self._best = value
+            self.early_stopping_patience_counter = 0
+        else:
+            self.early_stopping_patience_counter += 1
+            if self.early_stopping_patience_counter >= self.early_stopping_patience:
+                control.should_training_stop = True
         return control
 
 

@@ -1,17 +1,25 @@
 """TrainingArguments.
 
 TPU-native analog of reference src/transformers/training_args.py (the
-load-bearing subset of its ~180 fields, plus mesh-based ``parallelism_config``
+load-bearing ~45 of its ~180 fields, plus mesh-based ``parallelism_config``
 replacing accelerate's — SURVEY §2.8: all parallelism here is axis
-assignment on one jax.sharding.Mesh).
+assignment on one jax.sharding.Mesh). Knobs that only exist because of
+torch runtime mechanics (pin_memory, ddp_*, deepspeed, torch_compile
+backends) are deliberately absent: under jit everything is one compiled
+program and the mesh covers distribution.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Optional
+
+from .utils import logging
+
+logger = logging.get_logger(__name__)
 
 
 @dataclass
@@ -35,13 +43,21 @@ class ParallelismConfig:
 
 @dataclass
 class TrainingArguments:
+    """reference training_args.py:174 (field-for-field where applicable)."""
+
     output_dir: str = "trainer_output"
     overwrite_output_dir: bool = False
+
+    # top-level intent flags (consumed by example scripts / HfArgumentParser)
+    do_train: bool = False
+    do_eval: bool = False
+    do_predict: bool = False
 
     # batch / steps
     per_device_train_batch_size: int = 8
     per_device_eval_batch_size: int = 8
     gradient_accumulation_steps: int = 1
+    eval_accumulation_steps: Optional[int] = None
     num_train_epochs: float = 3.0
     max_steps: int = -1
 
@@ -53,6 +69,7 @@ class TrainingArguments:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     optim: str = "adamw"
+    optim_args: Optional[str] = None
 
     # scheduler
     lr_scheduler_type: str = "linear"
@@ -60,32 +77,80 @@ class TrainingArguments:
     warmup_steps: int = 0
     warmup_ratio: float = 0.0
 
+    # loss shaping
+    label_smoothing_factor: float = 0.0
+
+    # memory
+    gradient_checkpointing: bool = False
+    gradient_checkpointing_kwargs: Optional[dict] = None
+
     # logging / eval / save
+    logging_strategy: str = "steps"  # no | steps | epoch
+    logging_dir: Optional[str] = None
     logging_steps: int = 500
     logging_first_step: bool = False
+    logging_nan_inf_filter: bool = True
     eval_strategy: str = "no"  # no | steps | epoch
     eval_steps: Optional[int] = None
+    eval_delay: float = 0
+    prediction_loss_only: bool = False
     save_strategy: str = "steps"  # no | steps | epoch
     save_steps: int = 500
     save_total_limit: Optional[int] = None
+    save_safetensors: bool = True
+    save_only_model: bool = False
+    load_best_model_at_end: bool = False
+    metric_for_best_model: Optional[str] = None
+    greater_is_better: Optional[bool] = None
     report_to: Optional[list] = None
+    run_name: Optional[str] = None
 
     # numerics
     seed: int = 42
+    data_seed: Optional[int] = None
     bf16: bool = False
+    fp16: bool = False  # TPU MXU has no fp16 path; mapped to bf16 with a warning
+
     # parallelism
     parallelism_config: Optional[ParallelismConfig] = None
 
-    # misc
+    # dataloader
     dataloader_drop_last: bool = True
+    dataloader_num_workers: int = 0  # host loader is synchronous; API parity
+    group_by_length: bool = False
+    length_column_name: str = "length"
+
+    # misc
     label_names: Optional[list] = None
     remove_unused_columns: bool = True
     resume_from_checkpoint: Optional[str] = None
+    ignore_data_skip: bool = False
+    include_num_input_tokens_seen: bool = False
+    average_tokens_across_devices: bool = True  # GSPMD global mean is native
+    torch_compile: bool = False  # no-op: every step is jit-compiled already
     disable_tqdm: bool = True
 
     def __post_init__(self):
         if isinstance(self.parallelism_config, dict):
             self.parallelism_config = ParallelismConfig(**self.parallelism_config)
+        if self.fp16:
+            logger.warning("fp16 requested; TPUs compute in bfloat16 — using bf16")
+            self.bf16, self.fp16 = True, False
+        if self.logging_dir is None:
+            self.logging_dir = os.path.join(self.output_dir, "runs")
+        if self.load_best_model_at_end:
+            if self.metric_for_best_model is None:
+                self.metric_for_best_model = "loss"
+            if self.eval_strategy == "no":
+                raise ValueError(
+                    "load_best_model_at_end requires eval_strategy of 'steps' or 'epoch'")
+        if self.greater_is_better is None and self.metric_for_best_model is not None:
+            self.greater_is_better = not self.metric_for_best_model.rstrip().endswith("loss")
+        for name, value in (("logging_strategy", self.logging_strategy),
+                            ("eval_strategy", self.eval_strategy),
+                            ("save_strategy", self.save_strategy)):
+            if value not in ("no", "steps", "epoch"):
+                raise ValueError(f"{name} must be one of no|steps|epoch, got {value!r}")
 
     @property
     def train_batch_size(self) -> int:
