@@ -47,6 +47,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "marian": ("marian", "MarianConfig"),
     "m2m_100": ("m2m_100", "M2M100Config"),
     "nllb": ("m2m_100", "M2M100Config"),
+    "nllb-moe": ("nllb_moe", "NllbMoeConfig"),
     "paligemma": ("paligemma", "PaliGemmaConfig"),
     "colpali": ("colpali", "ColPaliConfig"),
     "colqwen2": ("colqwen2", "ColQwen2Config"),

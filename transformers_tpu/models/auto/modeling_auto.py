@@ -553,6 +553,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pegasus": ("pegasus", "PegasusForConditionalGeneration"),
     "marian": ("marian", "MarianMTModel"),
     "m2m_100": ("m2m_100", "M2M100ForConditionalGeneration"),
+    "nllb-moe": ("nllb_moe", "NllbMoeForConditionalGeneration"),
     "fsmt": ("fsmt", "FSMTForConditionalGeneration"),
     "plbart": ("plbart", "PLBartForConditionalGeneration"),
     "blenderbot": ("blenderbot", "BlenderbotForConditionalGeneration"),
