@@ -48,6 +48,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "m2m_100": ("m2m_100", "M2M100Config"),
     "nllb": ("m2m_100", "M2M100Config"),
     "nllb-moe": ("nllb_moe", "NllbMoeConfig"),
+    "prophetnet": ("prophetnet", "ProphetNetConfig"),
     "paligemma": ("paligemma", "PaliGemmaConfig"),
     "colpali": ("colpali", "ColPaliConfig"),
     "colqwen2": ("colqwen2", "ColQwen2Config"),

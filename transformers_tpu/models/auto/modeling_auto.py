@@ -554,6 +554,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "marian": ("marian", "MarianMTModel"),
     "m2m_100": ("m2m_100", "M2M100ForConditionalGeneration"),
     "nllb-moe": ("nllb_moe", "NllbMoeForConditionalGeneration"),
+    "prophetnet": ("prophetnet", "ProphetNetForConditionalGeneration"),
     "fsmt": ("fsmt", "FSMTForConditionalGeneration"),
     "plbart": ("plbart", "PLBartForConditionalGeneration"),
     "blenderbot": ("blenderbot", "BlenderbotForConditionalGeneration"),
