@@ -79,7 +79,14 @@ TINY = dict(
 )
 
 # Per-family constructor overrides for constrained geometries.
-PATCHES: dict[str, dict] = {}
+PATCHES: dict[str, dict] = {
+    # axial dims must sum to hidden_size; chunk lengths must divide the
+    # padded length; axial_pos_shape must multiply to >= padded length
+    "reformer": dict(attention_head_size=8, attn_layers=["local", "lsh"],
+                     axial_pos_shape=[8, 16], axial_pos_embds_dim=[8, 24],
+                     local_attn_chunk_length=8, lsh_attn_chunk_length=8,
+                     num_buckets=4, num_hashes=1, hash_seed=3),
+}
 
 # Families that can't be driven generically; each must have dedicated tests
 # (enforced at skip time via _dedicated_test_exists).

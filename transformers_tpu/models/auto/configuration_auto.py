@@ -49,6 +49,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "nllb": ("m2m_100", "M2M100Config"),
     "nllb-moe": ("nllb_moe", "NllbMoeConfig"),
     "prophetnet": ("prophetnet", "ProphetNetConfig"),
+    "reformer": ("reformer", "ReformerConfig"),
     "paligemma": ("paligemma", "PaliGemmaConfig"),
     "colpali": ("colpali", "ColPaliConfig"),
     "colqwen2": ("colqwen2", "ColQwen2Config"),

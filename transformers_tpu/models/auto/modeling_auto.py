@@ -96,6 +96,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "zamba2": ("zamba2", "Zamba2ModelStandalone"),
     "dac": ("dac", "DacModel"),
     "xcodec": ("xcodec", "XcodecModel"),
+    "reformer": ("reformer", "ReformerModel"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
     "minicpm3": ("minicpm3", "MiniCPM3ModelStandalone"),
