@@ -82,6 +82,9 @@ TINY = dict(
 PATCHES: dict[str, dict] = {
     # axial dims must sum to hidden_size; chunk lengths must divide the
     # padded length; axial_pos_shape must multiply to >= padded length
+    # spatial embeddings concat (4*coord + 2*shape) must equal hidden_size
+    "layoutlmv3": dict(coordinate_size=4, shape_size=8, input_size=32,
+                       patch_size=16),
     "reformer": dict(attention_head_size=8, attn_layers=["local", "lsh"],
                      axial_pos_shape=[8, 16], axial_pos_embds_dim=[8, 24],
                      local_attn_chunk_length=8, lsh_attn_chunk_length=8,

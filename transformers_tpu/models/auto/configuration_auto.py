@@ -55,6 +55,7 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "colqwen2": ("colqwen2", "ColQwen2Config"),
     "gemma3": ("gemma3", "Gemma3Config"),
     "layoutlm": ("layoutlm", "LayoutLMConfig"),
+    "layoutlmv3": ("layoutlmv3", "LayoutLMv3Config"),
     "sam": ("sam", "SamConfig"),
     "sam2": ("sam2", "Sam2Config"),
     "sam2_vision_model": ("sam2", "Sam2VisionConfig"),

@@ -97,6 +97,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dac": ("dac", "DacModel"),
     "xcodec": ("xcodec", "XcodecModel"),
     "reformer": ("reformer", "ReformerModel"),
+    "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
     "minicpm3": ("minicpm3", "MiniCPM3ModelStandalone"),
