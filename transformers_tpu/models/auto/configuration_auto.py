@@ -50,6 +50,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "nllb-moe": ("nllb_moe", "NllbMoeConfig"),
     "prophetnet": ("prophetnet", "ProphetNetConfig"),
     "reformer": ("reformer", "ReformerConfig"),
+    "ministral3": ("ministral3", "Ministral3Config"),
+    "hyperclovax": ("hyperclovax", "HyperCLOVAXConfig"),
+    "nanochat": ("nanochat", "NanoChatConfig"),
+    "eurobert": ("eurobert", "EuroBertConfig"),
     "paligemma": ("paligemma", "PaliGemmaConfig"),
     "colpali": ("colpali", "ColPaliConfig"),
     "colqwen2": ("colqwen2", "ColQwen2Config"),

@@ -97,6 +97,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dac": ("dac", "DacModel"),
     "xcodec": ("xcodec", "XcodecModel"),
     "reformer": ("reformer", "ReformerModel"),
+    "ministral3": ("ministral3", "Ministral3ModelStandalone"),
+    "hyperclovax": ("hyperclovax", "HyperCLOVAXModelStandalone"),
+    "nanochat": ("nanochat", "NanoChatModelStandalone"),
+    "eurobert": ("eurobert", "EuroBertModelStandalone"),
     "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
@@ -251,6 +255,9 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama": ("llama", "LlamaForCausalLM"),
     "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
+    "ministral3": ("ministral3", "Ministral3ForCausalLM"),
+    "hyperclovax": ("hyperclovax", "HyperCLOVAXForCausalLM"),
+    "nanochat": ("nanochat", "NanoChatForCausalLM"),
     "qwen2": ("qwen2", "Qwen2ForCausalLM"),
     "qwen3": ("qwen3", "Qwen3ForCausalLM"),
     "gemma": ("gemma", "GemmaForCausalLM"),
@@ -424,6 +431,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "lilt": ("lilt", "LiltForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "eurobert": ("eurobert", "EuroBertForMaskedLM"),
     "xlm": ("xlm", "XLMWithLMHeadModel"),
     "funnel": ("funnel", "FunnelForMaskedLM"),
     "tapas": ("tapas", "TapasForMaskedLM"),
