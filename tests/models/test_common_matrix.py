@@ -97,6 +97,10 @@ SKIP: dict[str, str] = {
     "encodec": "codec waveform IO; dedicated parity tests",
     "dac": "codec waveform IO; dedicated parity tests",
     "xcodec": "codec waveform IO; dedicated parity tests",
+    "parakeet_encoder": "mel-feature IO; dedicated parity tests",
+    "parakeet_ctc": "mel-feature IO; dedicated parity tests",
+    "parakeet_rnnt": "transducer IO; dedicated parity tests",
+    "parakeet_tdt": "transducer IO; dedicated parity tests",
     "mimi": "codec waveform IO; dedicated parity tests",
     "speecht5": "multi-entry seq2seq speech; dedicated parity tests",
     "speech_to_text": "fbank seq2seq; dedicated parity tests",

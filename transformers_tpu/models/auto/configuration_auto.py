@@ -54,6 +54,10 @@ CONFIG_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hyperclovax": ("hyperclovax", "HyperCLOVAXConfig"),
     "nanochat": ("nanochat", "NanoChatConfig"),
     "eurobert": ("eurobert", "EuroBertConfig"),
+    "parakeet_encoder": ("parakeet", "ParakeetEncoderConfig"),
+    "parakeet_ctc": ("parakeet", "ParakeetCTCConfig"),
+    "parakeet_rnnt": ("parakeet", "ParakeetRNNTConfig"),
+    "parakeet_tdt": ("parakeet", "ParakeetTDTConfig"),
     "paligemma": ("paligemma", "PaliGemmaConfig"),
     "colpali": ("colpali", "ColPaliConfig"),
     "colqwen2": ("colqwen2", "ColQwen2Config"),

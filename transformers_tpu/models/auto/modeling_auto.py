@@ -101,6 +101,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "hyperclovax": ("hyperclovax", "HyperCLOVAXModelStandalone"),
     "nanochat": ("nanochat", "NanoChatModelStandalone"),
     "eurobert": ("eurobert", "EuroBertModelStandalone"),
+    "parakeet_encoder": ("parakeet", "ParakeetEncoder"),
+    "parakeet_ctc": ("parakeet", "ParakeetForCTC"),
+    "parakeet_rnnt": ("parakeet", "ParakeetForRNNT"),
+    "parakeet_tdt": ("parakeet", "ParakeetForTDT"),
     "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
@@ -540,6 +544,7 @@ MODEL_FOR_CTC_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertForCTC"),
     "hubert": ("hubert", "HubertForCTC"),
     "wavlm": ("wavlm", "WavLMForCTC"),
+    "parakeet_ctc": ("parakeet", "ParakeetForCTC"),
     "unispeech": ("unispeech", "UniSpeechForCTC"),
     "unispeech-sat": ("unispeech_sat", "UniSpeechSatForCTC"),
     "data2vec-audio": ("data2vec", "Data2VecAudioForCTC"),
