@@ -105,6 +105,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "parakeet_ctc": ("parakeet", "ParakeetForCTC"),
     "parakeet_rnnt": ("parakeet", "ParakeetForRNNT"),
     "parakeet_tdt": ("parakeet", "ParakeetForTDT"),
+    "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
@@ -596,6 +597,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
