@@ -106,6 +106,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "parakeet_rnnt": ("parakeet", "ParakeetForRNNT"),
     "parakeet_tdt": ("parakeet", "ParakeetForTDT"),
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
+    "vjepa2": ("vjepa2", "VJEPA2Model"),
     "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
@@ -506,6 +507,7 @@ MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] =
     "owlv2": ("owlv2", "Owlv2ForObjectDetection"),
 }
 MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "vjepa2": ("vjepa2", "VJEPA2ForVideoClassification"),
     "vivit": ("vivit", "VivitForVideoClassification"),
     "videomae": ("videomae", "VideoMAEForVideoClassification"),
     "timesformer": ("timesformer", "TimesformerForVideoClassification"),
@@ -598,6 +600,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
+    "vjepa2": ("vjepa2", "VJEPA2Model"),
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),

@@ -1,0 +1,5 @@
+from .configuration_vjepa2 import VJEPA2Config
+from .modeling_vjepa2 import (
+    VJEPA2ForVideoClassification,
+    VJEPA2Model,
+)
