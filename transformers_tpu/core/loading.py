@@ -290,10 +290,12 @@ def load_checkpoint_in_model(
                         np.array(f.get_tensor(ckpt_key))
                     continue
                 key = ckpt_key
+                # apply every matching rename in declaration order (reference
+                # conversion_mapping semantics: WeightRenaming lists chain);
+                # search anywhere — renames are often mid-key
                 for rule in rules:
-                    if re.match(rule.pattern, key):
+                    if re.search(rule.pattern, key):
                         key = rule.apply_name(key)
-                        break
                 key = _fix_prefix(key)
                 if key not in expected_keys:
                     report.unexpected_keys.append(ckpt_key)

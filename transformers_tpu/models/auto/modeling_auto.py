@@ -107,6 +107,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "parakeet_tdt": ("parakeet", "ParakeetForTDT"),
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
+    "rt_detr": ("rt_detr", "RTDetrModel"),
     "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
@@ -528,6 +529,7 @@ MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("segformer", "SegformerForSemanticSegmentation"),
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "rt_detr": ("rt_detr", "RTDetrForObjectDetection"),
     "detr": ("detr", "DetrForObjectDetection"),
     "table-transformer": ("table_transformer", "TableTransformerForObjectDetection"),
     "yolos": ("yolos", "YolosForObjectDetection"),
@@ -601,6 +603,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
+    "rt_detr": ("rt_detr", "RTDetrModel"),
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),

@@ -309,11 +309,13 @@ class ParakeetEncoder(ParakeetPreTrainedModel):
 
     def __init__(self, config, *, dtype=jnp.float32, param_dtype=None):
         super().__init__(config, dtype=dtype, param_dtype=param_dtype)
-        self._core = _ParakeetEncoderCore(config, dtype=self.dtype,
-                                          param_dtype=self.param_dtype)
-
-    def init(self, rng):
-        return self._core.init(rng)
+        core = _ParakeetEncoderCore(config, dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
+        # expose core children at top level so checkpoint keys resolve the
+        # module-tree load transforms without a wrapper prefix
+        for name, child in core.children.items():
+            setattr(self, name, child)
+        object.__setattr__(self, "_core", core)
 
     def __call__(self, params, input_features, attention_mask=None, **kwargs):
         h, valid = self._core(params, input_features, attention_mask)
