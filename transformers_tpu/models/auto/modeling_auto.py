@@ -108,6 +108,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
     "rt_detr": ("rt_detr", "RTDetrModel"),
+    "rt_detr_v2": ("rt_detr_v2", "RTDetrV2Model"),
     "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
     "cwm": ("cwm", "CwmModelStandalone"),
@@ -530,6 +531,7 @@ MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rt_detr": ("rt_detr", "RTDetrForObjectDetection"),
+    "rt_detr_v2": ("rt_detr_v2", "RTDetrV2ForObjectDetection"),
     "detr": ("detr", "DetrForObjectDetection"),
     "table-transformer": ("table_transformer", "TableTransformerForObjectDetection"),
     "yolos": ("yolos", "YolosForObjectDetection"),
@@ -604,6 +606,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
     "rt_detr": ("rt_detr", "RTDetrModel"),
+    "rt_detr_v2": ("rt_detr_v2", "RTDetrV2Model"),
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),

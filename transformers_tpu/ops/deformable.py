@@ -74,3 +74,46 @@ def multi_scale_deformable_attention(value, spatial_shapes, sampling_locations,
     out = jnp.sum(stacked * weights, axis=-1)  # [B*heads, d, Q]
     out = out.reshape(b, heads * head_dim, q)
     return jnp.swapaxes(out, 1, 2)
+
+
+def multi_scale_deformable_attention_v2(value, spatial_shapes, sampling_locations,
+                                        attention_weights, num_points_list,
+                                        method="default"):
+    """RT-DETRv2 variant (reference models/rt_detr_v2/modeling_rt_detr_v2.py:44):
+    flat (levels*points) sampling axis and an optional 'discrete'
+    nearest-neighbor sampling mode.
+
+    sampling_locations: [B, Q, heads, sum(points), 2] in [0, 1]
+    attention_weights:  [B, Q, heads, sum(points)]
+    """
+    b, _, heads, head_dim = value.shape
+    _, q = sampling_locations.shape[:2]
+    splits = [h * w for h, w in spatial_shapes]
+    offsets = [0]
+    for s in splits:
+        offsets.append(offsets[-1] + s)
+    grids = 2 * sampling_locations - 1 if method == "default" else sampling_locations
+    grids = jnp.swapaxes(grids, 1, 2).reshape(b * heads, q, -1, 2)
+    point_offsets = [0]
+    for p in num_points_list:
+        point_offsets.append(point_offsets[-1] + p)
+    sampled = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, offsets[lvl] : offsets[lvl + 1]]
+        v = jnp.transpose(v, (0, 2, 3, 1)).reshape(b * heads, head_dim, h, w)
+        g = grids[:, :, point_offsets[lvl] : point_offsets[lvl + 1]]
+        if method == "default":
+            sampled.append(grid_sample_bilinear(v, g))
+        else:  # 'discrete': round to the nearest texel, clamped
+            coord = (g * jnp.asarray([w, h], g.dtype) + 0.5).astype(jnp.int32)
+            x = jnp.clip(coord[..., 0], 0, w - 1)
+            y = jnp.clip(coord[..., 1], 0, h - 1)
+            idx = (y * w + x).reshape(b * heads, -1)
+            flat = v.reshape(b * heads, head_dim, h * w)
+            out = jnp.take_along_axis(flat, idx[:, None, :].repeat(head_dim, 1), axis=2)
+            sampled.append(out.reshape(b * heads, head_dim, q, -1))
+    stacked = jnp.concatenate(sampled, axis=-1)  # [B*heads, d, Q, sum(points)]
+    weights = jnp.swapaxes(attention_weights, 1, 2).reshape(
+        b * heads, 1, q, -1).astype(stacked.dtype)
+    out = jnp.sum(stacked * weights, axis=-1).reshape(b, heads * head_dim, q)
+    return jnp.swapaxes(out, 1, 2)
