@@ -108,6 +108,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
     "rt_detr": ("rt_detr", "RTDetrModel"),
+    "perceiver": ("perceiver", "PerceiverModel"),
     "rt_detr_v2": ("rt_detr_v2", "RTDetrV2Model"),
     "layoutlmv3": ("layoutlmv3", "LayoutLMv3Model"),
     "nemotron_h": ("nemotron_h", "NemotronHModelStandalone"),
@@ -439,6 +440,7 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "lilt": ("lilt", "LiltForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "perceiver": ("perceiver", "PerceiverForMaskedLM"),
     "eurobert": ("eurobert", "EuroBertForMaskedLM"),
     "xlm": ("xlm", "XLMWithLMHeadModel"),
     "funnel": ("funnel", "FunnelForMaskedLM"),
@@ -606,6 +608,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
     "rt_detr": ("rt_detr", "RTDetrModel"),
+    "perceiver": ("perceiver", "PerceiverModel"),
     "rt_detr_v2": ("rt_detr_v2", "RTDetrV2Model"),
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
