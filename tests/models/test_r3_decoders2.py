@@ -38,6 +38,15 @@ FAMILIES = {
         vocab_size=99, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
         num_attention_heads=4, num_key_value_heads=2,
         max_position_embeddings=128), ""),
+    "cohere2_moe": ("Cohere2MoeConfig", "Cohere2MoeForCausalLM", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        num_experts=4, num_experts_per_tok=2, num_shared_experts=1,
+        shared_expert_combination_strategy="average",
+        expert_selection_fn="sigmoid", first_k_dense_replace=1,
+        prefix_dense_intermediate_size=48, rms_norm_eps=1e-5,
+        sliding_window=4, sliding_window_pattern=2, logit_scale=0.0625,
+        max_position_embeddings=128), ""),
 }
 
 

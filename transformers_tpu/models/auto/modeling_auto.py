@@ -127,6 +127,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gpt_bigcode": ("gpt_bigcode", "GPTBigCodeModelStandalone"),
     "biogpt": ("biogpt", "BioGptModelStandalone"),
     "cohere2": ("cohere2", "Cohere2ModelStandalone"),
+    "cohere2_moe": ("cohere2_moe", "Cohere2MoeModelStandalone"),
     "phimoe": ("phimoe", "PhimoeModelStandalone"),
     "glm4_moe": ("glm4_moe", "Glm4MoeModelStandalone"),
     "beit": ("beit", "BeitModelStandalone"),
@@ -265,6 +266,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
     "ministral3": ("ministral3", "Ministral3ForCausalLM"),
+    "cohere2_moe": ("cohere2_moe", "Cohere2MoeForCausalLM"),
     "hyperclovax": ("hyperclovax", "HyperCLOVAXForCausalLM"),
     "nanochat": ("nanochat", "NanoChatForCausalLM"),
     "qwen2": ("qwen2", "Qwen2ForCausalLM"),
