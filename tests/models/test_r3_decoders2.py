@@ -47,6 +47,16 @@ FAMILIES = {
         prefix_dense_intermediate_size=48, rms_norm_eps=1e-5,
         sliding_window=4, sliding_window_pattern=2, logit_scale=0.0625,
         max_position_embeddings=128), ""),
+    "granitemoe_swa": ("GraniteMoeSWAConfig", "GraniteMoeSWAForCausalLM", dict(
+        vocab_size=99, hidden_size=32, intermediate_size=48, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, shared_intermediate_size=24,
+        embedding_multiplier=2.0, logits_scaling=3.0, residual_multiplier=0.5,
+        attention_multiplier=0.3, sliding_window=4,
+        layer_rope_theta=[10000.0, 0, 10000.0, 500000.0],
+        max_position_embeddings=128),
+     "for l in m.model.layers:\n"
+     "    torch.nn.init.normal_(l.self_attn.sinks)\n"),
 }
 
 

@@ -128,6 +128,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "biogpt": ("biogpt", "BioGptModelStandalone"),
     "cohere2": ("cohere2", "Cohere2ModelStandalone"),
     "cohere2_moe": ("cohere2_moe", "Cohere2MoeModelStandalone"),
+    "granitemoe_swa": ("granitemoe_swa", "GraniteMoeSWAModelStandalone"),
     "phimoe": ("phimoe", "PhimoeModelStandalone"),
     "glm4_moe": ("glm4_moe", "Glm4MoeModelStandalone"),
     "beit": ("beit", "BeitModelStandalone"),
@@ -267,6 +268,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mistral": ("mistral", "MistralForCausalLM"),
     "ministral3": ("ministral3", "Ministral3ForCausalLM"),
     "cohere2_moe": ("cohere2_moe", "Cohere2MoeForCausalLM"),
+    "granitemoe_swa": ("granitemoe_swa", "GraniteMoeSWAForCausalLM"),
     "hyperclovax": ("hyperclovax", "HyperCLOVAXForCausalLM"),
     "nanochat": ("nanochat", "NanoChatForCausalLM"),
     "qwen2": ("qwen2", "Qwen2ForCausalLM"),
