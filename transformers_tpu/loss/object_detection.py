@@ -119,3 +119,89 @@ def detr_loss(logits, pred_boxes, targets, config) -> tuple[jnp.ndarray, dict]:
     total = (loss_ce + config.bbox_loss_coefficient * loss_bbox
              + config.giou_loss_coefficient * loss_giou)
     return total, loss_dict
+
+
+def _sigmoid_focal_match(logits, pred_boxes, targets, class_cost, bbox_cost,
+                         giou_cost, alpha=0.25, gamma=2.0):
+    """Deformable-DETR matcher: focal-style class cost over sigmoid probs
+    (reference loss_for_object_detection.py DeformableDetrHungarianMatcher)."""
+    from scipy.optimize import linear_sum_assignment
+
+    indices = []
+    for i, target in enumerate(targets):
+        tgt_ids = np.asarray(target["class_labels"])
+        tgt_boxes = jnp.asarray(target["boxes"], jnp.float32)
+        if len(tgt_ids) == 0:
+            indices.append((np.array([], np.int64), np.array([], np.int64)))
+            continue
+        prob = jax.nn.sigmoid(logits[i].astype(jnp.float32))  # [Q, C]
+        neg = (1 - alpha) * prob**gamma * (-jnp.log(jnp.clip(1 - prob, 1e-8)))
+        pos = alpha * (1 - prob) ** gamma * (-jnp.log(jnp.clip(prob, 1e-8)))
+        cost_class = pos[:, tgt_ids] - neg[:, tgt_ids]
+        cost_bbox = jnp.sum(jnp.abs(pred_boxes[i][:, None, :] - tgt_boxes[None, :, :]), axis=-1)
+        cost_giou = -generalized_box_iou(center_to_corners(pred_boxes[i]),
+                                         center_to_corners(tgt_boxes))
+        cost = bbox_cost * cost_bbox + class_cost * cost_class + giou_cost * cost_giou
+        row, col = linear_sum_assignment(np.asarray(cost))
+        indices.append((row.astype(np.int64), col.astype(np.int64)))
+    return indices
+
+
+def _deformable_level_loss(logits, pred_boxes, targets, config):
+    indices = _sigmoid_focal_match(logits, pred_boxes, targets,
+                                   config.class_cost, config.bbox_cost,
+                                   config.giou_cost, alpha=config.focal_alpha)
+    b, q, num_classes = logits.shape
+    num_boxes = max(sum(len(t["class_labels"]) for t in targets), 1)
+
+    # --- classification: sigmoid focal loss over one-hot targets
+    target_classes = np.full((b, q), num_classes, np.int64)
+    for i, (row, col) in enumerate(indices):
+        cls = np.asarray(targets[i]["class_labels"])
+        target_classes[i, row] = cls[col]
+    onehot = jax.nn.one_hot(jnp.asarray(target_classes), num_classes + 1)[..., :-1]
+    logits32 = logits.astype(jnp.float32)
+    prob = jax.nn.sigmoid(logits32)
+    ce = jnp.maximum(logits32, 0) - logits32 * onehot + jnp.log1p(jnp.exp(-jnp.abs(logits32)))
+    p_t = prob * onehot + (1 - prob) * (1 - onehot)
+    focal = ce * ((1 - p_t) ** 2.0)
+    alpha_t = config.focal_alpha * onehot + (1 - config.focal_alpha) * (1 - onehot)
+    loss_ce = (alpha_t * focal).mean(1).sum() / num_boxes * q
+
+    # --- boxes on matched queries
+    src_boxes, tgt_boxes = [], []
+    for i, (row, col) in enumerate(indices):
+        if len(row):
+            src_boxes.append(pred_boxes[i][jnp.asarray(row)])
+            tgt_boxes.append(jnp.asarray(np.asarray(targets[i]["boxes"])[col], jnp.float32))
+    if src_boxes:
+        src = jnp.concatenate(src_boxes).astype(jnp.float32)
+        tgt_b = jnp.concatenate(tgt_boxes)
+        loss_bbox = jnp.abs(src - tgt_b).sum() / num_boxes
+        giou = generalized_box_iou(center_to_corners(src), center_to_corners(tgt_b))
+        loss_giou = (1.0 - jnp.diagonal(giou)).sum() / num_boxes
+    else:
+        loss_bbox = jnp.asarray(0.0)
+        loss_giou = jnp.asarray(0.0)
+    return {"loss_ce": loss_ce, "loss_bbox": loss_bbox, "loss_giou": loss_giou}
+
+
+def deformable_detr_loss(outputs_classes, outputs_coords, targets, config) -> tuple[Any, dict, Any]:
+    """Focal class loss + L1 + GIoU summed over decoder levels when
+    ``auxiliary_loss`` (reference DeformableDetrForObjectDetectionLoss :576)."""
+    levels = range(outputs_classes.shape[0]) if config.auxiliary_loss \
+        else [outputs_classes.shape[0] - 1]
+    loss_dict = {}
+    total = jnp.asarray(0.0)
+    aux = []
+    for lvl in levels:
+        d = _deformable_level_loss(outputs_classes[lvl], outputs_coords[lvl],
+                                   targets, config)
+        total = total + (d["loss_ce"] + config.bbox_loss_coefficient * d["loss_bbox"]
+                         + config.giou_loss_coefficient * d["loss_giou"])
+        suffix = "" if lvl == outputs_classes.shape[0] - 1 else f"_{lvl}"
+        for k, v in d.items():
+            loss_dict[k + suffix] = v
+        if suffix:
+            aux.append({"logits": outputs_classes[lvl], "pred_boxes": outputs_coords[lvl]})
+    return total, loss_dict, aux or None

@@ -57,6 +57,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "modernbert": ("modernbert", "ModernBertModelStandalone"),
     "resnet": ("resnet", "ResNetModelStandalone"),
     "detr": ("detr", "DetrModelStandalone"),
+    "deformable_detr": ("deformable_detr", "DeformableDetrModelStandalone"),
     "convnext": ("convnext", "ConvNextModelStandalone"),
     "convnextv2": ("convnextv2", "ConvNextV2ModelStandalone"),
     "cpmant": ("cpmant", "CpmAntModelStandalone"),
@@ -539,6 +540,7 @@ MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "rt_detr": ("rt_detr", "RTDetrForObjectDetection"),
     "rt_detr_v2": ("rt_detr_v2", "RTDetrV2ForObjectDetection"),
     "detr": ("detr", "DetrForObjectDetection"),
+    "deformable_detr": ("deformable_detr", "DeformableDetrForObjectDetection"),
     "table-transformer": ("table_transformer", "TableTransformerForObjectDetection"),
     "yolos": ("yolos", "YolosForObjectDetection"),
 }
