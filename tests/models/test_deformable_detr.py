@@ -28,7 +28,13 @@ def build(tmp_path, **over):
     torch.manual_seed(0)
     tm = transformers.DeformableDetrForObjectDetection(cfg).eval()
     d = str(tmp_path)
-    tm.save_pretrained(d, safe_serialization=True)
+    try:
+        tm.save_pretrained(d, safe_serialization=True)
+    except RuntimeError:
+        # box-refine/two-stage wire decoder.bbox_embed to the top-level heads;
+        # the reference refuses that sharing under safetensors and tells us to
+        # fall back to torch.save
+        tm.save_pretrained(d, safe_serialization=False)
     import transformers_tpu.models.deformable_detr as mod
 
     m = mod.DeformableDetrForObjectDetection.from_pretrained(d, dtype="float32")

@@ -509,7 +509,12 @@ class DeformableDetrPreTrainedModel(PreTrainedModel):
     config_class = DeformableDetrConfig
     base_model_prefix = "model"
     main_input_name = "pixel_values"
-    _keys_to_ignore_on_load_unexpected = (r"num_batches_tracked",)
+    _keys_to_ignore_on_load_unexpected = (
+        r"num_batches_tracked",
+        # box-refine/two-stage checkpoints alias the top-level heads inside the
+        # decoder (reference :1586-1591); we route head params in at call time
+        r"model\.decoder\.(bbox|class)_embed\.",
+    )
     # hub checkpoints use the pre-v5 key layout (reference
     # conversion_mapping.py "deformable_detr": fc1/fc2 on the layer, out_proj)
     _weight_rules = (
@@ -551,8 +556,18 @@ class DeformableDetrForObjectDetection(DeformableDetrPreTrainedModel):
         self.num_pred = num_pred
 
     @property
+    def _clones_tied(self):
+        # reference :1545-1576: heads 1..N share head 0's storage only in the
+        # plain (no box-refine, no two-stage) configuration; with refinement
+        # each decoder layer gets its own independent head
+        return not (getattr(self.config, "with_box_refine", False)
+                    or getattr(self.config, "two_stage", False))
+
+    @property
     def tied_weights_keys(self):
         # clones of head 0 are deduped at save time (reference :1545)
+        if not self._clones_tied:
+            return ()
         tied = []
         for i in range(1, self.num_pred):
             tied += [f"class_embed.{i}.weight", f"class_embed.{i}.bias"]
@@ -564,13 +579,21 @@ class DeformableDetrForObjectDetection(DeformableDetrPreTrainedModel):
     def tie_weights(self, params):
         """Checkpoints store only head 0; re-materialize the tied clones
         (reference _tied_weights_keys :1545-1548)."""
+        if not self._clones_tied:
+            return params
+        def _has_leaves(t):
+            return any(not isinstance(v, dict) or _has_leaves(v)
+                       for v in t.values()) if isinstance(t, dict) else True
+
         for name in ("class_embed", "bbox_embed"):
             tree = params.get(name)
-            if not isinstance(tree, dict) or "0" not in tree:
+            if not isinstance(tree, dict) or not _has_leaves(tree.get("0", {})):
                 continue
+            # single-stage heads are clones of head 0 even at random init
+            # (the slot may pre-exist as an empty dict skeleton from
+            # loading._ensure_module_slots, so alias unconditionally)
             for i in range(1, self.num_pred):
-                if str(i) not in tree:
-                    tree[str(i)] = jax.tree.map(lambda x: x, tree["0"])
+                tree[str(i)] = jax.tree.map(lambda x: x, tree["0"])
         return params
 
     def __call__(self, params, pixel_values=None, pixel_mask=None, labels=None,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import copy
 
+from ...core.loading import WeightRule
 from ...ops.rope import compute_cos_sin, rope_inv_freq
 from ..granite_swa.modeling_granite_swa import GraniteSWAAttention
 from ..granitemoeshared.modeling_granitemoeshared import (
@@ -49,11 +50,33 @@ class GraniteMoeSWAModel(GraniteMoeSharedModel):
         return rope[theta]
 
 
+# v5 checkpoints store fused stacked expert tensors with the new naming
+# (reference modeling_granitemoe_swa.py:80-81: gate_up_proj [E, 2I, H],
+# down_proj [E, H, I]; router is a bare Parameter :65) — identical layouts to
+# our input_linear/output_linear, so pure renames.
+_SWA_V5_RULES = (
+    WeightRule(pattern=r"block_sparse_moe\.experts\.gate_up_proj",
+               rename="block_sparse_moe.input_linear.weight",
+               save_pattern=r"block_sparse_moe\.input_linear\.weight",
+               save_rename="block_sparse_moe.experts.gate_up_proj"),
+    WeightRule(pattern=r"block_sparse_moe\.experts\.down_proj",
+               rename="block_sparse_moe.output_linear.weight",
+               save_pattern=r"block_sparse_moe\.output_linear\.weight",
+               save_rename="block_sparse_moe.experts.down_proj"),
+    WeightRule(pattern=r"block_sparse_moe\.router\.weight",
+               rename="block_sparse_moe.router.layer.weight",
+               save_pattern=r"block_sparse_moe\.router\.layer\.weight",
+               save_rename="block_sparse_moe.router.weight"),
+)
+
+
 class GraniteMoeSWAForCausalLM(GraniteMoeSharedForCausalLM):
     config_class = GraniteMoeSWAConfig
     model_cls = GraniteMoeSWAModel
+    _weight_rules = GraniteMoeSharedForCausalLM._weight_rules + _SWA_V5_RULES
 
 
 class GraniteMoeSWAModelStandalone(GraniteMoeSharedModelStandalone):
     config_class = GraniteMoeSWAConfig
     model_cls = GraniteMoeSWAModel
+    _weight_rules = GraniteMoeSharedModelStandalone._weight_rules + _SWA_V5_RULES

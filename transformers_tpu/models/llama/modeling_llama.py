@@ -483,10 +483,11 @@ class LlamaForCausalLM(LlamaPreTrainedModel, GenerationMixin):
         cache_position=0,
         inputs_embeds: Optional[jnp.ndarray] = None,
         labels: Optional[jnp.ndarray] = None,
-        shift_labels: Optional[jnp.ndarray] = None,
         logits_to_keep: int = 0,
         output_hidden_states: bool = False,
         output_attentions: bool = False,
+        *,
+        shift_labels: Optional[jnp.ndarray] = None,
     ) -> CausalLMOutputWithPast:
         outputs = self.model(
             params["model"], input_ids, attention_mask, position_ids,
