@@ -43,7 +43,12 @@ Measured context (2026-08-16/17, v5e via axon):
 - (2026-08-19) the decode window was retuned: the whole-slab decode kernel
   reads the full allocated cache, so allocating S=224 (prompt 128 + 96
   generated) instead of S=320 removes dead-slot streaming the live-token
-  roofline never credits.
+  roofline never credits;
+- (2026-08-20) decode_pad_multiple landed: both TPOT timing points share ONE
+  compiled program (runtime while_loop bound), halving the compile bill; the
+  int8 leg moved FIRST and measured 1326 tok/s = 0.960 of its own roofline
+  (the >=0.95 target) at batch 16; bf16 b8 0.9436; bf16 b16 does not fit
+  (17.02G vs 15.75G HBM: 14.96G params + 2.06G prefill temps).
 """
 
 from __future__ import annotations
@@ -56,7 +61,12 @@ import jax.numpy as jnp
 import numpy as np
 
 try:  # persistent compile cache: repeat runs skip the ~10 min of XLA compiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ttpu_jax_cache")
+    # (kept inside the repo so the driver's end-of-round invocation reuses the
+    # cache warmed during the build session; .gitignore'd)
+    import os as _os
+
+    _cache_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
@@ -141,9 +151,12 @@ def measure(model, params, batch):
     ids = jnp.asarray(rng.integers(1, VOCAB, size=(batch, PROMPT)), jnp.int32)
 
     def run(gen_tokens: int) -> None:
+        # decode_pad_multiple=GEN_LONG: both timing points share ONE compiled
+        # program (the cap is the static shape; gen_tokens is a runtime
+        # while_loop bound), halving the compile bill per leg.
         out = model.generate(params, input_ids=ids, max_new_tokens=gen_tokens,
                              do_sample=False, prompt_pad_multiple=PROMPT,
-                             eos_token_id=-1)
+                             decode_pad_multiple=GEN_LONG, eos_token_id=-1)
         # Force host materialization: on the tunneled axon platform
         # block_until_ready alone can return before execution finishes.
         np.asarray(jax.block_until_ready(out))
@@ -171,41 +184,78 @@ def measure(model, params, batch):
 
 
 def main():
+    """Leg order is deliberate (round-3 lesson: the int8 leg must SURVIVE the
+    driver's run, so it goes FIRST): int8 weight-only @ B16, then bf16 @ B8
+    (the round-over-round comparable headline), then — budget permitting —
+    bf16 @ B16 (weight-stream amortization, the cheapest roofline lever)."""
+    import sys
+    import traceback
+
     t_begin = time.perf_counter()
     model = build_model()
+    legs: dict[str, dict] = {}
 
-    params = zero_params(model, BATCH_BF16)
-    bf16_tps, bf16_vs = measure(model, params, BATCH_BF16)
-    del params  # free 14.96 GiB before the int8 tree allocates
-
+    # ---- leg 1: int8 weight-only (serving config; halved HBM traffic)
     try:
-        # int8 recompiles the whole generate program (~4 min on the remote-
-        # compile tunnel); skip it rather than risk the artifact if the bf16
-        # leg already consumed the budget.
-        if time.perf_counter() - t_begin > 300:
-            raise TimeoutError("skipping int8 leg: bf16 leg consumed the time budget")
         qparams = int8_params(model)
-        int8_tps, int8_vs = measure(model, qparams, BATCH_INT8)
+        tps, vs = measure(model, qparams, BATCH_INT8)
         del qparams
-    except Exception as e:  # int8 is a secondary metric; never fail the artifact
-        import sys
-        import traceback
-
+        legs["int8_b16"] = {"tokens_per_sec": round(tps, 2),
+                            "vs_own_roofline": round(vs, 4), "batch": BATCH_INT8}
+    except Exception as e:  # noqa: BLE001 — a failed leg must not kill the artifact
         traceback.print_exc(file=sys.stderr)
-        print(f"int8 secondary metric failed: {e!r}", file=sys.stderr)
-        int8_tps, int8_vs = None, None
+        print(f"int8 leg failed: {e!r}", file=sys.stderr)
 
-    out = {
-        "metric": "llama3_8b_bf16_steady_state_decode_tokens_per_sec_per_chip",
-        "value": round(bf16_tps, 2),
-        "unit": "tokens/s",
-        "vs_baseline": round(bf16_vs, 4),
-        "batch": BATCH_BF16,
-    }
-    if int8_tps is not None:
-        out["int8_weight_only_tokens_per_sec"] = round(int8_tps, 2)
-        out["int8_vs_own_roofline"] = round(int8_vs, 4)
+    # ---- leg 2: bf16 batch 8 (the headline; comparable to r2/r3 artifacts)
+    bf16_tps = bf16_vs = None
+    try:
+        params = zero_params(model, BATCH_BF16)
+        bf16_tps, bf16_vs = measure(model, params, BATCH_BF16)
+        del params
+        legs["bf16_b8"] = {"tokens_per_sec": round(bf16_tps, 2),
+                           "vs_roofline": round(bf16_vs, 4), "batch": BATCH_BF16}
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
+        print(f"bf16 b8 leg failed: {e!r}", file=sys.stderr)
+
+    # ---- leg 3 (optional): int8 batch 32 — amortizes the weight stream
+    # further (bf16 b16 measured OOM: 17.02G vs 15.75G HBM, prefill temps;
+    # int8's 7.5 GiB tree leaves the headroom).
+    if time.perf_counter() - t_begin < 1500:
+        try:
+            qparams = int8_params(model)
+            tps, vs = measure(model, qparams, 32)
+            del qparams
+            legs["int8_b32"] = {"tokens_per_sec": round(tps, 2),
+                                "vs_own_roofline": round(vs, 4), "batch": 32}
+        except Exception as e:  # noqa: BLE001
+            print(f"int8 b32 leg skipped: {e!r}", file=sys.stderr)
+
+    # headline selection: bf16 b8 stays the named metric for comparability;
+    # every leg rides in the same JSON line.
+    if bf16_tps is None and "int8_b16" in legs:
+        out = {
+            "metric": "llama3_8b_int8_weight_only_decode_tokens_per_sec_per_chip",
+            "value": legs["int8_b16"]["tokens_per_sec"],
+            "unit": "tokens/s",
+            "vs_baseline": legs["int8_b16"]["vs_own_roofline"],
+            "batch": BATCH_INT8,
+        }
+    else:
+        out = {
+            "metric": "llama3_8b_bf16_steady_state_decode_tokens_per_sec_per_chip",
+            "value": round(bf16_tps, 2) if bf16_tps is not None else None,
+            "unit": "tokens/s",
+            "vs_baseline": round(bf16_vs, 4) if bf16_vs is not None else None,
+            "batch": BATCH_BF16,
+        }
+    if "int8_b16" in legs:
+        out["int8_weight_only_tokens_per_sec"] = legs["int8_b16"]["tokens_per_sec"]
+        out["int8_vs_own_roofline"] = legs["int8_b16"]["vs_own_roofline"]
         out["int8_batch"] = BATCH_INT8
+    if "int8_b32" in legs:
+        out["int8_b32_tokens_per_sec"] = legs["int8_b32"]["tokens_per_sec"]
+        out["int8_b32_vs_own_roofline"] = legs["int8_b32"]["vs_own_roofline"]
     print(json.dumps(out))
 
 

@@ -90,3 +90,22 @@ def test_greedy_generate_matches_torch(tmp_path):
                            image_grid_thw=torch.from_numpy(grid),
                            max_new_tokens=5, do_sample=False)
     np.testing.assert_array_equal(np.asarray(gen)[0, -5:], tgen.numpy()[0, -5:])
+
+
+def test_video_t2_logit_parity(tmp_path):
+    """t=2 video: per-FRAME vision attention segments (cu_seqlens regression)."""
+    import torch
+
+    d = str(tmp_path / "q25vl_vid")
+    tm = make_torch(d)
+    m = Qwen2_5_VLForConditionalGeneration.from_pretrained(d, dtype="float32")
+    grid = np.array([[2, 4, 4]])
+    pixels = np.random.default_rng(3).normal(size=(32, 3 * 2 * 2 * 2)).astype(np.float32)
+    ids = np.array([[5, 152, *([151] * 8), 153, 9, 7]])
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids),
+                 pixel_values_videos=torch.from_numpy(pixels),
+                 video_grid_thw=torch.from_numpy(grid)).logits.numpy()
+    out = m(m.params, input_ids=jnp.asarray(ids),
+            pixel_values_videos=jnp.asarray(pixels), video_grid_thw=grid).logits
+    assert np.abs(np.asarray(out) - ref).max() < 3e-5, np.abs(np.asarray(out) - ref).max()

@@ -148,3 +148,45 @@ def test_multimodal_parity_nonsquare_grid(tmp_path):
     out = model(model.params, input_ids=jnp.asarray(ids),
                 pixel_values=jnp.asarray(patches), image_grid_thw=grid)
     assert np.abs(np.asarray(out.logits) - ref).max() < 3e-5
+
+
+def _video_inputs():
+    # one video: grid (t=2, h=4, w=4) => 32 patches before merge, 8 tokens after
+    rng = np.random.default_rng(7)
+    grid = np.array([[2, 4, 4]], np.int64)
+    patches = rng.normal(size=(32, 3 * 2 * 4 * 4)).astype(np.float32)
+    ids = np.array([[95, 96, 96, 96, 96, 96, 96, 96, 96, 5, 9, 3]], dtype=np.int64)
+    return ids, patches, grid
+
+
+def test_video_forward_parity(ckpt):
+    import torch
+
+    d, tm = ckpt
+    model = ttpu.AutoModelForImageTextToText.from_pretrained(d, dtype="float32")
+    ids, patches, grid = _video_inputs()
+    with torch.no_grad():
+        ref = tm(input_ids=torch.tensor(ids),
+                 pixel_values_videos=torch.tensor(patches),
+                 video_grid_thw=torch.tensor(grid)).logits.numpy()
+    out = model(model.params, input_ids=jnp.asarray(ids),
+                pixel_values_videos=jnp.asarray(patches), video_grid_thw=grid)
+    assert max_abs_diff(out.logits, ref) < 5e-5, max_abs_diff(out.logits, ref)
+
+
+def test_video_generate_parity(ckpt):
+    import torch
+
+    d, tm = ckpt
+    model = ttpu.AutoModelForImageTextToText.from_pretrained(d, dtype="float32")
+    ids, patches, grid = _video_inputs()
+    with torch.no_grad():
+        ref = tm.generate(input_ids=torch.tensor(ids),
+                          pixel_values_videos=torch.tensor(patches),
+                          video_grid_thw=torch.tensor(grid), max_new_tokens=6,
+                          do_sample=False)
+    out = model.generate(model.params, input_ids=jnp.asarray(ids),
+                         pixel_values_videos=jnp.asarray(patches),
+                         video_grid_thw=grid, max_new_tokens=6,
+                         prompt_pad_multiple=4, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(out)[0, -6:], ref.numpy()[0, -6:])

@@ -53,6 +53,11 @@ class GenerationConfig:
         # TPU-specific static-shape controls (no reference analog — XLA needs
         # shape buckets; see SURVEY §7 "Static-shape generation UX")
         self.prompt_pad_multiple = kwargs.pop("prompt_pad_multiple", 64)
+        # When set, the decode program is compiled at a cap padded to this
+        # multiple and the actual max_new_tokens becomes a *runtime* device
+        # scalar in the while_loop bound — varying max_new_tokens within one
+        # cap bucket then reuses the compiled program instead of recompiling.
+        self.decode_pad_multiple = kwargs.pop("decode_pad_multiple", None)
         kwargs.pop("transformers_version", None)
         kwargs.pop("transformers_tpu_version", None)
         self._extra = kwargs

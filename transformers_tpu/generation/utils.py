@@ -157,7 +157,12 @@ class GenerationMixin:
         if pad_amt:
             input_ids = jnp.pad(input_ids, ((0, 0), (pad_amt, 0)), constant_values=pad_id)
             attention_mask = jnp.pad(attention_mask, ((0, 0), (pad_amt, 0)), constant_values=0)
-        total_len = bucket + max_new
+        # Decode-length bucketing: compile at a padded cap, run the actual
+        # max_new as a device-scalar while_loop bound (program reuse across
+        # max_new_tokens values within one cap bucket).
+        max_new_cap = (pad_to_multiple(max_new, gen.decode_pad_multiple)
+                       if gen.decode_pad_multiple else max_new)
+        total_len = bucket + max_new_cap
 
         do_sample = bool(gen.do_sample)
         if do_sample and prng_key is None:
@@ -235,7 +240,7 @@ class GenerationMixin:
 
         cache_impl = gen.cache_implementation or "static"
         static_sig = tuple((k, static_model[k].tobytes()) for k in sorted(static_model))
-        sig = (b, bucket, total_len, max_new, do_sample, eos_ids, pad_id, proc_sig,
+        sig = (b, bucket, total_len, max_new_cap, do_sample, eos_ids, pad_id, proc_sig,
                str(jnp.dtype(cache_dtype)), tuple(sorted(prefill_kwargs)),
                custom_pos is not None, static_sig, cache_impl)
         cache_store = getattr(self, "_generate_fn_cache", None)
@@ -244,7 +249,7 @@ class GenerationMixin:
             self._generate_fn_cache = cache_store
         if sig not in cache_store:
             cache_store[sig] = self._build_generate_fn(
-                bucket=bucket, total_len=total_len, max_new=max_new, do_sample=do_sample,
+                bucket=bucket, total_len=total_len, max_new=max_new_cap, do_sample=do_sample,
                 eos_ids=eos_ids, pad_id=pad_id, processors=processors, cache_dtype=cache_dtype,
                 prefill_input_names=tuple(sorted(prefill_kwargs)),
                 static_prefill_kwargs=static_model,
@@ -255,7 +260,11 @@ class GenerationMixin:
         extras = [prefill_kwargs[k] for k in sorted(prefill_kwargs)]
         if custom_pos is not None:
             extras += [custom_pos[0], custom_pos[1]]
-        return fn(params, input_ids, attention_mask, prng_key, *extras)
+        out = fn(params, input_ids, attention_mask, prng_key,
+                 jnp.asarray(max_new, jnp.int32), *extras)
+        if max_new_cap != max_new:
+            out = out[:, : bucket + max_new]
+        return out
 
     def _prepare_generation_positions(self, input_ids, attention_mask, **model_kwargs):
         """Hook: return (prompt_position_ids, rope_last [B]) for models whose
@@ -365,7 +374,9 @@ class GenerationMixin:
                 return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        def generate_fn(params, prompt_ids, prompt_mask, key, *prefill_extras):
+        def generate_fn(params, prompt_ids, prompt_mask, key, max_new_rt, *prefill_extras):
+            # max_new_rt: runtime decode-step bound (device scalar), <= the
+            # static cap `max_new` the program was compiled at
             if custom_positions:
                 *prefill_extras, custom_prompt_pos, custom_rope_last = prefill_extras
             extra = dict(zip(prefill_input_names, prefill_extras))
@@ -407,7 +418,7 @@ class GenerationMixin:
             # ---- decode loop: carry = (ids, mask, cache, g, key, next_tok, finished)
             def cond(carry):
                 ids, mask, cache, g, key, next_tok, finished = carry
-                return (g < max_new) & ~jnp.all(finished)
+                return (g < jnp.minimum(max_new_rt, max_new)) & ~jnp.all(finished)
 
             def body(carry):
                 ids, mask, cache, g, key, next_tok, finished = carry

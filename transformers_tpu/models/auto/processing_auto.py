@@ -14,6 +14,8 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip": ("blip", "BlipProcessor"),
     "siglip": ("siglip", "SiglipProcessor"),
     "whisper": ("whisper", "WhisperProcessor"),
+    "qwen2_vl": ("qwen2_vl", "Qwen2VLProcessor"),
+    "qwen2_5_vl": ("qwen2_vl", "Qwen2VLProcessor"),
 }
 
 _CLASS_NAMES = {
@@ -22,6 +24,8 @@ _CLASS_NAMES = {
     "BlipProcessor": ("blip", "BlipProcessor"),
     "SiglipProcessor": ("siglip", "SiglipProcessor"),
     "WhisperProcessor": ("whisper", "WhisperProcessor"),
+    "Qwen2VLProcessor": ("qwen2_vl", "Qwen2VLProcessor"),
+    "Qwen2_5_VLProcessor": ("qwen2_vl", "Qwen2VLProcessor"),
 }
 
 

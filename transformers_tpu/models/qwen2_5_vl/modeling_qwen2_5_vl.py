@@ -197,9 +197,11 @@ class Qwen2_5_VisionTransformer(Module):
 
         window_index, window_segs = get_window_index(
             grid_thw, cfg.spatial_merge_size, cfg.window_size, cfg.patch_size)
-        # image segment ids (full-attention blocks attend per image)
+        # full-attention segment ids are per FRAME (reference
+        # vision_utils.get_vision_cu_seqlens: h*w per frame, t segments/entry)
+        frame_sizes = [int(h * w) for t, h, w in grid_thw for _ in range(int(t))]
         img_segs = np.concatenate([
-            np.full(int(t * h * w), i, np.int32) for i, (t, h, w) in enumerate(grid_thw)])
+            np.full(nsz, seg, np.int32) for seg, nsz in enumerate(frame_sizes)])
 
         angles = self.rot_pos_emb(grid_thw)
         emb = np.concatenate([angles, angles], axis=-1)

@@ -7,3 +7,5 @@ from .modeling_qwen2_vl import (
     get_rope_index,
 )
 from .image_processing_qwen2_vl import Qwen2VLImageProcessor, smart_resize
+from .processing_qwen2_vl import Qwen2VLProcessor
+from .video_processing_qwen2_vl import Qwen2VLVideoProcessor

@@ -167,7 +167,10 @@ class Qwen2VLVisionTransformer(Module):
         cos = jnp.asarray(np.cos(emb), jnp.float32)
         sin = jnp.asarray(np.sin(emb), jnp.float32)
 
-        lengths = [int(t * h * w) for t, h, w in grid_thw]
+        # attention segments are per FRAME, not per image/video: the reference
+        # builds cu_seqlens = repeat_interleave(h*w, t).cumsum (each temporal
+        # slice attends only within itself)
+        lengths = [int(h * w) for t, h, w in grid_thw for _ in range(int(t))]
         outs = []
         start = 0
         for n in lengths:
@@ -208,7 +211,8 @@ class Qwen2VLTextModel(LlamaModel):
 
 def get_rope_index(config, input_ids: np.ndarray, image_grid_thw: Optional[np.ndarray] = None,
                    video_grid_thw: Optional[np.ndarray] = None,
-                   attention_mask: Optional[np.ndarray] = None) -> tuple[np.ndarray, np.ndarray]:
+                   attention_mask: Optional[np.ndarray] = None,
+                   second_per_grid_ts: Optional[np.ndarray] = None) -> tuple[np.ndarray, np.ndarray]:
     """3D (t, h, w) position ids from token spans + vision grids — host numpy
     (reference Qwen2VLModel.get_rope_index)."""
     merge = config.vision_config.spatial_merge_size
@@ -244,15 +248,26 @@ def get_rope_index(config, input_ids: np.ndarray, image_grid_thw: Optional[np.nd
                 t, h, w = image_grid_thw[img_i]
                 img_i += 1
                 ed = ed_img
+                is_video = False
+                t_scale = 1.0
             else:
                 t, h, w = video_grid_thw[vid_i]
+                # Qwen2.5-VL scales video temporal indices by
+                # tokens_per_second * seconds-per-grid (reference v4
+                # get_rope_index; absent on plain Qwen2-VL -> scale 1)
+                tps = getattr(config.vision_config, "tokens_per_second", None)
+                spg = (float(second_per_grid_ts[vid_i])
+                       if second_per_grid_ts is not None else 1.0)
+                t_scale = float(tps) * spg if tps else 1.0
                 vid_i += 1
                 ed = ed_vid
+                is_video = True
             gt, gh, gw = int(t), int(h) // merge, int(w) // merge
             text_len = ed - st
             st_idx = chunks[-1].max() + 1 if chunks else 0
             chunks.append(np.broadcast_to(np.arange(text_len)[None], (3, text_len)) + st_idx)
-            t_idx = np.repeat(np.arange(gt), gh * gw)
+            t_idx = np.repeat((np.arange(gt) * t_scale).astype(np.int64), gh * gw) \
+                if is_video else np.repeat(np.arange(gt), gh * gw)
             h_idx = np.tile(np.repeat(np.arange(gh), gw), gt)
             w_idx = np.tile(np.arange(gw), gt * gh)
             chunks.append(np.stack([t_idx, h_idx, w_idx]) + text_len + st_idx)
@@ -275,18 +290,30 @@ class Qwen2VLModel(Module):
         self.visual = Qwen2VLVisionTransformer(config.vision_config, **kw)
         self.language_model = Qwen2VLTextModel(config.text_config, **kw)
 
-    def embed_with_images(self, params, input_ids, pixel_values, image_grid_thw):
+    def embed_with_images(self, params, input_ids, pixel_values, image_grid_thw,
+                          pixel_values_videos=None, video_grid_thw=None):
+        """Scatter image AND video features (both ride the same vision tower,
+        reference modeling_qwen2_vl.py get_video_features == get_image_features)
+        into their placeholder positions."""
+        img_tok = self.config.image_token_id
+        vid_tok = getattr(self.config, "video_token_id", None)
+        clean = jnp.where(input_ids == img_tok, 0, input_ids)
+        if vid_tok is not None:
+            clean = jnp.where(input_ids == vid_tok, 0, clean)
         embeds = self.language_model.embed_tokens(
-            params["language_model"]["embed_tokens"],
-            jnp.where(input_ids == self.config.image_token_id, 0, input_ids))
-        if pixel_values is None:
-            return embeds
-        feats = self.visual(params["visual"], pixel_values, np.asarray(image_grid_thw))
-        mask = input_ids == self.config.image_token_id
-        order = jnp.cumsum(mask.reshape(-1).astype(jnp.int32)) - 1
-        gathered = jnp.take(feats.astype(embeds.dtype),
-                            jnp.clip(order, 0, feats.shape[0] - 1), axis=0).reshape(embeds.shape)
-        return jnp.where(mask[..., None], gathered, embeds)
+            params["language_model"]["embed_tokens"], clean)
+        for values, grid, token in ((pixel_values, image_grid_thw, img_tok),
+                                    (pixel_values_videos, video_grid_thw, vid_tok)):
+            if values is None or token is None:
+                continue
+            feats = self.visual(params["visual"], values, np.asarray(grid))
+            mask = input_ids == token
+            order = jnp.cumsum(mask.reshape(-1).astype(jnp.int32)) - 1
+            gathered = jnp.take(feats.astype(embeds.dtype),
+                                jnp.clip(order, 0, feats.shape[0] - 1),
+                                axis=0).reshape(embeds.shape)
+            embeds = jnp.where(mask[..., None], gathered, embeds)
+        return embeds
 
 
 class Qwen2VLPreTrainedModel(PreTrainedModel):
@@ -295,9 +322,9 @@ class Qwen2VLPreTrainedModel(PreTrainedModel):
 
 
 class Qwen2VLForConditionalGeneration(Qwen2VLPreTrainedModel, GenerationMixin):
-    _prefill_input_names = ("pixel_values",)
+    _prefill_input_names = ("pixel_values", "pixel_values_videos")
     # grid shapes drive host-side loops -> static (baked into the compiled fn)
-    _static_prefill_input_names = ("image_grid_thw",)
+    _static_prefill_input_names = ("image_grid_thw", "video_grid_thw")
     # Legacy (pre-v5) checkpoint layout -> composed layout (the reference's
     # _checkpoint_conversion_mapping for qwen2_vl)
     _weight_rules = (
@@ -329,24 +356,29 @@ class Qwen2VLForConditionalGeneration(Qwen2VLPreTrainedModel, GenerationMixin):
     # M-RoPE position hook for the jitted generate (GenerationMixin)
     def _prepare_generation_positions(self, input_ids, attention_mask, **model_kwargs):
         grid = model_kwargs.get("image_grid_thw")
+        vgrid = model_kwargs.get("video_grid_thw")
         pos, deltas = get_rope_index(self.config, np.asarray(input_ids),
                                      None if grid is None else np.asarray(grid),
-                                     None, np.asarray(attention_mask))
+                                     None if vgrid is None else np.asarray(vgrid),
+                                     np.asarray(attention_mask))
         s = input_ids.shape[1]
         rope_last = (deltas[:, 0] + s - 1).astype(np.int32)
         return jnp.asarray(pos, jnp.int32), jnp.asarray(rope_last)
 
     def __call__(self, params, input_ids=None, pixel_values=None, image_grid_thw=None,
+                 pixel_values_videos=None, video_grid_thw=None,
                  attention_mask=None, position_ids=None, past_key_values=None,
                  cache_position=0, inputs_embeds=None, labels=None, logits_to_keep: int = 0,
                  output_hidden_states=False, **kwargs) -> CausalLMOutputWithPast:
         if inputs_embeds is None:
-            inputs_embeds = self.model.embed_with_images(params["model"], input_ids,
-                                                         pixel_values, image_grid_thw)
+            inputs_embeds = self.model.embed_with_images(
+                params["model"], input_ids, pixel_values, image_grid_thw,
+                pixel_values_videos, video_grid_thw)
         if position_ids is None and input_ids is not None and past_key_values is None:
             grid = None if image_grid_thw is None else np.asarray(image_grid_thw)
+            vgrid = None if video_grid_thw is None else np.asarray(video_grid_thw)
             mask = None if attention_mask is None else np.asarray(attention_mask)
-            pos, _ = get_rope_index(self.config, np.asarray(input_ids), grid, None, mask)
+            pos, _ = get_rope_index(self.config, np.asarray(input_ids), grid, vgrid, mask)
             position_ids = jnp.asarray(pos)
         outputs = self.model.language_model(
             params["model"]["language_model"], None, attention_mask, position_ids,

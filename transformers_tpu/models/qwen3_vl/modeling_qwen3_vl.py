@@ -211,7 +211,9 @@ class Qwen3VLVisionModel(Module):
         cos = jnp.asarray(np.cos(emb), jnp.float32)
         sin = jnp.asarray(np.sin(emb), jnp.float32)
 
-        lengths = [int(t * h * w) for t, h, w in grid_thw]
+        # attention segments are per FRAME (reference vision_utils.
+        # get_vision_cu_seqlens default: h*w per frame, t segments per entry)
+        lengths = [int(h * w) for t, h, w in grid_thw for _ in range(int(t))]
         per_image = []
         start = 0
         for n in lengths:

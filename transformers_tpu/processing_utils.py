@@ -52,6 +52,13 @@ class ProcessorMixin:
                 from .models.whisper.feature_extraction_whisper import WhisperFeatureExtractor
 
                 parts[name] = WhisperFeatureExtractor.from_pretrained(pretrained_model_name_or_path)
+            elif name == "video_processor":
+                from .models.auto.video_processing_auto import AutoVideoProcessor
+
+                try:
+                    parts[name] = AutoVideoProcessor.from_pretrained(pretrained_model_name_or_path)
+                except Exception:  # noqa: BLE001 — older repos ship no video config
+                    parts[name] = None
         extra = {}
         try:
             from .utils.hub import cached_file
@@ -79,6 +86,23 @@ class ProcessorMixin:
         extra["processor_class"] = type(self).__name__
         with open(os.path.join(save_directory, PROCESSOR_NAME), "w", encoding="utf-8") as f:
             json.dump(extra, f, indent=2, sort_keys=True)
+
+    @staticmethod
+    def expand_mm_tokens(texts, replacements_by_token: dict[str, list]) -> list:
+        """Replace the i-th occurrence of each placeholder token (in order
+        across the batch) with the i-th replacement string (reference
+        processing_utils.py:815 ``get_text_with_replacements`` semantics)."""
+        import re
+
+        iters = {tok: iter(reps) for tok, reps in replacements_by_token.items()
+                 if reps}
+        if not iters:
+            return list(texts)
+        pattern = "|".join(re.escape(t) for t in iters)
+        out = []
+        for t in texts:
+            out.append(re.sub(pattern, lambda m: next(iters[m.group(0)]), t))
+        return out
 
     def batch_decode(self, *args, **kwargs):
         return self.tokenizer.batch_decode(*args, **kwargs)

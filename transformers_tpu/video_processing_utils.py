@@ -83,25 +83,11 @@ class BaseVideoProcessor(BaseImageProcessor):
         return self.preprocess(videos, **kwargs)
 
 
-class AutoVideoProcessor:
-    """reference models/auto/video_processing_auto.py."""
+def __getattr__(name):
+    # BC alias: AutoVideoProcessor moved to models.auto.video_processing_auto
+    # (per-family model_type mapping, reference models/auto layout)
+    if name == "AutoVideoProcessor":
+        from .models.auto.video_processing_auto import AutoVideoProcessor
 
-    _registry: dict[str, type] = {}
-
-    def __init__(self):
-        raise OSError("Use AutoVideoProcessor.from_pretrained.")
-
-    @classmethod
-    def from_pretrained(cls, pretrained_model_name_or_path, **kwargs) -> BaseVideoProcessor:
-        resolved = cached_file(str(pretrained_model_name_or_path), VIDEO_PROCESSOR_NAME,
-                               _raise_exceptions_for_missing_entries=False)
-        proc_cls = BaseVideoProcessor
-        if resolved:
-            with open(resolved, encoding="utf-8") as f:
-                name = json.load(f).get("video_processor_type")
-            proc_cls = cls._registry.get(name, BaseVideoProcessor)
-        return proc_cls.from_pretrained(pretrained_model_name_or_path, **kwargs)
-
-    @classmethod
-    def register(cls, proc_cls) -> None:
-        cls._registry[proc_cls.__name__] = proc_cls
+        return AutoVideoProcessor
+    raise AttributeError(name)
