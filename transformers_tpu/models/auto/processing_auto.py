@@ -16,6 +16,10 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperProcessor"),
     "qwen2_vl": ("qwen2_vl", "Qwen2VLProcessor"),
     "qwen2_5_vl": ("qwen2_vl", "Qwen2VLProcessor"),
+    "gemma3": ("gemma3", "Gemma3Processor"),
+    "blip-2": ("blip_2", "Blip2Processor"),
+    "paligemma": ("paligemma", "PaliGemmaProcessor"),
+    "llava_next": ("llava_next", "LlavaNextProcessor"),
 }
 
 _CLASS_NAMES = {
@@ -26,6 +30,10 @@ _CLASS_NAMES = {
     "WhisperProcessor": ("whisper", "WhisperProcessor"),
     "Qwen2VLProcessor": ("qwen2_vl", "Qwen2VLProcessor"),
     "Qwen2_5_VLProcessor": ("qwen2_vl", "Qwen2VLProcessor"),
+    "Gemma3Processor": ("gemma3", "Gemma3Processor"),
+    "Blip2Processor": ("blip_2", "Blip2Processor"),
+    "PaliGemmaProcessor": ("paligemma", "PaliGemmaProcessor"),
+    "LlavaNextProcessor": ("llava_next", "LlavaNextProcessor"),
 }
 
 

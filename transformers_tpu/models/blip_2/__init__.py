@@ -4,3 +4,4 @@ from .modeling_blip_2 import (
     Blip2QFormerModel,
     Blip2VisionModel,
 )
+from .processing_blip_2 import Blip2Processor
