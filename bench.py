@@ -107,11 +107,68 @@ def build_model():
     return LlamaForCausalLM(config, dtype=jnp.bfloat16)
 
 
+def _formats_cache_path(batch):
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"decode_formats_b{batch}.json")
+
+
+def decode_formats_pinned(model, batch):
+    """decode_param_formats with the result PINNED to disk: the AUTO-layout
+    probe is not bit-deterministic across runs, and a different layout pick
+    yields a different generate program — losing the known-good compile
+    cache entry and (measured 2026-08-20) sometimes tipping the borderline
+    bf16 program into compile-OOM. First run probes and records; later runs
+    replay the recorded layouts."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    path = _formats_cache_path(batch)
+    spec = model.init_abstract()
+    leaves, treedef = jax.tree_util.tree_flatten(spec)
+    def _ser(layout):
+        tiling = getattr(layout, "tiling",
+                         getattr(layout, "_tiling", None))
+        sub = getattr(layout, "sub_byte_element_size_in_bits",
+                      getattr(layout, "_sub_byte_element_size_in_bits", 0))
+        return {"m2m": list(layout.major_to_minor),
+                "tiling": None if tiling is None else [list(t) for t in tiling],
+                "sub": sub or 0}
+
+    def _de(d, dev):
+        tiling = (None if d["tiling"] is None
+                  else tuple(tuple(t) for t in d["tiling"]))
+        return Format(Layout(major_to_minor=tuple(d["m2m"]), tiling=tiling,
+                             sub_byte_element_size_in_bits=d["sub"]),
+                      SingleDeviceSharding(dev))
+
+    try:
+        with open(path, encoding="utf-8") as f:
+            recorded = json.load(f)
+        dev = jax.devices()[0]
+        fmts = [_de(d, dev) for d in recorded]
+        assert len(fmts) == len(leaves)
+        return jax.tree_util.tree_unflatten(treedef, fmts)
+    except (OSError, ValueError, KeyError, AssertionError):
+        pass
+    formats = model.decode_param_formats(batch, PROMPT + GEN_LONG)
+    flat = jax.tree_util.tree_flatten(
+        formats, is_leaf=lambda x: hasattr(x, "layout"))[0]
+    try:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump([_ser(fmt.layout) for fmt in flat], f)
+    except (OSError, TypeError):
+        pass
+    return formats
+
+
 def zero_params(model, batch):
     """Materialize the parameter pytree as bf16 zeros on device, directly in
     the decode-preferred layouts (no f32 init temporaries and no layout
     copies — the full tree is 14.96 GiB)."""
-    formats = model.decode_param_formats(batch, PROMPT + GEN_LONG)
+    formats = decode_formats_pinned(model, batch)
     spec = model.init_abstract()
     mk = jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), spec),
                  out_shardings=formats)
@@ -196,40 +253,54 @@ def main():
     legs: dict[str, dict] = {}
 
     # ---- leg 1: int8 weight-only (serving config; halved HBM traffic)
+    qparams = None
     try:
         qparams = int8_params(model)
         tps, vs = measure(model, qparams, BATCH_INT8)
-        del qparams
         legs["int8_b16"] = {"tokens_per_sec": round(tps, 2),
                             "vs_own_roofline": round(vs, 4), "batch": BATCH_INT8}
     except Exception as e:  # noqa: BLE001 — a failed leg must not kill the artifact
         traceback.print_exc(file=sys.stderr)
         print(f"int8 leg failed: {e!r}", file=sys.stderr)
+    finally:
+        if qparams is not None:
+            jax.tree.map(lambda x: x.delete(), qparams)
+            del qparams
 
     # ---- leg 2: bf16 batch 8 (the headline; comparable to r2/r3 artifacts)
     bf16_tps = bf16_vs = None
+    params = None
     try:
         params = zero_params(model, BATCH_BF16)
         bf16_tps, bf16_vs = measure(model, params, BATCH_BF16)
-        del params
         legs["bf16_b8"] = {"tokens_per_sec": round(bf16_tps, 2),
                            "vs_roofline": round(bf16_vs, 4), "batch": BATCH_BF16}
     except Exception as e:  # noqa: BLE001
         traceback.print_exc(file=sys.stderr)
         print(f"bf16 b8 leg failed: {e!r}", file=sys.stderr)
+    finally:
+        # a failed leg must still release its 14.96 GiB before leg 3
+        if params is not None:
+            jax.tree.map(lambda x: x.delete(), params)
+            del params
+        model._generate_fn_cache = {}
 
     # ---- leg 3 (optional): int8 batch 32 — amortizes the weight stream
     # further (bf16 b16 measured OOM: 17.02G vs 15.75G HBM, prefill temps;
     # int8's 7.5 GiB tree leaves the headroom).
     if time.perf_counter() - t_begin < 1500:
+        qparams = None
         try:
             qparams = int8_params(model)
             tps, vs = measure(model, qparams, 32)
-            del qparams
             legs["int8_b32"] = {"tokens_per_sec": round(tps, 2),
                                 "vs_own_roofline": round(vs, 4), "batch": 32}
         except Exception as e:  # noqa: BLE001
             print(f"int8 b32 leg skipped: {e!r}", file=sys.stderr)
+        finally:
+            if qparams is not None:
+                jax.tree.map(lambda x: x.delete(), qparams)
+                del qparams
 
     # headline selection: bf16 b8 stays the named metric for comparability;
     # every leg rides in the same JSON line.

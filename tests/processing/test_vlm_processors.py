@@ -167,3 +167,95 @@ def test_auto_processor_roundtrip(tok, tmp_path):
     loaded = ttpu.AutoProcessor.from_pretrained(d)
     assert type(loaded).__name__ == "Gemma3Processor"
     assert loaded.image_seq_length == 3
+
+
+# --------------------------------------------------------------- pixtral
+def test_pixtral_image_processor_parity():
+    ref = transformers.PixtralImageProcessor(size={"longest_edge": 256})
+    from transformers_tpu.models.pixtral import PixtralImageProcessor
+
+    ours = PixtralImageProcessor(size={"longest_edge": 256})
+    for shape in [(300, 500), (100, 80)]:
+        img = _image(*shape, seed=9)
+        r = ref(images=[img], return_tensors="np")
+        o = ours([img], return_tensors="np")
+        r_px = np.asarray(r["pixel_values"])
+        if r_px.ndim == 3:  # some versions return a list of [C,H,W]
+            r_px = r_px[None]
+        np.testing.assert_array_equal(np.asarray(o["image_sizes"]),
+                                      np.asarray(r["image_sizes"]))
+        assert np.abs(o["pixel_values"] - r_px).mean() < 0.1
+
+
+def test_pixtral_processor_grid_expansion(tok):
+    from transformers_tpu.models.pixtral import (
+        PixtralImageProcessor,
+        PixtralProcessor,
+    )
+
+    proc = PixtralProcessor(
+        image_processor=PixtralImageProcessor(size={"longest_edge": 64}),
+        tokenizer=tok, patch_size=16, image_token="@",
+        image_break_token="#", image_end_token="!")
+    img = _image(64, 32, seed=1)
+    out = proc(text="@ hi", images=[img], return_tensors="np")
+    h, w = np.asarray(out["image_sizes"])[0]
+    nh, nw = h // 16, w // 16
+    ids = out["input_ids"][0].tolist()
+    assert ids.count(tok.encode("@")[0]) == nh * nw
+    assert ids.count(tok.encode("#")[0]) == nh - 1
+    assert ids.count(tok.encode("!")[0]) == 1
+
+
+# --------------------------------------------------------------- idefics3
+def test_idefics3_image_processor_parity():
+    ref = transformers.Idefics3ImageProcessor(
+        size={"longest_edge": 2 * 100}, max_image_size={"longest_edge": 100})
+    from transformers_tpu.models.idefics3 import Idefics3ImageProcessor
+
+    ours = Idefics3ImageProcessor(
+        size={"longest_edge": 2 * 100}, max_image_size={"longest_edge": 100})
+    img = _image(250, 180, seed=4)
+    r = ref(images=[[img]], return_tensors="np")
+    o = ours([img], return_tensors="np")
+    assert o["pixel_values"].shape == np.asarray(r["pixel_values"]).shape
+    assert np.abs(o["pixel_values"] - np.asarray(r["pixel_values"])).mean() < 0.1
+
+
+def test_idefics3_processor_split_expansion(tok):
+    from transformers_tpu.models.idefics3 import (
+        Idefics3ImageProcessor,
+        Idefics3Processor,
+    )
+
+    proc = Idefics3Processor(
+        image_processor=Idefics3ImageProcessor(
+            size={"longest_edge": 200}, max_image_size={"longest_edge": 100}),
+        tokenizer=tok, image_seq_len=4, fake_image_token="#",
+        image_token="@", global_image_tag="!")
+    img = _image(250, 180, seed=4)
+    out = proc(text="@ what", images=[img], return_tensors="np")
+    ids = out["input_ids"][0].tolist()
+    # 2x2 grid + global -> 5 frames x 4 tokens
+    assert ids.count(tok.encode("@")[0]) == 5 * 4
+
+
+# ----------------------------------------------------------------- mllama
+def test_mllama_image_processor_parity():
+    ref = transformers.MllamaImageProcessor(
+        size={"height": 64, "width": 64}, max_image_tiles=4)
+    from transformers_tpu.models.mllama import MllamaImageProcessor
+
+    ours = MllamaImageProcessor(size={"height": 64, "width": 64},
+                                max_image_tiles=4)
+    for shape in [(100, 200), (60, 60), (260, 80)]:
+        img = _image(*shape, seed=6)
+        r = ref(images=[[img]], return_tensors="np")
+        o = ours([img], return_tensors="np")
+        np.testing.assert_array_equal(np.asarray(o["aspect_ratio_ids"]),
+                                      np.asarray(r["aspect_ratio_ids"]))
+        np.testing.assert_array_equal(np.asarray(o["aspect_ratio_mask"]),
+                                      np.asarray(r["aspect_ratio_mask"]))
+        assert o["pixel_values"].shape == np.asarray(r["pixel_values"]).shape
+        assert np.abs(o["pixel_values"]
+                      - np.asarray(r["pixel_values"])).mean() < 0.1

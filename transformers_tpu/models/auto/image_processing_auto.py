@@ -110,6 +110,11 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava_next": ("llava_next", "LlavaNextImageProcessor"),
     "llava_next_video": ("llava_next", "LlavaNextImageProcessor"),
     "llava_onevision": ("llava_next", "LlavaNextImageProcessor"),
+    "pixtral": ("pixtral", "PixtralImageProcessor"),
+    "mistral3": ("pixtral", "PixtralImageProcessor"),
+    "idefics3": ("idefics3", "Idefics3ImageProcessor"),
+    "smolvlm": ("idefics3", "Idefics3ImageProcessor"),
+    "mllama": ("mllama", "MllamaImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class): derived from the

@@ -20,6 +20,9 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip-2": ("blip_2", "Blip2Processor"),
     "paligemma": ("paligemma", "PaliGemmaProcessor"),
     "llava_next": ("llava_next", "LlavaNextProcessor"),
+    "pixtral": ("pixtral", "PixtralProcessor"),
+    "idefics3": ("idefics3", "Idefics3Processor"),
+    "mllama": ("mllama", "MllamaProcessor"),
 }
 
 _CLASS_NAMES = {
@@ -34,6 +37,9 @@ _CLASS_NAMES = {
     "Blip2Processor": ("blip_2", "Blip2Processor"),
     "PaliGemmaProcessor": ("paligemma", "PaliGemmaProcessor"),
     "LlavaNextProcessor": ("llava_next", "LlavaNextProcessor"),
+    "PixtralProcessor": ("pixtral", "PixtralProcessor"),
+    "Idefics3Processor": ("idefics3", "Idefics3Processor"),
+    "MllamaProcessor": ("mllama", "MllamaProcessor"),
 }
 
 
