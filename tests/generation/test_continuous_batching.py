@@ -120,3 +120,178 @@ def test_cb_oversubscription_defers(tiny):
     got = model.generate_batch(prompts, max_new_tokens=4, num_blocks=8, block_size=4,
                                token_budget=4)
     assert all(len(g) == 4 for g in got)
+
+
+# ------------------------------------------------- multi-step decode window
+def test_cb_multistep_matches_single_step(tiny):
+    """steps_per_sync>1 (K decode steps per jitted program) must produce
+    byte-identical outputs to the single-step engine AND static generate."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    prompts = [[1, 5, 9, 3], [7, 2, 8], [4, 4, 12, 19, 23, 6]]
+    single = model.generate_batch(prompts, max_new_tokens=9, num_blocks=64,
+                                  block_size=4, token_budget=4)
+    multi = model.generate_batch(prompts, max_new_tokens=9, num_blocks=64,
+                                 block_size=4, token_budget=4,
+                                 steps_per_sync=4)
+    assert multi == single, (multi, single)
+
+
+def test_cb_multistep_crosses_block_boundary(tiny):
+    """K window spanning a paged-block boundary writes the right slots."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    prompts = [[1, 5, 9]]  # block_size 4: decode crosses into block 2 fast
+    ref = model.generate_batch(prompts, max_new_tokens=10, num_blocks=64,
+                               block_size=4, token_budget=4)
+    got = model.generate_batch(prompts, max_new_tokens=10, num_blocks=64,
+                               block_size=4, token_budget=4, steps_per_sync=8)
+    assert got == ref
+
+
+def test_cb_multistep_eos_inside_window(tiny):
+    """A per-row EOS hit mid-window stops that row; others continue."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    prompts = [[1, 5, 9, 3], [7, 2, 8]]
+    base = model.generate_batch(prompts, max_new_tokens=8, num_blocks=64,
+                                block_size=4, token_budget=4)
+    # pick row 0's 3rd generated token as a fake EOS
+    eos = base[0][2]
+    engine_kwargs = dict(num_blocks=64, block_size=4, token_budget=4)
+
+    def run(steps):
+        engine = ContinuousBatchingEngine(model, steps_per_sync=steps,
+                                          **engine_kwargs)
+        reqs = []
+        for i, p in enumerate(prompts):
+            r = RequestState(request_id=f"r{i}", prompt_ids=p,
+                             max_new_tokens=8, eos_token_ids=(eos,))
+            engine.add_request(r)
+            reqs.append(r)
+        res = engine.run_to_completion()
+        return [res[r.request_id].generated_ids for r in reqs]
+
+    assert run(4) == run(1)
+
+
+def test_cb_multistep_mixed_budgets(tiny):
+    """Rows with different max_new_tokens finish independently in-window."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    prompts = [[1, 5, 9, 3], [7, 2, 8], [4, 4, 12]]
+    budgets = [3, 7, 5]
+
+    def run(steps):
+        engine = ContinuousBatchingEngine(model, num_blocks=64, block_size=4,
+                                          token_budget=4, steps_per_sync=steps)
+        reqs = []
+        for i, (p, b) in enumerate(zip(prompts, budgets)):
+            r = RequestState(request_id=f"r{i}", prompt_ids=p, max_new_tokens=b)
+            engine.add_request(r)
+            reqs.append(r)
+        res = engine.run_to_completion()
+        return [res[r.request_id].generated_ids for r in reqs]
+
+    got, ref = run(4), run(1)
+    assert got == ref
+    assert [len(g) for g in got] == budgets
+
+
+def test_cb_multistep_temperature_sampling_shapes(tiny):
+    """Pure-temperature rows ride the device sampler: right lengths, valid
+    ids (values differ from host sampling — PRNG streams differ)."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    got = model.generate_batch([[1, 5, 9, 3], [7, 2, 8]], max_new_tokens=6,
+                               temperature=0.8, num_blocks=64, block_size=4,
+                               token_budget=4, steps_per_sync=4)
+    assert all(len(g) == 6 for g in got)
+    vocab = model.config.vocab_size
+    assert all(0 <= t < vocab for g in got for t in g)
+
+
+def test_cb_multistep_falls_back_for_topk(tiny):
+    """top-k requests route through the host sampler (single-step path)."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    engine = ContinuousBatchingEngine(model, num_blocks=64, block_size=4,
+                                      token_budget=4, steps_per_sync=4)
+    r = RequestState(request_id="r", prompt_ids=[1, 5, 9], max_new_tokens=4,
+                     temperature=0.7, top_k=5)
+    engine.add_request(r)
+    res = engine.run_to_completion()
+    assert len(res["r"].generated_ids) == 4
+
+
+# ------------------------------------- scheduler behavior (reference suite)
+def test_cb_chunked_prefill_with_preemption(tiny):
+    """A long prompt prefilling in chunks while pool pressure preempts a
+    decode victim: everything still completes with exact outputs."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    long_prompt = list(np.random.default_rng(0).integers(1, 90, size=24))
+    short = [[1, 5, 9], [7, 2, 8]]
+    prompts = [list(map(int, long_prompt))] + short
+    # tiny pool (forces deferred admission + offload preemption path) with
+    # swap space enabled
+    got = model.generate_batch(prompts, max_new_tokens=5, num_blocks=12,
+                               block_size=4, token_budget=8, swap_blocks=8)
+    ref = [list(np.asarray(model.generate(
+        model.params, input_ids=jnp.asarray([p]), max_new_tokens=5,
+        prompt_pad_multiple=1))[0, len(p):]) for p in prompts]
+    assert got == ref, (got, ref)
+
+
+def test_cb_scheduler_fairness_fifo(tiny):
+    """FIFO: earlier-submitted requests must finish no later than
+    later-submitted ones of the same shape."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    engine = ContinuousBatchingEngine(model, num_blocks=16, block_size=4,
+                                      token_budget=4, max_batch=2)
+    order = []
+    reqs = []
+    for i in range(4):
+        r = RequestState(request_id=f"r{i}", prompt_ids=[i + 1, i + 2, i + 3],
+                         max_new_tokens=3)
+        engine.add_request(r)
+        reqs.append(r)
+    while engine.has_work():
+        for ev in engine.step():
+            if ev.status == "finished":
+                order.append(ev.request_id)
+    assert order == [f"r{i}" for i in range(4)], order
+
+
+def test_cb_decode_bucket_boundaries(tiny):
+    """Live batch crossing pow2 bucket boundaries (3->2->1 rows as requests
+    finish) replays existing compiled programs without drift."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    engine = ContinuousBatchingEngine(model, num_blocks=64, block_size=4,
+                                      token_budget=4)
+    budgets = [2, 5, 9]
+    reqs = []
+    for i, b in enumerate(budgets):
+        r = RequestState(request_id=f"r{i}", prompt_ids=[i + 1, i + 5, 9],
+                         max_new_tokens=b)
+        engine.add_request(r)
+        reqs.append(r)
+    res = engine.run_to_completion()
+    for r, b in zip(reqs, budgets):
+        ref = np.asarray(model.generate(
+            model.params, input_ids=jnp.asarray([r.prompt_ids]),
+            max_new_tokens=b, prompt_pad_multiple=1))[0, len(r.prompt_ids):]
+        assert res[r.request_id].generated_ids == list(ref)
+
+
+def test_cb_failure_propagation(tiny):
+    """An engine-step crash must fail every queued request, not hang them
+    (reference BackgroundThreadStatus semantics)."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+    manager = ContinuousBatchingManager(model, num_blocks=64, block_size=4,
+                                        token_budget=4)
+    # sabotage the runner after startup
+    manager.engine.runner.decode_step = None
+    manager.engine.runner.prefill_chunk = None
+    manager.start()
+    try:
+        q = manager.submit(RequestState(request_id="x", prompt_ids=[1, 5, 9],
+                                        max_new_tokens=4))
+        ev = q.get(timeout=60)
+        assert ev.status == "failed"
+        assert manager._error is not None
+    finally:
+        manager.stop()

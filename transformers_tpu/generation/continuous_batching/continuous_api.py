@@ -46,7 +46,8 @@ class ContinuousBatchingEngine:
     def __init__(self, model, *, num_blocks: int = 256, block_size: int = 32,
                  max_batch: int = 16, token_budget: int = 64,
                  max_context: Optional[int] = None, scheduler: str = "fifo",
-                 cache_dtype=None, swap_blocks: int = 0):
+                 cache_dtype=None, swap_blocks: int = 0,
+                 steps_per_sync: int = 1):
         self.model = model
         config = model.config.get_text_config() if hasattr(model.config, "get_text_config") else model.config
         num_kv = getattr(config, "num_key_value_heads", None) or config.num_attention_heads
@@ -63,6 +64,13 @@ class ContinuousBatchingEngine:
         self.runner = ModelRunner(model, cache, max_blocks_per_seq=max_blocks_per_seq)
         self.offloader = OffloadingManager(cache, self.bm, swap_blocks=swap_blocks)
         self.token_budget = token_budget
+        # >1: run K decode steps per host sync inside one jitted while_loop
+        # (the TPU answer to the reference's cudagraph decode replay — kills
+        # the per-step host/tunnel dispatch floor). Auto-falls back to
+        # single-step when admissions are pending or a request needs
+        # top-k/top-p sampling.
+        self.steps_per_sync = max(1, int(steps_per_sync))
+        self._step_seed = 0
         self._rng = {}
 
     def add_request(self, req: RequestState):
@@ -105,8 +113,11 @@ class ContinuousBatchingEngine:
         if restored is not None:
             self.scheduler.active.append(restored)
         plan = self.scheduler.schedule()
-        # preempt a decode victim when admission is blocked by pool pressure
+        # preempt a decode victim when admission is blocked by POOL pressure
+        # (a max_batch cap is not pressure — preempting for it would starve a
+        # healthy decoding request; caught by the fairness test)
         if (self.scheduler.waiting and plan.prefill is None
+                and len(self.scheduler.active) < self.scheduler.max_batch
                 and not self.offloader.offloaded
                 and self.scheduler.waiting[0].status == RequestStatus.WAITING):
             victims = [r for r in self.scheduler.active
@@ -162,6 +173,14 @@ class ContinuousBatchingEngine:
 
         # ---- batched decode
         decode = [r for r in plan.decode if r.pending_token is not None]
+        # multi-step window: no pending admissions/prefill, and every row is
+        # greedy or pure-temperature (top-k/p needs the host sampler)
+        if (decode and self.steps_per_sync > 1 and plan.prefill is None
+                and not self.scheduler.waiting and not self.offloader.offloaded
+                and all((not r.top_k or r.top_k <= 0)
+                        and (not r.top_p or r.top_p >= 1.0) for r in decode)):
+            self._decode_multi(decode, out_events)
+            return out_events
         if decode:
             n = len(decode)
             bucket = 1 << (n - 1).bit_length()  # pad to pow2 program buckets
@@ -196,6 +215,34 @@ class ContinuousBatchingEngine:
                         request_id=r.request_id, prompt_ids=r.prompt_ids,
                         generated_ids=list(r.generated_ids), status="decoding", new_token=tok))
         return out_events
+
+    def _decode_multi(self, decode: list[RequestState], out_events: list):
+        """K decode steps in one device program (ModelRunner.decode_multi);
+        per-request commit/EOS/budget semantics mirror the single-step path."""
+        n = len(decode)
+        tokens = np.asarray([r.pending_token for r in decode], np.int32)
+        positions = np.asarray([r.context_len for r in decode], np.int32)
+        budgets = np.asarray([r.max_new_tokens - len(r.generated_ids)
+                              for r in decode], np.int32)
+        temps = np.asarray([r.temperature or 0.0 for r in decode], np.float32)
+        eos_lists = [tuple(r.eos_token_ids) for r in decode]
+        k = int(min(self.steps_per_sync, max(int(budgets.max()), 1)))
+        self._step_seed += 1
+        committed, pending, commits, finished = self.runner.decode_multi(
+            None, tokens, [r.block_table for r in decode], positions,
+            budgets, eos_lists, temps, k, seed=self._step_seed)
+        for i, r in enumerate(decode):
+            toks = [int(t) for t in committed[i][: int(commits[i])] if t >= 0]
+            r.generated_ids.extend(toks)
+            if finished[i]:
+                r.pending_token = None
+                self._finish(r, out_events)
+            else:
+                r.pending_token = int(pending[i])
+                out_events.append(GenerationOutput(
+                    request_id=r.request_id, prompt_ids=r.prompt_ids,
+                    generated_ids=list(r.generated_ids), status="decoding",
+                    new_token=toks[-1] if toks else None))
 
     def _finish(self, req: RequestState, out_events: list):
         self.scheduler.finish(req)

@@ -147,6 +147,121 @@ class ModelRunner:
 
         return jax.jit(fn, donate_argnums=(1,))
 
+    def _build_decode_multi(self, n: int, k: int):
+        """K decode steps inside ONE jitted program (reference cudagraph
+        replay, model_runner.py:145 — but deeper: the host syncs once per K
+        steps instead of once per token, so the host/tunnel dispatch floor is
+        amortized K-fold).
+
+        Per-row semantics match the host single-step loop exactly:
+        - the entry ``tokens`` are each row's pending token; a pending EOS is
+          committed to the output WITHOUT a cache write and the row finishes;
+        - otherwise the pending token is written at ``positions`` and the
+          next token sampled (argmax, or categorical at ``temps[row]`` > 0);
+        - a row finishes when its committed count reaches ``budgets[row]``.
+        The loop exits early when every row is finished.
+        """
+        model = self.model
+        bs = self.cache.block_size
+
+        def fn(params, pools, tokens, block_tables, positions, budgets,
+               eos_ids, temps, key):
+            # tokens [N]; positions [N]; budgets [N] (#commits allowed);
+            # eos_ids [N, E] (-1 padded); temps [N] f32 (0 = greedy)
+            out = jnp.full((n, k), -1, jnp.int32)
+            commits = jnp.zeros((n,), jnp.int32)
+            finished = budgets <= 0
+
+            def cond(carry):
+                return (carry[0] < k) & ~jnp.all(carry[-1])
+
+            def body(carry):
+                (i, keys, values, tokens, positions, out, commits, key,
+                 finished) = carry
+                was_finished = finished
+                is_eos = jnp.any(tokens[:, None] == eos_ids, axis=-1)
+                do_write = ~was_finished & ~is_eos
+                blk = jnp.take_along_axis(
+                    block_tables, (positions // bs)[:, None], axis=1)[:, 0]
+                slots = jnp.where(do_write, blk * bs + positions % bs, 0)
+                ctx = jnp.where(do_write, positions + 1, 1).astype(jnp.int32)
+                view = PagedCacheView(
+                    keys=keys, values=values, block_tables=block_tables,
+                    write_slots=slots[:, None], ctx_lens=ctx,
+                    block_size=bs, max_len=self.max_len)
+                kv_valid = (jnp.arange(self.max_len, dtype=jnp.int32)[None, :]
+                            < ctx[:, None]).astype(jnp.int32)
+                mout = model(
+                    params, input_ids=tokens[:, None],
+                    attention_mask=kv_valid, position_ids=positions[:, None],
+                    past_key_values=view, cache_position=positions[:, None],
+                    logits_to_keep=1)
+                logits = mout.logits[:, -1, :].astype(jnp.float32)
+                key, sub = jax.random.split(key)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                temped = jax.random.categorical(
+                    sub, logits / jnp.maximum(temps, 1e-6)[:, None],
+                    axis=-1).astype(jnp.int32)
+                nxt = jnp.where(temps > 0, temped, greedy)
+
+                committed_now = ~was_finished
+                out = out.at[:, i].set(jnp.where(committed_now, tokens, -1))
+                commits = commits + committed_now.astype(jnp.int32)
+                finished = was_finished | is_eos | (commits >= budgets)
+                tokens = jnp.where(finished, tokens, nxt)
+                positions = positions + do_write.astype(jnp.int32)
+                return (i + 1, mout.past_key_values.keys,
+                        mout.past_key_values.values, tokens, positions, out,
+                        commits, key, finished)
+
+            (i, keys, values, tokens, positions, out, commits, key,
+             finished) = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), pools.keys,
+                             pools.values, tokens, positions, out, commits,
+                             key, finished))
+            new_pools = PagedKVCache(keys=keys, values=values,
+                                     block_size=pools.block_size,
+                                     num_blocks=pools.num_blocks)
+            return new_pools, (out, tokens, commits, finished, positions)
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def decode_multi(self, params, tokens: np.ndarray,
+                     block_tables: list[list[int]], positions: np.ndarray,
+                     budgets: np.ndarray, eos_lists: list[tuple],
+                     temps: np.ndarray, k: int, seed: int = 0):
+        """Run up to ``k`` decode steps for N sequences in one device program.
+
+        Returns (committed [N, k] with -1 padding, pending_out [N],
+        n_committed [N], finished [N])."""
+        n = len(tokens)
+        bucket = 1 << max(n - 1, 0).bit_length()
+        e = max([len(x) for x in eos_lists] + [1])
+        key = ("decode_multi", bucket, k, e)
+        if key not in self._fns:
+            self._fns[key] = self._build_decode_multi(bucket, k)
+        bt = np.zeros((bucket, self.max_blocks_per_seq), np.int32)
+        toks = np.zeros((bucket,), np.int32)
+        pos = np.zeros((bucket,), np.int32)
+        bud = np.zeros((bucket,), np.int32)  # pad rows: budget 0 => finished
+        eos = np.full((bucket, e), -1, np.int32)
+        tmp = np.zeros((bucket,), np.float32)
+        toks[:n] = tokens
+        pos[:n] = positions
+        bud[:n] = budgets
+        tmp[:n] = temps
+        for i, table in enumerate(block_tables):
+            bt[i, : len(table)] = table
+            for j, t in enumerate(eos_lists[i]):
+                eos[i, j] = t
+        self.cache, (out, pending, commits, finished, _) = self._fns[key](
+            self.model.params if params is None else params, self.cache,
+            jnp.asarray(toks), jnp.asarray(bt), jnp.asarray(pos),
+            jnp.asarray(bud), jnp.asarray(eos), jnp.asarray(tmp),
+            jax.random.key(seed))
+        return (np.asarray(out)[:n], np.asarray(pending)[:n],
+                np.asarray(commits)[:n], np.asarray(finished)[:n])
+
     # --------------------------------------------------------------- public
     def prefill_chunk(self, params, input_ids: np.ndarray, block_table: list[int],
                       start: int, prompt_len_after: int, chunk_bucket: Optional[int] = None):
