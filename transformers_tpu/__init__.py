@@ -47,7 +47,7 @@ from .models.auto import (
 from .models.llama import LlamaConfig, LlamaForCausalLM
 from .tokenization import AutoTokenizer, BatchEncoding, PreTrainedTokenizer
 from .utils import logging
-from .generation import TextIteratorStreamer, TextStreamer
+from .generation import AsyncTextIteratorStreamer, TextIteratorStreamer, TextStreamer
 from .optimization import create_optimizer, get_scheduler
 from .trainer import Trainer
 from .trainer_seq2seq import Seq2SeqTrainer, Seq2SeqTrainingArguments

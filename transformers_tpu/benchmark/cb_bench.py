@@ -57,12 +57,18 @@ def main(n_requests: int = 16, max_new: int = 64):
     # blocks x 32 slots (0.25 GiB across 32 layers) and decode batches 8 —
     # max_batch resident sequences at prompt 128 + 64 generated need 48
     # blocks; the scheduler defers admission when blocks run out.
+    # steps_per_sync: K decode steps ride ONE jitted while_loop program per
+    # host sync (model_runner.decode_multi) — the host/tunnel dispatch floor
+    # is paid once per K tokens instead of once per token (the TPU analog of
+    # the reference's cudagraph decode replay, model_runner.py:145).
     kwargs = dict(num_blocks=64, block_size=32, max_batch=8,
-                  token_budget=128, scheduler="prefill_first")
+                  token_budget=128, scheduler="prefill_first",
+                  steps_per_sync=16)
 
     # warm every program the timed run will replay: prefill at the chunk
-    # bucket and decode at every pow2 batch bucket the ramp/tail will touch
+    # bucket, decode at the pow2 batch buckets, and the multi-step window
     model.generate_batch(prompts[:8], max_new_tokens=4, **kwargs)
+    model.generate_batch(prompts[:8], max_new_tokens=17, **kwargs)
 
     t0 = time.perf_counter()
     outs = model.generate_batch(prompts, max_new_tokens=max_new, **kwargs)

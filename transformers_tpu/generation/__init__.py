@@ -18,4 +18,8 @@ from .stopping_criteria import (
     StoppingCriteriaList,
     StopStringCriteria,
 )
-from .streamers import BaseStreamer, TextIteratorStreamer, TextStreamer
+from .streamers import (AsyncTextIteratorStreamer, BaseStreamer,
+                        TextIteratorStreamer, TextStreamer)
+from .watermarking import (SynthIDTextWatermarkDetector,
+                           SynthIDTextWatermarkLogitsProcessor,
+                           WatermarkDetector, WatermarkLogitsProcessor)

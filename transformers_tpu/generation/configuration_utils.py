@@ -115,7 +115,60 @@ class GenerationConfig:
         return GenerationConfig(**self.to_dict())
 
     # Mode derivation (reference configuration_utils.py:531 get_generation_mode)
-    def get_generation_mode(self) -> str:
-        if self.num_beams > 1:
+    def get_generation_mode(self, assistant_model=None) -> str:
+        if assistant_model is not None:
+            return "assisted_generation"
+        if self.num_beams and self.num_beams > 1:
             return "beam_sample" if self.do_sample else "beam_search"
         return "sample" if self.do_sample else "greedy_search"
+
+    # Validation (reference configuration_utils.py:644): raise on outright
+    # invalid values; warn once on flag combinations the selected mode will
+    # silently ignore — hub checkpoints carry unsupported knobs all the time.
+    def validate(self, strict: bool = False) -> None:
+        from ..utils import logging
+
+        logger = logging.get_logger(__name__)
+        if self.early_stopping not in (None, True, False, "never"):
+            raise ValueError(
+                f"`early_stopping` must be a boolean or 'never', but is {self.early_stopping}.")
+        if self.max_new_tokens is not None and self.max_new_tokens <= 0:
+            raise ValueError(
+                f"`max_new_tokens` must be greater than 0, but is {self.max_new_tokens}.")
+        valid_caches = (None, "static", "dynamic", "sliding_window", "hybrid",
+                        "quantized", "offloaded_static", "paged")
+        if self.cache_implementation not in valid_caches:
+            raise ValueError(
+                f"Invalid `cache_implementation` ({self.cache_implementation}). "
+                f"Choose one of: {[c for c in valid_caches if c]}")
+
+        minor: dict[str, str] = {}
+        greedy_msg = ("`do_sample` is not set to `True`. However, `{flag}` is set to "
+                      "`{value}` -- this flag is only used in sample-based generation "
+                      "modes. You should set `do_sample=True` or unset `{flag}`.")
+        if self.do_sample is not True:
+            for flag, neutral in (("temperature", 1.0), ("top_p", 1.0),
+                                  ("min_p", None), ("typical_p", 1.0),
+                                  ("top_k", 50)):
+                value = getattr(self, flag, None)
+                if value is not None and value != neutral:
+                    minor[flag] = greedy_msg.format(flag=flag, value=value)
+        if not self.num_beams or self.num_beams == 1:
+            beam_msg = ("`num_beams` is set to {n}. However, `{flag}` is set to "
+                        "`{value}` -- this flag is only used in beam-based generation "
+                        "modes. You should set `num_beams>1` or unset `{flag}`.")
+            if self.early_stopping not in (None, False):
+                minor["early_stopping"] = beam_msg.format(
+                    n=self.num_beams, flag="early_stopping", value=self.early_stopping)
+            if self.length_penalty is not None and self.length_penalty != 1.0:
+                minor["length_penalty"] = beam_msg.format(
+                    n=self.num_beams, flag="length_penalty", value=self.length_penalty)
+            nrs = getattr(self, "num_return_sequences", None)
+            if nrs and nrs > 1 and not self.do_sample:
+                raise ValueError(
+                    "Greedy methods (do_sample != True) without beam search do not "
+                    f"support `num_return_sequences` > 1 (got {nrs}).")
+        for flag, msg in minor.items():
+            if strict:
+                raise ValueError(f"strict validation: {msg}")
+            logger.warning_once(msg)

@@ -226,7 +226,10 @@ class ContinuousBatchingEngine:
                               for r in decode], np.int32)
         temps = np.asarray([r.temperature or 0.0 for r in decode], np.float32)
         eos_lists = [tuple(r.eos_token_ids) for r in decode]
-        k = int(min(self.steps_per_sync, max(int(budgets.max()), 1)))
+        # k stays FIXED at steps_per_sync: the device while_loop exits early
+        # once every row finishes, and a varying k would compile one program
+        # per distinct tail length
+        k = self.steps_per_sync
         self._step_seed += 1
         committed, pending, commits, finished = self.runner.decode_multi(
             None, tokens, [r.block_table for r in decode], positions,

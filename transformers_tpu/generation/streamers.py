@@ -94,3 +94,39 @@ class TextIteratorStreamer(TextStreamer):
         if value == self.stop_signal:
             raise StopIteration()
         return value
+
+
+class AsyncTextIteratorStreamer(TextStreamer):
+    """Async-iterator streamer (reference streamers.py:226): generation runs
+    in a worker thread; consumers ``async for`` decoded text. Must be
+    constructed inside a running event loop."""
+
+    def __init__(self, tokenizer, skip_prompt: bool = False,
+                 timeout: Optional[float] = None, **decode_kwargs):
+        super().__init__(tokenizer, skip_prompt, **decode_kwargs)
+        import asyncio
+
+        self._asyncio = asyncio
+        self.text_queue: "asyncio.Queue" = asyncio.Queue()
+        self.stop_signal = None
+        self.timeout = timeout
+        self.loop = asyncio.get_running_loop()
+
+    def on_finalized_text(self, text: str, stream_end: bool = False):
+        self.loop.call_soon_threadsafe(self.text_queue.put_nowait, text)
+        if stream_end:
+            self.loop.call_soon_threadsafe(self.text_queue.put_nowait,
+                                           self.stop_signal)
+
+    def __aiter__(self):
+        return self
+
+    async def __anext__(self):
+        try:
+            value = await self._asyncio.wait_for(self.text_queue.get(),
+                                                 timeout=self.timeout)
+        except self._asyncio.TimeoutError:
+            raise TimeoutError() from None
+        if value == self.stop_signal:
+            raise StopAsyncIteration()
+        return value

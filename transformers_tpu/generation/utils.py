@@ -126,6 +126,7 @@ class GenerationMixin:
         unused = gen.update(**kwargs)
         if unused:
             logger.warning(f"generate() ignoring unknown kwargs: {sorted(unused)}")
+        gen.validate()  # reference generation/configuration_utils.py:644
         kwargs = kwargs_model
 
         input_ids = jnp.asarray(input_ids)
