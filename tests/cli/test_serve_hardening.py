@@ -1,0 +1,130 @@
+"""Serve hardening (reference cli/serving/server.py:44): per-request
+timeout -> 504 + CB cancellation, client-disconnect cancellation, and
+max-concurrency backpressure -> 429. Each is driven through real HTTP."""
+
+import http.client
+import json
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from parity_utils import make_tiny_torch_llama  # noqa: E402
+from test_serve import make_tiny_tokenizer  # noqa: E402
+
+import transformers_tpu as ttpu  # noqa: E402
+
+PORT = 8737
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("serve_hard"))
+    make_tiny_torch_llama(d, num_hidden_layers=2)
+    make_tiny_tokenizer(d)
+
+    import asyncio
+
+    from aiohttp import web
+
+    from transformers_tpu.cli.serving import ServeEngine, build_app
+
+    model = ttpu.AutoModelForCausalLM.from_pretrained(d, dtype="float32")
+    tokenizer = ttpu.AutoTokenizer.from_pretrained(d)
+    engine = ServeEngine(model, tokenizer, model_name="tiny", num_blocks=64,
+                         block_size=4, token_budget=8)
+    # tiny limits so the tests can hit them deterministically
+    app = build_app(engine, max_concurrency=1, request_timeout=2.0)
+
+    loop = asyncio.new_event_loop()
+    runner = web.AppRunner(app)
+
+    async def start():
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", PORT)
+        await site.start()
+
+    t = threading.Thread(target=lambda: (asyncio.set_event_loop(loop),
+                                         loop.run_until_complete(start()),
+                                         loop.run_forever()), daemon=True)
+    t.start()
+    time.sleep(1.0)
+    yield "http://127.0.0.1:%d" % PORT, engine
+    loop.call_soon_threadsafe(loop.stop)
+    engine.close()
+
+
+def _post(url, body, timeout=120):
+    req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_request_timeout_504(served):
+    url, engine = served
+    # warm the compile so the timed request measures generation, not XLA
+    _post(url + "/v1/completions", {"prompt": "hello", "max_tokens": 2})
+    # huge generation against the 2s budget -> 504
+    try:
+        status, body = _post(url + "/v1/completions",
+                             {"prompt": "hello", "max_tokens": 100000})
+        raise AssertionError(f"expected 504, got {status}: {body}")
+    except urllib.error.HTTPError as e:
+        assert e.code == 504
+        assert json.loads(e.read())["error"]["type"] == "timeout"
+    # the CB request must be gone (cancelled), not still decoding
+    time.sleep(0.5)
+    sched = engine.manager.engine.scheduler
+    assert not sched.active and not sched.waiting
+
+
+def test_backpressure_429(served):
+    url, _ = served
+    # hold the single concurrency slot with a slow request in a thread
+    results = {}
+
+    def slow():
+        try:
+            # big enough to still be generating when the probe fires (it will
+            # eventually 504 against the 2s budget — that's fine)
+            results["slow"] = _post(url + "/v1/completions",
+                                    {"prompt": "a", "max_tokens": 100000})
+        except urllib.error.HTTPError as e:
+            results["slow"] = ("err", e.code)
+
+    t = threading.Thread(target=slow)
+    t.start()
+    time.sleep(0.3)
+    try:
+        status, _b = _post(url + "/v1/completions",
+                           {"prompt": "b", "max_tokens": 2}, timeout=10)
+        got = status
+    except urllib.error.HTTPError as e:
+        got = e.code
+    t.join(timeout=30)
+    assert got == 429
+
+
+def test_disconnect_cancels_request(served):
+    url, engine = served
+    host = "127.0.0.1:%d" % PORT
+    conn = http.client.HTTPConnection(host, timeout=5)
+    body = json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                       "max_tokens": 100000, "stream": True})
+    conn.request("POST", "/v1/chat/completions", body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    resp.read(10)  # receive the first bytes of the stream
+    conn.close()   # client walks away
+    # the server should notice on its next write and cancel the CB request
+    deadline = time.time() + 15
+    sched = engine.manager.engine.scheduler
+    while time.time() < deadline and (sched.active or sched.waiting):
+        time.sleep(0.2)
+    assert not sched.active and not sched.waiting

@@ -13,6 +13,7 @@ from __future__ import annotations
 import asyncio
 import json
 import time
+import queue as queue_mod
 import uuid
 from typing import Optional
 
@@ -187,10 +188,37 @@ class _StreamParser:
 
 
 def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
-              manager: Optional[ModelManager] = None):
+              manager: Optional[ModelManager] = None,
+              max_concurrency: int = 64,
+              request_timeout: Optional[float] = None):
+    """Server hardening (reference cli/serving/server.py:44):
+
+    - **cancellation**: a client disconnect mid-stream cancels the CB
+      request, freeing its blocks immediately;
+    - **timeout**: ``request_timeout`` seconds per request, after which the
+      request is cancelled and 504 returned (or the stream closed);
+    - **backpressure**: at most ``max_concurrency`` in-flight generation
+      requests; excess gets 429 with Retry-After.
+    """
     from aiohttp import web
 
     app = web.Application()
+    inflight = {"n": 0}
+
+    def _admit() -> bool:
+        if inflight["n"] >= max_concurrency:
+            return False
+        inflight["n"] += 1
+        return True
+
+    def _release():
+        inflight["n"] = max(0, inflight["n"] - 1)
+
+    def _too_busy():
+        return web.json_response(
+            {"error": {"message": "server overloaded, retry later",
+                       "type": "rate_limit_exceeded"}},
+            status=429, headers={"Retry-After": "1"})
 
     def resolve_engine(body: dict) -> ServeEngine:
         """Serve the preloaded model by default; with a ModelManager, load
@@ -209,15 +237,44 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
                       "created": int(time.time())} for n in names],
         })
 
-    async def _collect(q, loop):
-        """Drain the CB delivery queue without blocking the event loop."""
-        while True:
-            ev = await loop.run_in_executor(None, q.get)
-            yield ev
-            if ev.status in ("finished", "failed"):
-                return
+    async def _collect(q, loop, eng=None, rid=None, deadline=None):
+        """Drain the CB delivery queue without blocking the event loop.
+
+        Enforces the per-request deadline: on expiry the CB request is
+        cancelled and asyncio.TimeoutError raised. Generator cleanup (client
+        disconnect closes the handler) also cancels the request."""
+        import functools
+
+        try:
+            while True:
+                if deadline is not None:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        raise asyncio.TimeoutError
+                    try:
+                        ev = await loop.run_in_executor(
+                            None, functools.partial(q.get, timeout=remaining))
+                    except queue_mod.Empty:
+                        raise asyncio.TimeoutError from None
+                else:
+                    ev = await loop.run_in_executor(None, q.get)
+                yield ev
+                if ev.status in ("finished", "failed", "cancelled"):
+                    return
+        except (asyncio.TimeoutError, GeneratorExit, asyncio.CancelledError):
+            if eng is not None and rid is not None:
+                eng.manager.cancel(rid)
+            raise
 
     async def chat_completions(request):
+        if not _admit():
+            return _too_busy()
+        try:
+            return await _chat_completions(request)
+        finally:
+            _release()
+
+    async def _chat_completions(request):
         body = await request.json()
         eng = resolve_engine(body)
         messages = body.get("messages", [])
@@ -230,11 +287,17 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         rid, q = eng.submit_ids(prompt_ids, max_new_tokens=max_new, temperature=temperature)
         created = int(time.time())
         loop = asyncio.get_event_loop()
+        deadline = (time.monotonic() + request_timeout) if request_timeout else None
 
         if not stream:
             final = None
-            async for ev in _collect(q, loop):
-                final = ev
+            try:
+                async for ev in _collect(q, loop, eng, rid, deadline):
+                    final = ev
+            except asyncio.TimeoutError:
+                return web.json_response(
+                    {"error": {"message": "request timed out", "type": "timeout"}},
+                    status=504)
             if final.status == "failed":
                 return web.json_response({"error": {"message": final.error or "failed"}}, status=500)
             text = eng.tokenizer.decode(final.generated_ids, skip_special_tokens=True)
@@ -267,18 +330,21 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
                      "choices": [{"index": 0, "delta": delta, "finish_reason": finish}]}
             await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
 
-        async for ev in _collect(q, loop):
-            if ev.status == "failed":
-                await send({}, finish="error")
-                break
-            for delta in sp.step(ev.generated_ids):
-                saw_calls = saw_calls or "tool_calls" in delta
-                await send(delta)
-            if ev.status == "finished":
-                for delta in sp.finish():
+        try:
+            async for ev in _collect(q, loop, eng, rid, deadline):
+                if ev.status == "failed":
+                    await send({}, finish="error")
+                    break
+                for delta in sp.step(ev.generated_ids):
                     saw_calls = saw_calls or "tool_calls" in delta
                     await send(delta)
-                await send({}, finish="tool_calls" if saw_calls else "stop")
+                if ev.status == "finished":
+                    for delta in sp.finish():
+                        saw_calls = saw_calls or "tool_calls" in delta
+                        await send(delta)
+                    await send({}, finish="tool_calls" if saw_calls else "stop")
+        except asyncio.TimeoutError:
+            await send({}, finish="timeout")
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
@@ -318,7 +384,7 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
 
         if not stream:
             final = None
-            async for ev in _collect(q, loop):
+            async for ev in _collect(q, loop, eng, rid):
                 final = ev
             if final.status == "failed":
                 return web.json_response({"error": {"message": final.error or "failed"}},
@@ -344,7 +410,7 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         text = ""
         n_out = 0
         failed = False
-        async for ev in _collect(q, loop):
+        async for ev in _collect(q, loop, eng, rid):
             if ev.status == "failed":
                 failed = True
                 await emit("response.failed",
@@ -364,6 +430,14 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         return resp
 
     async def completions(request):
+        if not _admit():
+            return _too_busy()
+        try:
+            return await _completions(request)
+        finally:
+            _release()
+
+    async def _completions(request):
         body = await request.json()
         prompt = body.get("prompt", "")
         if isinstance(prompt, list):
@@ -373,9 +447,15 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         prompt_ids = engine.tokenizer.encode(prompt)
         rid, q = engine.submit_ids(prompt_ids, max_new_tokens=max_new, temperature=temperature)
         loop = asyncio.get_event_loop()
+        deadline = (time.monotonic() + request_timeout) if request_timeout else None
         final = None
-        async for ev in _collect(q, loop):
-            final = ev
+        try:
+            async for ev in _collect(q, loop, engine, rid, deadline):
+                final = ev
+        except asyncio.TimeoutError:
+            return web.json_response(
+                {"error": {"message": "request timed out", "type": "timeout"}},
+                status=504)
         if final.status == "failed":
             return web.json_response({"error": {"message": final.error or "failed"}}, status=500)
         text = engine.tokenizer.decode(final.generated_ids, skip_special_tokens=True)
@@ -412,7 +492,9 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
 
 
 def serve(model_path: str, host: str = "127.0.0.1", port: int = 8000,
-          transcription_model: Optional[str] = None, **engine_kwargs):
+          transcription_model: Optional[str] = None,
+          max_concurrency: int = 64, request_timeout: Optional[float] = None,
+          **engine_kwargs):
     """Entry: load model+tokenizer, run the server (reference `transformers serve`)."""
     from aiohttp import web
 
@@ -424,7 +506,8 @@ def serve(model_path: str, host: str = "127.0.0.1", port: int = 8000,
     tokenizer = AutoTokenizer.from_pretrained(model_path)
     engine = ServeEngine(model, tokenizer, model_name=model_path, **engine_kwargs)
     audio_engine = AudioEngine.from_pretrained(transcription_model) if transcription_model else None
-    app = build_app(engine, audio_engine)
+    app = build_app(engine, audio_engine, max_concurrency=max_concurrency,
+                    request_timeout=request_timeout)
     try:
         web.run_app(app, host=host, port=port)
     finally:

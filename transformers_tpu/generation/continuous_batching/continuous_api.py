@@ -76,6 +76,36 @@ class ContinuousBatchingEngine:
     def add_request(self, req: RequestState):
         self.scheduler.add(req)
 
+    def cancel_request(self, request_id: str) -> Optional[GenerationOutput]:
+        """Drop a request wherever it lives (waiting/active/offloaded),
+        freeing its blocks; returns a 'cancelled' delivery event or None if
+        the id is unknown (already finished)."""
+        for r in list(self.scheduler.waiting):
+            if r.request_id == request_id:
+                self.scheduler.waiting.remove(r)
+                return GenerationOutput(request_id=request_id,
+                                        prompt_ids=r.prompt_ids,
+                                        generated_ids=list(r.generated_ids),
+                                        status="cancelled")
+        for r in list(self.scheduler.active):
+            if r.request_id == request_id:
+                self.scheduler.finish(r, RequestStatus.FAILED)
+                self._rng.pop(request_id, None)
+                return GenerationOutput(request_id=request_id,
+                                        prompt_ids=r.prompt_ids,
+                                        generated_ids=list(r.generated_ids),
+                                        status="cancelled")
+        off = getattr(self.offloader, "offloaded", None)
+        if off:
+            for r in list(off):
+                if getattr(r, "request_id", None) == request_id:
+                    off.remove(r)
+                    return GenerationOutput(request_id=request_id,
+                                            prompt_ids=r.prompt_ids,
+                                            generated_ids=list(r.generated_ids),
+                                            status="cancelled")
+        return None
+
     def has_work(self) -> bool:
         return self.scheduler.has_work() or bool(self.offloader.offloaded)
 
@@ -270,6 +300,7 @@ class ContinuousBatchingManager:
     def __init__(self, model, **engine_kwargs):
         self.engine = ContinuousBatchingEngine(model, **engine_kwargs)
         self._in: queue.Queue = queue.Queue()
+        self._cancels: queue.Queue = queue.Queue()
         self._outs: dict[str, queue.Queue] = {}
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -290,12 +321,18 @@ class ContinuousBatchingManager:
 
     def submit(self, req: RequestState) -> queue.Queue:
         """Enqueue a request; returns its delivery queue (stream of
-        GenerationOutput, last one has status finished/failed)."""
+        GenerationOutput, last one has status finished/failed/cancelled)."""
         q: queue.Queue = queue.Queue()
         with self._lock:
             self._outs[req.request_id] = q
         self._in.put(req)
         return q
+
+    def cancel(self, request_id: str) -> None:
+        """Request cancellation (client disconnect / timeout); processed by
+        the engine thread at its next loop iteration (reference serve
+        hardening: cancellation on disconnect, cli/serving/server.py:44)."""
+        self._cancels.put(request_id)
 
     def _loop(self):
         # Cross-thread failure propagation (reference continuous_api.py:131
@@ -307,6 +344,18 @@ class ContinuousBatchingManager:
                         self.engine.add_request(self._in.get_nowait())
                     except queue.Empty:
                         break
+                while True:
+                    try:
+                        rid = self._cancels.get_nowait()
+                    except queue.Empty:
+                        break
+                    ev = self.engine.cancel_request(rid)
+                    with self._lock:
+                        q = self._outs.pop(rid, None)
+                    if q is not None:
+                        q.put(ev or GenerationOutput(request_id=rid,
+                                                     prompt_ids=[],
+                                                     status="cancelled"))
                 if not self.engine.has_work():
                     self._stop.wait(0.005)
                     continue
