@@ -80,3 +80,93 @@ def load_exported(save_directory: str):
 
     with open(os.path.join(save_directory, EXPORT_NAME), "rb") as f:
         return jax_export.deserialize(f.read())
+
+
+# --------------------------------------------------------------------------
+# Decode-loop export: the full generate program (bucketed prefill +
+# lax.while_loop greedy decode with the KV cache as in-program state) as one
+# StableHLO artifact, weights packaged alongside — the reference's
+# ExecuTorch decode-with-cache export semantics
+# (exporters/exporter_executorch.py) in XLA-ecosystem form.
+# --------------------------------------------------------------------------
+
+GENERATE_EXPORT_NAME = "generate.stablehlo"
+GENERATE_WEIGHTS_NAME = "weights.safetensors"
+GENERATE_CONFIG_NAME = "generate_export_config.json"
+
+
+def export_generate(model, params=None, *, batch_size: int = 1,
+                    prompt_bucket: int = 64, max_new: int = 32,
+                    eos_token_id=None, pad_token_id: int = 0):
+    """Export greedy generate as ONE program. The returned Exported takes
+    ``(params_pytree, prompt_ids [B, bucket], prompt_mask [B, bucket],
+    key, max_new_rt scalar)`` and returns ids [B, bucket + max_new] —
+    weights ride as arguments so the artifact stays small and the packaged
+    safetensors can be swapped (fine-tunes reuse the program)."""
+    from jax import export as jax_export
+
+    from ..generation.logits_process import LogitsProcessorList
+
+    params = params if params is not None else model.params
+    eos = eos_token_id if eos_token_id is not None else getattr(
+        model.config, "eos_token_id", None)
+    eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else (
+        (int(eos),) if eos is not None else ())
+    fn = model._build_generate_fn(
+        bucket=prompt_bucket, total_len=prompt_bucket + max_new,
+        max_new=max_new, do_sample=False, eos_ids=eos_ids,
+        pad_id=int(pad_token_id), processors=LogitsProcessorList([]),
+        cache_dtype=model.dtype)
+    params_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+    ids_spec = jax.ShapeDtypeStruct((batch_size, prompt_bucket), jnp.int32)
+    return jax_export.export(fn)(
+        params_spec, ids_spec, ids_spec,
+        jax.eval_shape(lambda: jax.random.key(0)),
+        jax.ShapeDtypeStruct((), jnp.int32))
+
+
+def save_generate_artifact(model, save_directory: str, params=None, *,
+                           batch_size: int = 1, prompt_bucket: int = 64,
+                           max_new: int = 32, eos_token_id=None,
+                           pad_token_id: int = 0) -> str:
+    """Serialize the generate program + weights + manifest. The artifact is
+    runnable WITHOUT this package: ``jax.export.deserialize`` the program,
+    rebuild the params pytree from the flat dot-keyed safetensors, call."""
+    from safetensors.numpy import save_file
+
+    from ..utils.generic import flatten_dict
+
+    os.makedirs(save_directory, exist_ok=True)
+    params = params if params is not None else model.params
+    exported = export_generate(
+        model, params, batch_size=batch_size, prompt_bucket=prompt_bucket,
+        max_new=max_new, eos_token_id=eos_token_id, pad_token_id=pad_token_id)
+    path = os.path.join(save_directory, GENERATE_EXPORT_NAME)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    # weights in OUR runtime layouts, flat dot-keys (no torch-layout save
+    # transforms — this file feeds the exported program, not the hub)
+    flat = {k: np.asarray(jax.device_get(v))
+            for k, v in flatten_dict(params).items()}
+    save_file(flat, os.path.join(save_directory, GENERATE_WEIGHTS_NAME))
+    eos = eos_token_id if eos_token_id is not None else getattr(
+        model.config, "eos_token_id", None)
+    manifest = {
+        "format": "stablehlo-jax-export-generate",
+        "batch_size": batch_size,
+        "prompt_bucket": prompt_bucket,
+        "max_new": max_new,
+        "pad_token_id": int(pad_token_id),
+        "eos_token_id": eos,
+        "model_type": getattr(model.config, "model_type", None),
+        "architecture": type(model).__name__,
+        "calling_convention": ["params_nested_dict", "prompt_ids[B,bucket] i32",
+                               "prompt_mask[B,bucket] i32", "prng_key",
+                               "max_new i32 scalar"],
+    }
+    with open(os.path.join(save_directory, GENERATE_CONFIG_NAME), "w",
+              encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    logger.info(f"Exported generate program to {path}")
+    return path
