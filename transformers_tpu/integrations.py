@@ -167,11 +167,163 @@ class CometCallback(TrainerCallback):
             self._experiment = None
 
 
+
+
+def is_neptune_available() -> bool:
+    return importlib.util.find_spec("neptune") is not None
+
+
+def is_clearml_available() -> bool:
+    return importlib.util.find_spec("clearml") is not None
+
+
+def is_codecarbon_available() -> bool:
+    return importlib.util.find_spec("codecarbon") is not None
+
+
+def is_swanlab_available() -> bool:
+    return importlib.util.find_spec("swanlab") is not None
+
+
+class NeptuneCallback(TrainerCallback):
+    """reference integration_utils.py:1527 — run created at train begin,
+    per-log metrics appended under a metrics namespace, run stopped at end."""
+
+    def __init__(self, run=None, base_namespace: str = "finetuning"):
+        if not is_neptune_available():
+            raise RuntimeError("NeptuneCallback requires the neptune package")
+        import neptune
+
+        self._neptune = neptune
+        self._run = run
+        self._base = base_namespace
+
+    def on_train_begin(self, args, state, control, **kwargs):
+        if self._run is None:
+            self._run = self._neptune.init_run(
+                name=getattr(args, "run_name", None) or None)
+        self._run[f"{self._base}/hyperparameters"] = {
+            k: str(v) for k, v in args.to_dict().items() if v is not None}
+
+    def on_log(self, args, state, control, logs=None, **kwargs):
+        if self._run is None or not logs:
+            return
+        for k, v in logs.items():
+            if isinstance(v, (int, float)):
+                self._run[f"{self._base}/{k}"].append(
+                    float(v), step=state.global_step)
+
+    def on_train_end(self, args, state, control, **kwargs):
+        if self._run is not None:
+            self._run.stop()
+            self._run = None
+
+
+class ClearMLCallback(TrainerCallback):
+    """reference integration_utils.py:1843 — Task.init, connected args,
+    scalar reporting per log."""
+
+    def __init__(self):
+        if not is_clearml_available():
+            raise RuntimeError("ClearMLCallback requires the clearml package")
+        import clearml
+
+        self._clearml = clearml
+        self._task = None
+
+    def on_train_begin(self, args, state, control, **kwargs):
+        if self._task is None:
+            self._task = self._clearml.Task.init(
+                project_name=os.environ.get("CLEARML_PROJECT", "transformers_tpu"),
+                task_name=os.environ.get("CLEARML_TASK",
+                                         getattr(args, "run_name", None) or "Trainer"))
+            self._task.connect(args.to_dict(), name="TrainingArguments")
+
+    def on_log(self, args, state, control, logs=None, **kwargs):
+        if self._task is None or not logs:
+            return
+        logger_ = self._task.get_logger()
+        for k, v in logs.items():
+            if isinstance(v, (int, float)):
+                logger_.report_scalar(title="train", series=k,
+                                      value=float(v),
+                                      iteration=state.global_step)
+
+    def on_train_end(self, args, state, control, **kwargs):
+        if self._task is not None:
+            self._task.close()
+            self._task = None
+
+
+class CodeCarbonCallback(TrainerCallback):
+    """reference integration_utils.py:1809 — emissions tracking across the
+    training run."""
+
+    def __init__(self):
+        if not is_codecarbon_available():
+            raise RuntimeError("CodeCarbonCallback requires codecarbon")
+        import codecarbon
+
+        self._codecarbon = codecarbon
+        self._tracker = None
+
+    def on_init_end(self, args, state, control, **kwargs):
+        if self._tracker is None:
+            self._tracker = self._codecarbon.EmissionsTracker(
+                output_dir=args.output_dir, log_level="error")
+
+    def on_train_begin(self, args, state, control, **kwargs):
+        if self._tracker is not None:
+            self._tracker.start()
+
+    def on_train_end(self, args, state, control, **kwargs):
+        if self._tracker is not None:
+            self._tracker.stop()
+
+
+class SwanlabCallback(TrainerCallback):
+    """reference integration_utils.py:2262 — swanlab.init + per-log metrics."""
+
+    def __init__(self):
+        if not is_swanlab_available():
+            raise RuntimeError("SwanlabCallback requires swanlab")
+        import swanlab
+
+        self._swanlab = swanlab
+        self._initialized = False
+
+    def on_train_begin(self, args, state, control, **kwargs):
+        if not self._initialized:
+            self._swanlab.init(
+                project=os.environ.get("SWANLAB_PROJECT", "transformers_tpu"),
+                experiment_name=getattr(args, "run_name", None) or None,
+                config={k: str(v) for k, v in args.to_dict().items()
+                        if v is not None})
+            self._initialized = True
+
+    def on_log(self, args, state, control, logs=None, **kwargs):
+        if not self._initialized or not logs:
+            return
+        metrics = {k: float(v) for k, v in logs.items()
+                   if isinstance(v, (int, float))}
+        if metrics:
+            self._swanlab.log(metrics, step=state.global_step)
+
+    def on_train_end(self, args, state, control, **kwargs):
+        if self._initialized:
+            self._swanlab.finish()
+            self._initialized = False
+
+
 REPORTER_REGISTRY = {
     "tensorboard": TensorBoardCallback,
     "wandb": WandbCallback,
     "mlflow": MLflowCallback,
     "comet_ml": CometCallback,
+    "neptune": NeptuneCallback,
+    "clearml": ClearMLCallback,
+    "codecarbon": CodeCarbonCallback,
+    "swanlab": SwanlabCallback,
 }
 
 

@@ -238,6 +238,31 @@ def flash_attention_dispatch(
                            kv_block_ids=kwargs.get("kv_block_ids"))
 
 
+def ulysses_attention(q, k, v, bias=None, **kwargs):
+    """Ulysses sequence parallelism, GSPMD-native (SURVEY §2.8 Ulysses row;
+    reference delegates to DeepSpeed's all-to-all adapter, trainer.py:2267).
+
+    Activations arrive sequence-sharded on the ``sequence`` mesh axis. The
+    sharding constraints below re-shard q/k/v HEAD-wise over that axis for
+    the attention body (XLA lowers the reshard to an all-to-all on ICI), so
+    every device computes full-sequence attention for its head slice; the
+    output is constrained back to sequence-sharded. Requires an ambient mesh
+    (``with mesh:``) carrying a ``sequence`` axis — the Trainer's sp path
+    provides it."""
+    from jax.lax import with_sharding_constraint as wsc
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import SEQUENCE_AXIS
+
+    seq_in = P(None, SEQUENCE_AXIS, None, None)   # [B, S, H, D] seq-sharded
+    head_in = P(None, None, SEQUENCE_AXIS, None)  # [B, S, H, D] head-sharded
+    q = wsc(q, head_in)
+    k = wsc(k, head_in)
+    v = wsc(v, head_in)
+    out = eager_attention(q, k, v, bias, **kwargs)
+    return wsc(out, seq_in)
+
+
 class AttentionInterface(GeneralInterface):
     _global_mapping = {
         "eager": eager_attention,
@@ -246,6 +271,7 @@ class AttentionInterface(GeneralInterface):
         "flash_attention_2": flash_attention_dispatch,
         "flash_attention_3": flash_attention_dispatch,
         "default": flash_attention_dispatch,
+        "ulysses": ulysses_attention,
     }
 
 

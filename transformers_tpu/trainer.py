@@ -87,15 +87,23 @@ class Trainer:
         # ---- mesh + shardings
         pc = self.args.parallelism_config
         if pc is not None:
+            seq_size = max(pc.cp_size, getattr(pc, "sp_size", 1))
             self.mesh = make_mesh(data=pc.dp_size, fsdp=pc.fsdp_size, tensor=pc.tp_size,
-                                  sequence=pc.cp_size,
+                                  sequence=seq_size,
                                   devices=jax.devices()[: pc.total()])
         else:
             self.mesh = make_mesh(data=len(jax.devices()))
         axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         batch_axes = tuple(a for a in (DATA_AXIS, FSDP_AXIS) if axis_sizes.get(a, 1) > 1)
         self.batch_sharding = NamedSharding(self.mesh, P(batch_axes if batch_axes else None))
-        self.cp_enabled = axis_sizes.get(SEQUENCE_AXIS, 1) > 1
+        self.sp_enabled = pc is not None and getattr(pc, "sp_size", 1) > 1
+        self.cp_enabled = (axis_sizes.get(SEQUENCE_AXIS, 1) > 1
+                           and not self.sp_enabled)
+        if self.sp_enabled:
+            # Ulysses: attention re-shards heads over the sequence axis via
+            # the "ulysses" attention impl (ops/attention.py); inputs get
+            # the same seq-dim sharding + shift-label prep as CP
+            model.config.attn_implementation = "ulysses"
         # [B, S] buffers sharded on (batch axes, sequence) under CP
         self.seq_sharding = NamedSharding(
             self.mesh, P(batch_axes if batch_axes else None, SEQUENCE_AXIS))
@@ -188,7 +196,28 @@ class Trainer:
         loss_fn_custom = self.compute_loss_func
         smoothing = self.args.label_smoothing_factor
 
+        neftune_alpha = self.args.neftune_noise_alpha
+        embed_path = (model.get_input_embedding_path()
+                      if neftune_alpha else None)
+
         def loss_fn(params, batch):
+            batch = dict(batch)
+            if neftune_alpha and embed_path is not None and "input_ids" in batch:
+                # NEFTune (reference trainer.py _activate_neftune): uniform
+                # noise of magnitude alpha/sqrt(S*D) on the input embeddings,
+                # training-time only; key derived from the step's token data
+                from .utils.generic import get_nested
+
+                table = get_nested(params, embed_path)
+                ids = batch.pop("input_ids")
+                embeds = jnp.take(table, ids, axis=0)
+                key = jax.random.fold_in(jax.random.key(self.args.seed),
+                                         jnp.sum(ids).astype(jnp.uint32))
+                mag = neftune_alpha / jnp.sqrt(
+                    jnp.asarray(embeds.shape[-2] * embeds.shape[-1], jnp.float32))
+                noise = jax.random.uniform(key, embeds.shape, embeds.dtype,
+                                           minval=-mag, maxval=mag)
+                batch["inputs_embeds"] = embeds + noise
             if smoothing > 0 and loss_fn_custom is None:
                 return self._smoothed_loss(model, params, batch, smoothing)
             out = model(params, **batch)
@@ -253,6 +282,10 @@ class Trainer:
         args = self.args
         resume_from_checkpoint = resume_from_checkpoint or args.resume_from_checkpoint
 
+        if args.eval_on_start and self.eval_dataset is not None:
+            # reference trainer.py eval_on_start: one eval pass before step 0
+            self.evaluate()
+
         steps_per_epoch = self.num_update_steps_per_epoch()
         if args.max_steps > 0:
             max_steps = args.max_steps
@@ -308,8 +341,11 @@ class Trainer:
                     "on_step_begin", args, self.state, self.control)
                 batch = self._stack_and_shard(micro_batches)
                 micro_batches = []
-                self.params, opt_state, loss, grad_norm = self._train_step_fn(
-                    self.params, opt_state, batch)
+                with self.mesh:
+                    # ambient mesh: spec-only sharding constraints inside the
+                    # model (ulysses attention) resolve against it
+                    self.params, opt_state, loss, grad_norm = self._train_step_fn(
+                        self.params, opt_state, batch)
                 self.state.global_step += 1
                 self.state.epoch = epoch + (self.state.global_step % max(steps_per_epoch, 1)) / max(steps_per_epoch, 1)
                 losses.append(loss)
@@ -361,7 +397,7 @@ class Trainer:
 
     def _stack_and_shard(self, micro_batches: list[dict]) -> dict:
         ga = self.args.gradient_accumulation_steps
-        if self.cp_enabled:
+        if self.cp_enabled or self.sp_enabled:
             micro_batches = [self._prepare_context_parallel_inputs(mb)
                              for mb in micro_batches]
         if ga > 1:
@@ -372,7 +408,7 @@ class Trainer:
 
         # sequence-dim buffers get the extra "sequence" shard under CP
         seq_keys = {"input_ids", "labels", "shift_labels", "position_ids",
-                    "attention_mask"} if self.cp_enabled else set()
+                    "attention_mask"} if (self.cp_enabled or self.sp_enabled) else set()
 
         def put(k, x):
             base = self.seq_sharding if (k in seq_keys and x.ndim >= 2) \

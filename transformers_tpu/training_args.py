@@ -36,9 +36,20 @@ class ParallelismConfig:
     fsdp_size: int = 1
     tp_size: int = 1
     cp_size: int = 1
+    # Ulysses sequence parallelism (reference trainer.py:2267 sp_backend):
+    # same sequence-axis input sharding as cp, but attention re-shards
+    # HEAD-wise via all-to-all (attn impl "ulysses") instead of ring/GSPMD
+    # collectives over the kv sequence. Mutually exclusive with cp_size.
+    sp_size: int = 1
+
+    def __post_init__(self):
+        if self.cp_size > 1 and self.sp_size > 1:
+            raise ValueError(
+                "cp_size and sp_size both shard the sequence axis — set one.")
 
     def total(self) -> int:
-        return self.dp_size * self.fsdp_size * self.tp_size * self.cp_size
+        return (self.dp_size * self.fsdp_size * self.tp_size * self.cp_size
+                * self.sp_size)
 
 
 @dataclass
@@ -130,12 +141,47 @@ class TrainingArguments:
     torch_compile: bool = False  # no-op: every step is jit-compiled already
     disable_tqdm: bool = True
 
+    # ---- additional commonly-used reference fields (training_args.py:174)
+    # NEFTune embedding noise during training (reference trainer.py
+    # _activate_neftune; implemented in the jitted train step)
+    neftune_noise_alpha: Optional[float] = None
+    # run evaluation once before the first training step
+    eval_on_start: bool = False
+    # hub publishing intent (reference push_to_hub family; consumed by
+    # user scripts via PushToHubMixin — accepted and surfaced, no egress here)
+    push_to_hub: bool = False
+    hub_model_id: Optional[str] = None
+    hub_strategy: str = "every_save"
+    hub_private_repo: Optional[bool] = None
+    hub_always_push: bool = False
+    # logging/eval depth
+    log_level: str = "passive"
+    logging_nan_inf_grad_filter: bool = False
+    include_tokens_per_second: bool = False
+    include_for_metrics: list = field(default_factory=list)
+    batch_eval_metrics: bool = False
+    # determinism / debug
+    full_determinism: bool = False
+    debug: str = ""
+    # dataloader extras
+    dataloader_pin_memory: bool = True   # host-side no-op under jax
+    dataloader_persistent_workers: bool = False
+    dataloader_prefetch_factor: Optional[int] = None
+    # legacy/compat knobs accepted for argparse parity
+    use_cpu: bool = False
+    jit_mode_eval: bool = False
+    auto_find_batch_size: bool = False
+    past_index: int = -1
+    label_smoothing: Optional[float] = None  # alias of label_smoothing_factor
+
     def __post_init__(self):
         if isinstance(self.parallelism_config, dict):
             self.parallelism_config = ParallelismConfig(**self.parallelism_config)
         if self.fp16:
             logger.warning("fp16 requested; TPUs compute in bfloat16 — using bf16")
             self.bf16, self.fp16 = True, False
+        if self.label_smoothing is not None:
+            self.label_smoothing_factor = self.label_smoothing
         if self.logging_dir is None:
             self.logging_dir = os.path.join(self.output_dir, "runs")
         if self.load_best_model_at_end:
