@@ -1,2 +1,3 @@
 from .configuration_moonshine import MoonshineConfig
-from .modeling_moonshine import MoonshineForConditionalGeneration
+from .modeling_moonshine import (MoonshineForConditionalGeneration,
+                                 MoonshineModel)
