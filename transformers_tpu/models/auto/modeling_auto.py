@@ -526,6 +526,7 @@ MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "time_series_transformer": ("time_series_transformer", "TimeSeriesTransformerForPrediction"),
     "informer": ("informer", "InformerForPrediction"),
     "autoformer": ("autoformer", "AutoformerForPrediction"),
+    "timesfm": ("timesfm", "TimesFmModelForPrediction"),
 }
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
