@@ -527,6 +527,7 @@ MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "informer": ("informer", "InformerForPrediction"),
     "autoformer": ("autoformer", "AutoformerForPrediction"),
     "timesfm": ("timesfm", "TimesFmModelForPrediction"),
+    "patchtsmixer": ("patchtsmixer", "PatchTSMixerForPrediction"),
 }
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
