@@ -239,6 +239,8 @@ class PatchTSMixerModel(PatchTSMixerPreTrainedModel):
     def __call__(self, params, past_values=None, observed_mask=None,
                  **kwargs) -> PatchTSMixerModelOutput:
         x = jnp.asarray(past_values, self.dtype)
+        if x.ndim == 2:  # univariate convenience: [B, S] -> [B, S, 1]
+            x = x[..., None]
         if observed_mask is None:
             observed_mask = jnp.ones_like(x)
         scaling = self.config.scaling
