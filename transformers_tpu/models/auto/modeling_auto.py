@@ -178,6 +178,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pixtral": ("pixtral", "PixtralVisionModel"),
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
+    "luke": ("luke", "LukeModelStandalone"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
