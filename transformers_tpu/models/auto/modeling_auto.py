@@ -179,6 +179,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "siglip_vision_model": ("siglip", "SiglipVisionModel"),
     "whisper": ("whisper", "WhisperModelStandalone"),
     "luke": ("luke", "LukeModelStandalone"),
+    "hiera": ("hiera", "HieraModel"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
@@ -483,6 +484,7 @@ MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "esm": ("esm", "EsmForMaskedLM"),
 }
 MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "hiera": ("hiera", "HieraForImageClassification"),
     "vit": ("vit", "ViTForImageClassification"),
     "ijepa": ("ijepa", "IJepaForImageClassification"),
     "vit_msn": ("vit_msn", "ViTMSNForImageClassification"),
