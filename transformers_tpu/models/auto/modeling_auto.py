@@ -180,6 +180,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "whisper": ("whisper", "WhisperModelStandalone"),
     "luke": ("luke", "LukeModelStandalone"),
     "hiera": ("hiera", "HieraModel"),
+    "conditional_detr": ("conditional_detr", "ConditionalDetrModelStandalone"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
@@ -542,6 +543,7 @@ MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "segformer": ("segformer", "SegformerForSemanticSegmentation"),
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "conditional_detr": ("conditional_detr", "ConditionalDetrForObjectDetection"),
     "rt_detr": ("rt_detr", "RTDetrForObjectDetection"),
     "rt_detr_v2": ("rt_detr_v2", "RTDetrV2ForObjectDetection"),
     "detr": ("detr", "DetrForObjectDetection"),
