@@ -181,6 +181,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "luke": ("luke", "LukeModelStandalone"),
     "hiera": ("hiera", "HieraModel"),
     "conditional_detr": ("conditional_detr", "ConditionalDetrModelStandalone"),
+    "dab-detr": ("dab_detr", "DabDetrModelStandalone"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
@@ -544,6 +545,7 @@ MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "conditional_detr": ("conditional_detr", "ConditionalDetrForObjectDetection"),
+    "dab-detr": ("dab_detr", "DabDetrForObjectDetection"),
     "rt_detr": ("rt_detr", "RTDetrForObjectDetection"),
     "rt_detr_v2": ("rt_detr_v2", "RTDetrV2ForObjectDetection"),
     "detr": ("detr", "DetrForObjectDetection"),
