@@ -620,6 +620,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "got_ocr2": ("got_ocr2", "GotOcr2ForConditionalGeneration"),
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
     "rt_detr": ("rt_detr", "RTDetrModel"),

@@ -100,11 +100,13 @@ class LlavaModel(Module):
     def embed_with_images(self, params, input_ids, pixel_values):
         """Text embeds with image features scattered at image-token slots
         (reference get_placeholder_mask :191 + masked_scatter :248)."""
+        if pixel_values is None:
+            # decode steps may legitimately embed a *generated* image-token id
+            return self.language_model.embed_tokens(
+                params["language_model"]["embed_tokens"], input_ids)
         embeds = self.language_model.embed_tokens(
             params["language_model"]["embed_tokens"], jnp.where(
                 input_ids == self.config.image_token_id, 0, input_ids))
-        if pixel_values is None:
-            return embeds
         image_features = self.get_image_features(params, pixel_values)
         # flatten all images' patches then place sequentially at mask slots
         flat = image_features.reshape(-1, image_features.shape[-1]).astype(embeds.dtype)
