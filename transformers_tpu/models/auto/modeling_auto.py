@@ -183,6 +183,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "conditional_detr": ("conditional_detr", "ConditionalDetrModelStandalone"),
     "dab-detr": ("dab_detr", "DabDetrModelStandalone"),
     "vitdet": ("vitdet", "VitDetModel"),
+    "vitmatte": ("vitmatte", "VitMatteForImageMatting"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
