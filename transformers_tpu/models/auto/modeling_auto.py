@@ -184,6 +184,9 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dab-detr": ("dab_detr", "DabDetrModelStandalone"),
     "vitdet": ("vitdet", "VitDetModel"),
     "vitmatte": ("vitmatte", "VitMatteForImageMatting"),
+    "upernet": ("upernet", "UperNetForSemanticSegmentation"),
+    "seggpt": ("seggpt", "SegGptForImageSegmentation"),
+    "zoedepth": ("zoedepth", "ZoeDepthForDepthEstimation"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
@@ -540,10 +543,13 @@ MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glpn": ("glpn", "GLPNForDepthEstimation"),
     "dpt": ("dpt", "DPTForDepthEstimation"),
     "depth_anything": ("depth_anything", "DepthAnythingForDepthEstimation"),
+    "zoedepth": ("zoedepth", "ZoeDepthForDepthEstimation"),
 }
 MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilevit": ("mobilevit", "MobileViTForSemanticSegmentation"),
     "segformer": ("segformer", "SegformerForSemanticSegmentation"),
+    "upernet": ("upernet", "UperNetForSemanticSegmentation"),
+    "seggpt": ("seggpt", "SegGptForImageSegmentation"),
 }
 MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "conditional_detr": ("conditional_detr", "ConditionalDetrForObjectDetection"),

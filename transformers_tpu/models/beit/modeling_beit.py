@@ -217,12 +217,9 @@ class BeitModel(Module):
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.embeddings = BeitEmbeddings(config, **kw)
         self.encoder = _BeitEncoder(config, **kw)
-        if config.use_mean_pooling:
-            self.layernorm = None
-            self.pooler = _BeitPooler(config, **kw)
-        else:
-            self.layernorm = LayerNorm(config.hidden_size, config.layer_norm_eps, **kw)
-            self.pooler = _BeitPooler(config, **kw) if add_pooling_layer else None
+        self.layernorm = (None if config.use_mean_pooling
+                          else LayerNorm(config.hidden_size, config.layer_norm_eps, **kw))
+        self.pooler = _BeitPooler(config, **kw) if add_pooling_layer else None
 
     def __call__(self, params, pixel_values, output_hidden_states=False, **kwargs):
         hidden = self.embeddings(params["embeddings"], pixel_values)
