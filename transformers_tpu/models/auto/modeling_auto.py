@@ -187,6 +187,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "upernet": ("upernet", "UperNetForSemanticSegmentation"),
     "seggpt": ("seggpt", "SegGptForImageSegmentation"),
     "zoedepth": ("zoedepth", "ZoeDepthForDepthEstimation"),
+    "flava": ("flava", "FlavaModel"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),

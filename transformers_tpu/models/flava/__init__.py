@@ -1,0 +1,12 @@
+from .configuration_flava import (
+    FlavaConfig,
+    FlavaImageCodebookConfig,
+    FlavaImageConfig,
+    FlavaMultimodalConfig,
+    FlavaTextConfig,
+)
+from .modeling_flava import (
+    FlavaForPreTraining,
+    FlavaImageCodebook,
+    FlavaModel,
+)
