@@ -89,6 +89,10 @@ PATCHES: dict[str, dict] = {
                      axial_pos_shape=[8, 16], axial_pos_embds_dim=[8, 24],
                      local_attn_chunk_length=8, lsh_attn_chunk_length=8,
                      num_buckets=4, num_hashes=1, hash_seed=3),
+    # image_size[0] is the DOUBLED height (prompt stacked over input)
+    "seggpt": dict(image_size=[32, 16], patch_size=8, pretrain_image_size=16,
+                   mlp_dim=64, decoder_hidden_size=8, merge_index=0,
+                   intermediate_hidden_state_indices=[1]),
 }
 
 # Families that can't be driven generically; each must have dedicated tests
@@ -314,6 +318,15 @@ def dummy_inputs(model, config, rng=None):
         ch = getattr(vc, "num_channels", 3) or 3
         kwargs["pixel_values"] = jnp.asarray(
             rng.normal(size=(1, ch, h, w)), jnp.float32)
+        return kwargs
+    if "prompt_pixel_values" in sig_params and name == "pixel_values":
+        # SegGPT-style in-context pairs: the config image height covers the
+        # prompt+input stack, each individual image is half that
+        h, w = config.image_size
+        px = lambda: jnp.asarray(rng.normal(size=(1, 3, h // 2, w)), jnp.float32)
+        kwargs["pixel_values"] = px()
+        kwargs["prompt_pixel_values"] = px()
+        kwargs["prompt_masks"] = px()
         return kwargs
     if name == "input_ids":
         vocab = getattr(config, "vocab_size", 99) or 99

@@ -219,6 +219,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dots1": ("dots1", "Dots1ModelStandalone"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ModelStandalone"),
     "llama4_text": ("llama4", "Llama4TextModelStandalone"),
+    "emu3_text_model": ("emu3", "Emu3TextModelStandalone"),
+    "emu3": ("emu3", "Emu3ForConditionalGeneration"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeModelStandalone"),
     "starcoder2": ("starcoder2", "Starcoder2ModelStandalone"),
     "stablelm": ("stablelm", "StableLmModelStandalone"),
@@ -345,6 +347,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dots1": ("dots1", "Dots1ForCausalLM"),
     "deepseek_v2": ("deepseek_v2", "DeepseekV2ForCausalLM"),
     "llama4_text": ("llama4", "Llama4ForCausalLM"),
+    "emu3_text_model": ("emu3", "Emu3ForCausalLM"),
     "ernie4_5_moe": ("ernie4_5_moe", "Ernie4_5_MoeForCausalLM"),
     "starcoder2": ("starcoder2", "Starcoder2ForCausalLM"),
     "stablelm": ("stablelm", "StableLmForCausalLM"),
@@ -619,6 +622,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
+    "emu3": ("emu3", "Emu3ForConditionalGeneration"),
     "mllama": ("mllama", "MllamaForConditionalGeneration"),
     "idefics2": ("idefics2", "Idefics2ForConditionalGeneration"),
     "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),
@@ -638,6 +642,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
+    "emu3": ("emu3", "Emu3ForConditionalGeneration"),
     "mllama": ("mllama", "MllamaForConditionalGeneration"),
     "idefics2": ("idefics2", "Idefics2ForConditionalGeneration"),
     "idefics3": ("idefics3", "Idefics3ForConditionalGeneration"),
