@@ -243,6 +243,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sam2": ("sam2", "Sam2Model"),
     "superpoint": ("superpoint", "SuperPointForKeypointDetection"),
     "vits": ("vits", "VitsModel"),
+    "bark": ("bark", "BarkModel"),
     "musicgen": ("musicgen", "MusicgenForConditionalGeneration"),
     "musicgen_melody": ("musicgen_melody", "MusicgenMelodyForConditionalGeneration"),
     "qwen2_audio": ("qwen2_audio", "Qwen2AudioForConditionalGeneration"),
@@ -828,7 +829,8 @@ class AutoModelForKeypointMatching(_BaseAutoModelClass):
 
 
 class AutoModelForTextToWaveform(_BaseAutoModelClass):
-    _model_mapping = {"vits": ("vits", "VitsModel")}
+    _model_mapping = {"vits": ("vits", "VitsModel"),
+                      "bark": ("bark", "BarkModel")}
 
 
 class AutoModelForTextToSpectrogram(_BaseAutoModelClass):
