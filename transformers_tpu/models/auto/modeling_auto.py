@@ -188,6 +188,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "seggpt": ("seggpt", "SegGptForImageSegmentation"),
     "zoedepth": ("zoedepth", "ZoeDepthForDepthEstimation"),
     "flava": ("flava", "FlavaModel"),
+    "dinov3_vit": ("dinov3_vit", "DINOv3ViTModel"),
+    "mgp-str": ("mgp_str", "MgpstrForSceneTextRecognition"),
+    "focalnet": ("focalnet", "FocalNetModel"),
+    "dinov3_convnext": ("dinov3_convnext", "DINOv3ConvNextModel"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),
     "mt5": ("t5", "T5EncoderModel"),
@@ -502,6 +506,7 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "vit_msn": ("vit_msn", "ViTMSNForImageClassification"),
     "resnet": ("resnet", "ResNetForImageClassification"),
     "convnext": ("convnext", "ConvNextForImageClassification"),
+    "focalnet": ("focalnet", "FocalNetForImageClassification"),
     "convnextv2": ("convnextv2", "ConvNextV2ForImageClassification"),
     "swin": ("swin", "SwinForImageClassification"),
     "deit": ("deit", "DeiTForImageClassificationWithTeacher"),
