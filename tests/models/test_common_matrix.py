@@ -89,6 +89,8 @@ PATCHES: dict[str, dict] = {
                      axial_pos_shape=[8, 16], axial_pos_embds_dim=[8, 24],
                      local_attn_chunk_length=8, lsh_attn_chunk_length=8,
                      num_buckets=4, num_hashes=1, hash_seed=3),
+    # bbox sinusoid dims need hidden_size//4 divisible by 2*dim_bbox
+    "bros": dict(hidden_size=64),
     # image_size[0] is the DOUBLED height (prompt stacked over input)
     "seggpt": dict(image_size=[32, 16], patch_size=8, pretrain_image_size=16,
                    mlp_dim=64, decoder_hidden_size=8, merge_index=0,
@@ -331,6 +333,8 @@ def dummy_inputs(model, config, rng=None):
     if name == "input_ids":
         vocab = getattr(config, "vocab_size", 99) or 99
         kwargs["input_ids"] = jnp.asarray(rng.integers(1, min(vocab, 90), size=(1, 8)), jnp.int32)
+        if "bbox" in sig_params:  # layout-aware models (BROS et al.)
+            kwargs["bbox"] = jnp.asarray(rng.uniform(size=(1, 8, 4)), jnp.float32)
     elif name == "pixel_values" and getattr(config, "num_frames", None):
         # video families: [B, F, C, H, W]
         size = getattr(config, "image_size", 32) or 32

@@ -191,6 +191,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dinov3_vit": ("dinov3_vit", "DINOv3ViTModel"),
     "mgp-str": ("mgp_str", "MgpstrForSceneTextRecognition"),
     "focalnet": ("focalnet", "FocalNetModel"),
+    "aimv2": ("aimv2", "Aimv2Model"),
+    "bros": ("bros", "BrosModel"),
+    "clipseg": ("clipseg", "CLIPSegForImageSegmentation"),
+    "aimv2_vision_model": ("aimv2", "Aimv2VisionModel"),
     "dinov3_convnext": ("dinov3_convnext", "DINOv3ConvNextModel"),
     "longt5": ("longt5", "LongT5EncoderModel"),
     "t5": ("t5", "T5EncoderModel"),

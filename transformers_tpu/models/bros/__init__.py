@@ -1,0 +1,7 @@
+from .configuration_bros import BrosConfig
+from .modeling_bros import (
+    BrosForTokenClassification,
+    BrosModel,
+    BrosSpadeEEForTokenClassification,
+    BrosSpadeELForTokenClassification,
+)

@@ -1,0 +1,6 @@
+from .configuration_clipseg import (
+    CLIPSegConfig,
+    CLIPSegTextConfig,
+    CLIPSegVisionConfig,
+)
+from .modeling_clipseg import CLIPSegForImageSegmentation, CLIPSegModel
