@@ -194,6 +194,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "aimv2": ("aimv2", "Aimv2Model"),
     "bros": ("bros", "BrosModel"),
     "clipseg": ("clipseg", "CLIPSegForImageSegmentation"),
+    "maskformer": ("maskformer", "MaskFormerForInstanceSegmentation"),
+    "mask2former": ("mask2former", "Mask2FormerForUniversalSegmentation"),
     "aimv2_vision_model": ("aimv2", "Aimv2VisionModel"),
     "dinov3_convnext": ("dinov3_convnext", "DINOv3ConvNextModel"),
     "longt5": ("longt5", "LongT5EncoderModel"),

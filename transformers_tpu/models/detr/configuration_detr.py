@@ -47,7 +47,10 @@ class DetrConfig(PretrainedConfig):
         **kwargs,
     ):
         if backbone_config is None:
-            backbone_config = ResNetConfig(out_features=["stage4"])
+            # keep backbone_config unset when a named `backbone` is given —
+            # serializing both breaks the reference's config validation
+            if backbone is None:
+                backbone_config = ResNetConfig(out_features=["stage4"])
         elif isinstance(backbone_config, dict):
             backbone_config = ResNetConfig(**{k: v for k, v in backbone_config.items()
                                               if k != "model_type"})

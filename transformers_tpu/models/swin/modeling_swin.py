@@ -292,14 +292,22 @@ class SwinEncoder(Module):
 
 # legacy (pre-v5) checkpoint layout -> v5 module names
 SWIN_WEIGHT_RULES = (
-    WeightRule(pattern=r"(.*)\.attention\.self\.query\.(.*)", rename=r"\1.attention.q_proj.\2"),
-    WeightRule(pattern=r"(.*)\.attention\.self\.key\.(.*)", rename=r"\1.attention.k_proj.\2"),
-    WeightRule(pattern=r"(.*)\.attention\.self\.value\.(.*)", rename=r"\1.attention.v_proj.\2"),
+    WeightRule(pattern=r"(.*)\.attention\.self\.query\.(.*)", rename=r"\1.attention.q_proj.\2",
+               save_pattern=r"(.*)\.attention\.q_proj\.(.*)", save_rename=r"\1.attention.self.query.\2"),
+    WeightRule(pattern=r"(.*)\.attention\.self\.key\.(.*)", rename=r"\1.attention.k_proj.\2",
+               save_pattern=r"(.*)\.attention\.k_proj\.(.*)", save_rename=r"\1.attention.self.key.\2"),
+    WeightRule(pattern=r"(.*)\.attention\.self\.value\.(.*)", rename=r"\1.attention.v_proj.\2",
+               save_pattern=r"(.*)\.attention\.v_proj\.(.*)", save_rename=r"\1.attention.self.value.\2"),
     WeightRule(pattern=r"(.*)\.attention\.self\.relative_position_bias_table$",
-               rename=r"\1.attention.relative_position_bias.relative_position_bias_table"),
-    WeightRule(pattern=r"(.*)\.attention\.output\.dense\.(.*)", rename=r"\1.attention.o_proj.\2"),
-    WeightRule(pattern=r"(.*)\.intermediate\.dense\.(.*)", rename=r"\1.mlp.fc1.\2"),
-    WeightRule(pattern=r"(.*blocks\.\d+)\.output\.dense\.(.*)", rename=r"\1.mlp.fc2.\2"),
+               rename=r"\1.attention.relative_position_bias.relative_position_bias_table",
+               save_pattern=r"(.*)\.attention\.relative_position_bias\.relative_position_bias_table$",
+               save_rename=r"\1.attention.self.relative_position_bias_table"),
+    WeightRule(pattern=r"(.*)\.attention\.output\.dense\.(.*)", rename=r"\1.attention.o_proj.\2",
+               save_pattern=r"(.*)\.attention\.o_proj\.(.*)", save_rename=r"\1.attention.output.dense.\2"),
+    WeightRule(pattern=r"(.*)\.intermediate\.dense\.(.*)", rename=r"\1.mlp.fc1.\2",
+               save_pattern=r"(.*blocks\.\d+)\.mlp\.fc1\.(.*)", save_rename=r"\1.intermediate.dense.\2"),
+    WeightRule(pattern=r"(.*blocks\.\d+)\.output\.dense\.(.*)", rename=r"\1.mlp.fc2.\2",
+               save_pattern=r"(.*blocks\.\d+)\.mlp\.fc2\.(.*)", save_rename=r"\1.output.dense.\2"),
 )
 
 
