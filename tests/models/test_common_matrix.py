@@ -333,8 +333,14 @@ def dummy_inputs(model, config, rng=None):
     if name == "input_ids":
         vocab = getattr(config, "vocab_size", 99) or 99
         kwargs["input_ids"] = jnp.asarray(rng.integers(1, min(vocab, 90), size=(1, 8)), jnp.int32)
-        if "bbox" in sig_params:  # layout-aware models (BROS et al.)
-            kwargs["bbox"] = jnp.asarray(rng.uniform(size=(1, 8, 4)), jnp.float32)
+        if "bbox" in sig_params:  # layout-aware models
+            if getattr(config, "max_2d_position_embeddings", None):
+                # LayoutLM-style integer coords in [0, max_2d)
+                hi = min(getattr(config, "max_2d_position_embeddings"), 100)
+                box = np.sort(rng.integers(0, hi, size=(1, 8, 4)), axis=-1)
+                kwargs["bbox"] = jnp.asarray(box, jnp.int32)
+            else:  # BROS-style normalized floats
+                kwargs["bbox"] = jnp.asarray(rng.uniform(size=(1, 8, 4)), jnp.float32)
     elif name == "pixel_values" and getattr(config, "num_frames", None):
         # video families: [B, F, C, H, W]
         size = getattr(config, "image_size", 32) or 32

@@ -197,6 +197,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "maskformer": ("maskformer", "MaskFormerForInstanceSegmentation"),
     "mask2former": ("mask2former", "Mask2FormerForUniversalSegmentation"),
     "bridgetower": ("bridgetower", "BridgeTowerModel"),
+    "udop": ("udop", "UdopForConditionalGeneration"),
     "aimv2_vision_model": ("aimv2", "Aimv2VisionModel"),
     "dinov3_convnext": ("dinov3_convnext", "DINOv3ConvNextModel"),
     "longt5": ("longt5", "LongT5EncoderModel"),

@@ -1,0 +1,6 @@
+from .configuration_udop import UdopConfig
+from .modeling_udop import (
+    UdopEncoderModel,
+    UdopForConditionalGeneration,
+    UdopModel,
+)
