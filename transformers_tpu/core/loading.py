@@ -376,9 +376,8 @@ def save_params_as_safetensors(
         if owner is not None:
             arr = np.asarray(owner.param_save_transform(path[-1], arr))
         for rule in save_rules:
-            if re.match(rule.save_pattern, key):
+            if re.search(rule.save_pattern, key):
                 key = re.sub(rule.save_pattern, rule.save_rename, key)
-                break
         out[key] = arr
 
     total = sum(a.nbytes for a in out.values())

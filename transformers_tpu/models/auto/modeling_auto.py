@@ -198,6 +198,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mask2former": ("mask2former", "Mask2FormerForUniversalSegmentation"),
     "bridgetower": ("bridgetower", "BridgeTowerModel"),
     "udop": ("udop", "UdopForConditionalGeneration"),
+    "d_fine": ("d_fine", "DFineForObjectDetection"),
     "aimv2_vision_model": ("aimv2", "Aimv2VisionModel"),
     "dinov3_convnext": ("dinov3_convnext", "DINOv3ConvNextModel"),
     "longt5": ("longt5", "LongT5EncoderModel"),
@@ -574,6 +575,7 @@ MODEL_FOR_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dab-detr": ("dab_detr", "DabDetrForObjectDetection"),
     "rt_detr": ("rt_detr", "RTDetrForObjectDetection"),
     "rt_detr_v2": ("rt_detr_v2", "RTDetrV2ForObjectDetection"),
+    "d_fine": ("d_fine", "DFineForObjectDetection"),
     "detr": ("detr", "DetrForObjectDetection"),
     "deformable_detr": ("deformable_detr", "DeformableDetrForObjectDetection"),
     "table-transformer": ("table_transformer", "TableTransformerForObjectDetection"),

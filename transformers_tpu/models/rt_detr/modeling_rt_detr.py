@@ -604,11 +604,18 @@ class RTDetrPreTrainedModel(PreTrainedModel):
     # hub checkpoints use the pre-v5 key layout (reference
     # conversion_mapping.py:1042 "rt_detr")
     _weight_rules = (
-        WeightRule(pattern=r"out_proj", rename="o_proj"),
-        WeightRule(pattern=r"layers\.(\d+)\.fc1", rename=r"layers.\1.mlp.fc1"),
-        WeightRule(pattern=r"layers\.(\d+)\.fc2", rename=r"layers.\1.mlp.fc2"),
+        WeightRule(pattern=r"out_proj", rename="o_proj",
+                   save_pattern=r"o_proj", save_rename="out_proj"),
+        WeightRule(pattern=r"layers\.(\d+)\.fc1", rename=r"layers.\1.mlp.fc1",
+                   save_pattern=r"layers\.(\d+)\.mlp\.fc1",
+                   save_rename=r"layers.\1.fc1"),
+        WeightRule(pattern=r"layers\.(\d+)\.fc2", rename=r"layers.\1.mlp.fc2",
+                   save_pattern=r"layers\.(\d+)\.mlp\.fc2",
+                   save_rename=r"layers.\1.fc2"),
         WeightRule(pattern=r"encoder\.encoder\.(\d+)\.layers",
-                   rename=r"encoder.aifi.\1.layers"),
+                   rename=r"encoder.aifi.\1.layers",
+                   save_pattern=r"encoder\.aifi\.(\d+)\.layers",
+                   save_rename=r"encoder.encoder.\1.layers"),
     )
 
 
