@@ -225,6 +225,20 @@ def _register_patches():
     # mobilevitv2 unfolds patch_size x patch_size windows on a /32 feature
     # map: TINY's image 32 / patch 8 collapses to zero windows
     P["mobilevitv2"] = dict(image_size=64, patch_size=2)
+    # d_fine: tiny HGNet backbone whose stage widths drive encoder_in_channels;
+    # num_queries must not exceed the total anchor count (21 on a 32x32 image)
+    P["d_fine"] = dict(
+        backbone_config=dict(
+            stem_channels=[3, 8, 8], stage_in_channels=[8, 16, 16, 32],
+            stage_mid_channels=[8, 8, 8, 8], stage_out_channels=[16, 16, 32, 64],
+            stage_num_blocks=[1, 1, 1, 1], stage_downsample=[False, True, True, True],
+            stage_light_block=[False, False, True, True],
+            stage_kernel_size=[3, 3, 5, 5], stage_numb_of_layers=[1, 1, 1, 1],
+            out_indices=[2, 3, 4]),
+        encoder_in_channels=[16, 32, 64], encoder_hidden_dim=32,
+        encoder_ffn_dim=64, d_model=32, decoder_in_channels=[32, 32, 32],
+        decoder_ffn_dim=64, num_queries=10, num_denoising=0, decoder_layers=2,
+        lqe_hidden_dim=8)
     # composite families: real tiny sub-configs (the bare constructor leaves
     # encoder/decoder as None, which cannot build a model)
     tiny_bert = dict(model_type="bert", vocab_size=99, hidden_size=32,

@@ -79,3 +79,26 @@ def test_neftune_and_eval_on_start(tmp_path):
 
     base = run(tmp_path, "nfbase", None)
     assert losses != base[:2]  # noise changed the trajectory
+
+
+def test_sp_evaluate_outside_train(tmp_path):
+    """evaluate()/predict() under Ulysses SP must work outside train() — the
+    ulysses attention impl's with_sharding_constraint needs an ambient mesh
+    (ADVICE r4 medium: eval_on_start crashed with 'requires a non-empty mesh')."""
+    model = tiny_model()
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "speval"), per_device_train_batch_size=1,
+        max_steps=2, learning_rate=1e-3, logging_steps=1, save_strategy="no",
+        seed=0, lr_scheduler_type="constant",
+        parallelism_config=ParallelismConfig(sp_size=4),
+        eval_on_start=True, eval_strategy="steps", eval_steps=100)
+    trainer = Trainer(model, args, train_dataset=lm_dataset(),
+                      eval_dataset=lm_dataset(n=4))
+    # evaluate before any training step: no train-step mesh context yet
+    metrics = trainer.evaluate()
+    assert np.isfinite(metrics["eval_loss"])
+    trainer.train()
+    evals = [l for l in trainer.state.log_history if "eval_loss" in l]
+    assert evals and all(np.isfinite(e["eval_loss"]) for e in evals)
+    logits, _ = trainer.predict(lm_dataset(n=2))
+    assert np.isfinite(logits).all()

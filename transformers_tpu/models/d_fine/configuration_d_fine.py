@@ -17,7 +17,10 @@ class DFineConfig(RTDetrConfig):
                  decoder_offset_scale=0.5, decoder_method="default", up=0.5,
                  weight_loss_fgl=0.15, weight_loss_ddf=1.5, **kwargs):
         if backbone_config is None:
-            backbone_config = HGNetV2Config()
+            # reference configuration_d_fine.py:222 defaults the HGNet backbone
+            # to out_indices=[2, 3, 4] so the three encoder_in_channels stages
+            # (512/1024/2048) are what the backbone actually emits
+            backbone_config = HGNetV2Config(out_indices=[2, 3, 4])
         elif isinstance(backbone_config, dict):
             backbone_config = HGNetV2Config(**{
                 k: v for k, v in backbone_config.items() if k != "model_type"})

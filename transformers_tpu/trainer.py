@@ -464,14 +464,18 @@ class Trainer:
         losses = []
         all_logits = []
         all_labels = []
-        for batch in self.get_eval_dataloader(dataset):
-            labels = batch.get("labels")
-            jbatch = {k: self._put_batch_leaf(np.asarray(v)) for k, v in batch.items()}
-            loss, logits = eval_step(self.params, jbatch)
-            losses.append(float(loss))
-            if self.compute_metrics is not None:
-                all_logits.append(np.asarray(logits))
-                all_labels.append(np.asarray(labels))
+        # trace/run under the mesh: ulysses attention (and any
+        # with_sharding_constraint in the model) needs an ambient mesh even
+        # outside train(); eval_on_start runs before the first train step
+        with self.mesh:
+            for batch in self.get_eval_dataloader(dataset):
+                labels = batch.get("labels")
+                jbatch = {k: self._put_batch_leaf(np.asarray(v)) for k, v in batch.items()}
+                loss, logits = eval_step(self.params, jbatch)
+                losses.append(float(loss))
+                if self.compute_metrics is not None:
+                    all_logits.append(np.asarray(logits))
+                    all_labels.append(np.asarray(labels))
         metrics = {f"{metric_key_prefix}_loss": float(np.mean(losses)) if losses else float("nan")}
         if self.compute_metrics is not None and all_logits:
             extra = self.compute_metrics(
@@ -524,11 +528,12 @@ class Trainer:
 
         outs = []
         labels = []
-        for batch in self.get_eval_dataloader(test_dataset):
-            labels.append(np.asarray(batch.get("labels"))) if "labels" in batch else None
-            jbatch = {k: self._put_batch_leaf(np.asarray(v))
-                      for k, v in batch.items() if k != "labels"}
-            outs.append(np.asarray(fwd(self.params, jbatch)))
+        with self.mesh:
+            for batch in self.get_eval_dataloader(test_dataset):
+                labels.append(np.asarray(batch.get("labels"))) if "labels" in batch else None
+                jbatch = {k: self._put_batch_leaf(np.asarray(v))
+                          for k, v in batch.items() if k != "labels"}
+                outs.append(np.asarray(fwd(self.params, jbatch)))
         return np.concatenate(outs), (np.concatenate(labels) if labels else None)
 
     # ----------------------------------------------------------- checkpoints
