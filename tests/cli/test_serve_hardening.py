@@ -128,3 +128,53 @@ def test_disconnect_cancels_request(served):
     while time.time() < deadline and (sched.active or sched.waiting):
         time.sleep(0.2)
     assert not sched.active and not sched.waiting
+
+
+def test_responses_endpoint_basic(served):
+    """/v1/responses (ADVICE r4: handler existed but had no route, no admit
+    gate, no deadline): non-stream round-trip returns a completed response."""
+    url, _ = served
+    status, body = _post(url + "/v1/responses",
+                         {"input": "hello", "max_output_tokens": 2})
+    assert status == 200
+    assert body["object"] == "response" and body["status"] == "completed"
+    assert body["output"][0]["content"][0]["type"] == "output_text"
+    assert body["usage"]["output_tokens"] >= 1
+
+
+def test_responses_timeout_504(served):
+    url, engine = served
+    try:
+        status, body = _post(url + "/v1/responses",
+                             {"input": "hello", "max_output_tokens": 100000})
+        raise AssertionError(f"expected 504, got {status}: {body}")
+    except urllib.error.HTTPError as e:
+        assert e.code == 504
+        assert json.loads(e.read())["error"]["type"] == "timeout"
+    time.sleep(0.5)
+    sched = engine.manager.engine.scheduler
+    assert not sched.active and not sched.waiting
+
+
+def test_responses_counts_against_concurrency(served):
+    url, _ = served
+    results = {}
+
+    def slow():
+        try:
+            results["slow"] = _post(url + "/v1/responses",
+                                    {"input": "a", "max_output_tokens": 100000})
+        except urllib.error.HTTPError as e:
+            results["slow"] = ("err", e.code)
+
+    t = threading.Thread(target=slow)
+    t.start()
+    time.sleep(0.3)
+    try:
+        status, _b = _post(url + "/v1/completions",
+                           {"prompt": "b", "max_tokens": 2}, timeout=10)
+        got = status
+    except urllib.error.HTTPError as e:
+        got = e.code
+    t.join(timeout=30)
+    assert got == 429

@@ -194,16 +194,45 @@ def test_cb_multistep_mixed_budgets(tiny):
     assert [len(g) for g in got] == budgets
 
 
-def test_cb_multistep_temperature_sampling_shapes(tiny):
-    """Pure-temperature rows ride the device sampler: right lengths, valid
-    ids (values differ from host sampling — PRNG streams differ)."""
+def test_cb_multistep_temperature_sampling_parity(tiny):
+    """Pure-temperature rows sample with counter-based per-request keys
+    (fold_in(key(seed), n_committed)) in BOTH the host single-step sampler
+    and the decode_multi program, so multi-step output == single-step output
+    token for token (ADVICE r4: no engine-global step seed)."""
     model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
-    got = model.generate_batch([[1, 5, 9, 3], [7, 2, 8]], max_new_tokens=6,
-                               temperature=0.8, num_blocks=64, block_size=4,
-                               token_budget=4, steps_per_sync=4)
-    assert all(len(g) == 6 for g in got)
+    prompts = [[1, 5, 9, 3], [7, 2, 8]]
+    kw = dict(max_new_tokens=6, temperature=0.8, num_blocks=64, block_size=4,
+              token_budget=4)
+    single = model.generate_batch(prompts, **kw)
+    multi = model.generate_batch(prompts, steps_per_sync=4, **kw)
+    assert multi == single, (multi, single)
     vocab = model.config.vocab_size
-    assert all(0 <= t < vocab for g in got for t in g)
+    assert all(len(g) == 6 and all(0 <= t < vocab for t in g) for g in multi)
+
+
+def test_cb_sampling_per_request_reproducible(tiny):
+    """A sampled request's output must not depend on co-scheduled requests:
+    running the same (prompt, seed) alone or alongside another request gives
+    identical tokens, in both single- and multi-step engines."""
+    model = ttpu.AutoModelForCausalLM.from_pretrained(tiny, dtype="float32")
+
+    def run(prompts, steps):
+        engine = ContinuousBatchingEngine(model, num_blocks=64, block_size=4,
+                                          token_budget=4, steps_per_sync=steps)
+        reqs = []
+        for i, p in enumerate(prompts):
+            r = RequestState(request_id=f"r{i}", prompt_ids=p,
+                             max_new_tokens=6, temperature=0.8, seed=7)
+            engine.add_request(r)
+            reqs.append(r)
+        res = engine.run_to_completion()
+        return [res[r.request_id].generated_ids for r in reqs]
+
+    target = [1, 5, 9, 3]
+    for steps in (1, 4):
+        alone = run([target], steps)[0]
+        crowded = run([target, [7, 2, 8]], steps)[0]
+        assert alone == crowded, (steps, alone, crowded)
 
 
 def test_cb_multistep_falls_back_for_topk(tiny):

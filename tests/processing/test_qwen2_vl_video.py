@@ -112,3 +112,48 @@ def test_auto_video_processor_resolution(tmp_path):
     loaded = AutoVideoProcessor.from_pretrained(d)
     assert type(loaded).__name__ == "Qwen2VLVideoProcessor"
     assert loaded.size["shortest_edge"] == 56 * 56
+
+
+def test_second_per_grid_ts_emitted_and_used():
+    """ADVICE r4: the video processor must emit second_per_grid_ts
+    (tps/sampled_fps, reference processing_qwen2_5_vl.py:146) and
+    get_rope_index must scale Qwen2.5-VL video temporal positions by it."""
+    from transformers_tpu.models.qwen2_vl import Qwen2VLVideoProcessor
+    from transformers_tpu.models.qwen2_vl.modeling_qwen2_vl import get_rope_index
+    from transformers_tpu.video_utils import VideoMetadata
+
+    ours = Qwen2VLVideoProcessor(
+        size={"shortest_edge": 56 * 56, "longest_edge": 28 * 28 * 128})
+    # explicit fps: tps/fps
+    meta = VideoMetadata(total_num_frames=8, fps=4.0)
+    out = ours([_video(t=8)], return_tensors="np", fps=2.0,
+               video_metadata=[meta])
+    spg = np.asarray(out["second_per_grid_ts"])
+    assert spg.shape == (1,)
+    np.testing.assert_allclose(spg[0], ours.temporal_patch_size / 2.0)
+    # no fps info at all -> 1.0
+    out2 = ours([_video(t=8)], return_tensors="np")
+    np.testing.assert_allclose(np.asarray(out2["second_per_grid_ts"])[0], 1.0)
+
+    # get_rope_index scaling: temporal ids stretch by tokens_per_second * spg
+    from transformers_tpu.models.qwen2_5_vl import Qwen2_5_VLConfig
+
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2),
+        vision_config=dict(depth=1, hidden_size=32, out_hidden_size=32,
+                           num_heads=4, patch_size=14, spatial_merge_size=2,
+                           temporal_patch_size=2, tokens_per_second=2))
+    vs, vt = cfg.vision_start_token_id, cfg.video_token_id
+    # grid (t=2, h=2, w=2) after merge -> 1x1 spatial, 2 temporal -> 2 tokens
+    ids = np.asarray([[5, vs, vt, vt, 6]])
+    vgrid = np.asarray([[2, 2, 2]])
+    pos1, _ = get_rope_index(cfg, ids, None, vgrid, None,
+                             np.asarray([1.0], np.float32))
+    pos4, _ = get_rope_index(cfg, ids, None, vgrid, None,
+                             np.asarray([4.0], np.float32))
+    # temporal axis of the second video token: 1*tps*spg
+    t1 = pos1[0, 0, 3] - pos1[0, 0, 2]
+    t4 = pos4[0, 0, 3] - pos4[0, 0, 2]
+    assert t1 == 2 and t4 == 8, (t1, t4)

@@ -350,6 +350,14 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         return resp
 
     async def responses_api(request):
+        if not _admit():
+            return _too_busy()
+        try:
+            return await _responses_api(request)
+        finally:
+            _release()
+
+    async def _responses_api(request):
         """OpenAI Responses API (reference cli/serving/response.py): accepts
         ``input`` as a string or message list; streams typed
         ``response.*`` SSE events or returns one response object."""
@@ -371,6 +379,7 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         _, q = eng.submit_ids(prompt_ids, max_new_tokens=max_new, temperature=temperature)
         created = int(time.time())
         loop = asyncio.get_event_loop()
+        deadline = (time.monotonic() + request_timeout) if request_timeout else None
 
         def response_obj(status, output_text, n_out):
             message = {"id": f"msg_{rid[5:]}", "type": "message", "role": "assistant",
@@ -384,8 +393,13 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
 
         if not stream:
             final = None
-            async for ev in _collect(q, loop, eng, rid):
-                final = ev
+            try:
+                async for ev in _collect(q, loop, eng, rid, deadline):
+                    final = ev
+            except asyncio.TimeoutError:
+                return web.json_response(
+                    {"error": {"message": "request timed out", "type": "timeout"}},
+                    status=504)
             if final.status == "failed":
                 return web.json_response({"error": {"message": final.error or "failed"}},
                                          status=500)
@@ -410,17 +424,22 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         text = ""
         n_out = 0
         failed = False
-        async for ev in _collect(q, loop, eng, rid):
-            if ev.status == "failed":
-                failed = True
-                await emit("response.failed",
-                           response=response_obj("failed", text, n_out))
-                break
-            n_out = len(ev.generated_ids)
-            for delta in sp.step(ev.generated_ids):
-                text += delta["content"]
-                await emit("response.output_text.delta", item_id=f"msg_{rid[5:]}",
-                           output_index=0, content_index=0, delta=delta["content"])
+        try:
+            async for ev in _collect(q, loop, eng, rid, deadline):
+                if ev.status == "failed":
+                    failed = True
+                    await emit("response.failed",
+                               response=response_obj("failed", text, n_out))
+                    break
+                n_out = len(ev.generated_ids)
+                for delta in sp.step(ev.generated_ids):
+                    text += delta["content"]
+                    await emit("response.output_text.delta", item_id=f"msg_{rid[5:]}",
+                               output_index=0, content_index=0, delta=delta["content"])
+        except asyncio.TimeoutError:
+            failed = True
+            await emit("response.failed",
+                       response=response_obj("failed", text, n_out))
         if not failed:
             await emit("response.output_text.done", item_id=f"msg_{rid[5:]}",
                        output_index=0, content_index=0, text=text)
@@ -469,6 +488,14 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
         return web.json_response({"status": "ok"})
 
     async def audio_transcriptions(request):
+        if not _admit():
+            return _too_busy()
+        try:
+            return await _audio_transcriptions(request)
+        finally:
+            _release()
+
+    async def _audio_transcriptions(request):
         if audio_engine is None:
             return web.json_response(
                 {"error": "no transcription model loaded (pass --transcription-model)"},
@@ -487,6 +514,7 @@ def build_app(engine: ServeEngine, audio_engine: Optional[AudioEngine] = None,
     app.router.add_get("/v1/models", models)
     app.router.add_post("/v1/chat/completions", chat_completions)
     app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/responses", responses_api)
     app.router.add_get("/health", health)
     return app
 

@@ -70,8 +70,6 @@ class ContinuousBatchingEngine:
         # single-step when admissions are pending or a request needs
         # top-k/top-p sampling.
         self.steps_per_sync = max(1, int(steps_per_sync))
-        self._step_seed = 0
-        self._rng = {}
 
     def add_request(self, req: RequestState):
         self.scheduler.add(req)
@@ -90,7 +88,6 @@ class ContinuousBatchingEngine:
         for r in list(self.scheduler.active):
             if r.request_id == request_id:
                 self.scheduler.finish(r, RequestStatus.FAILED)
-                self._rng.pop(request_id, None)
                 return GenerationOutput(request_id=request_id,
                                         prompt_ids=r.prompt_ids,
                                         generated_ids=list(r.generated_ids),
@@ -127,9 +124,12 @@ class ContinuousBatchingEngine:
             cut = np.full_like(logits, -np.inf)
             cut[order[keep]] = logits[order[keep]]
             logits = cut
-        key = self._rng.setdefault(req.request_id, jax.random.key(req.seed))
-        key, sub = jax.random.split(key)
-        self._rng[req.request_id] = key
+        # counter-based key: the m-th sampled token of a request always uses
+        # fold_in(key(seed), m) — reproducible per request regardless of
+        # co-scheduled requests and identical between steps_per_sync=1 and >1
+        # (the decode_multi program derives the same per-row keys in-program)
+        sub = jax.random.fold_in(jax.random.key(req.seed),
+                                 len(req.generated_ids))
         import jax.numpy as jnp
 
         return int(jax.random.categorical(sub, jnp.asarray(logits)))
@@ -260,10 +260,11 @@ class ContinuousBatchingEngine:
         # once every row finishes, and a varying k would compile one program
         # per distinct tail length
         k = self.steps_per_sync
-        self._step_seed += 1
+        seeds = np.asarray([r.seed for r in decode], np.uint32)
+        counts = np.asarray([len(r.generated_ids) for r in decode], np.int32)
         committed, pending, commits, finished = self.runner.decode_multi(
             None, tokens, [r.block_table for r in decode], positions,
-            budgets, eos_lists, temps, k, seed=self._step_seed)
+            budgets, eos_lists, temps, k, seeds=seeds, counts=counts)
         for i, r in enumerate(decode):
             toks = [int(t) for t in committed[i][: int(commits[i])] if t >= 0]
             r.generated_ids.extend(toks)
@@ -279,7 +280,6 @@ class ContinuousBatchingEngine:
 
     def _finish(self, req: RequestState, out_events: list):
         self.scheduler.finish(req)
-        self._rng.pop(req.request_id, None)
         out_events.append(GenerationOutput(
             request_id=req.request_id, prompt_ids=req.prompt_ids,
             generated_ids=list(req.generated_ids), status="finished"))

@@ -165,9 +165,11 @@ class ModelRunner:
         bs = self.cache.block_size
 
         def fn(params, pools, tokens, block_tables, positions, budgets,
-               eos_ids, temps, key):
+               eos_ids, temps, seeds, counts):
             # tokens [N]; positions [N]; budgets [N] (#commits allowed);
-            # eos_ids [N, E] (-1 padded); temps [N] f32 (0 = greedy)
+            # eos_ids [N, E] (-1 padded); temps [N] f32 (0 = greedy);
+            # seeds [N] u32 per-request seeds; counts [N] tokens committed
+            # before this program (the per-request sample counter base)
             out = jnp.full((n, k), -1, jnp.int32)
             commits = jnp.zeros((n,), jnp.int32)
             finished = budgets <= 0
@@ -176,7 +178,7 @@ class ModelRunner:
                 return (carry[0] < k) & ~jnp.all(carry[-1])
 
             def body(carry):
-                (i, keys, values, tokens, positions, out, commits, key,
+                (i, keys, values, tokens, positions, out, commits,
                  finished) = carry
                 was_finished = finished
                 is_eos = jnp.any(tokens[:, None] == eos_ids, axis=-1)
@@ -197,28 +199,36 @@ class ModelRunner:
                     past_key_values=view, cache_position=positions[:, None],
                     logits_to_keep=1)
                 logits = mout.logits[:, -1, :].astype(jnp.float32)
-                key, sub = jax.random.split(key)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                temped = jax.random.categorical(
-                    sub, logits / jnp.maximum(temps, 1e-6)[:, None],
-                    axis=-1).astype(jnp.int32)
+                committed_now = ~was_finished
+                commits_after = commits + committed_now.astype(jnp.int32)
+                # per-row key = fold_in(key(seed), #tokens committed incl.
+                # this step's) — exactly the host single-step _sample
+                # derivation, so results are per-request reproducible and
+                # independent of co-scheduled rows / steps_per_sync
+                row_keys = jax.vmap(
+                    lambda s, c: jax.random.fold_in(jax.random.key(s), c))(
+                        seeds, counts + commits_after)
+                temped = jax.vmap(
+                    lambda kk, lg, t: jax.random.categorical(
+                        kk, lg / jnp.maximum(t, 1e-6)))(
+                            row_keys, logits, temps).astype(jnp.int32)
                 nxt = jnp.where(temps > 0, temped, greedy)
 
-                committed_now = ~was_finished
                 out = out.at[:, i].set(jnp.where(committed_now, tokens, -1))
-                commits = commits + committed_now.astype(jnp.int32)
+                commits = commits_after
                 finished = was_finished | is_eos | (commits >= budgets)
                 tokens = jnp.where(finished, tokens, nxt)
                 positions = positions + do_write.astype(jnp.int32)
                 return (i + 1, mout.past_key_values.keys,
                         mout.past_key_values.values, tokens, positions, out,
-                        commits, key, finished)
+                        commits, finished)
 
-            (i, keys, values, tokens, positions, out, commits, key,
+            (i, keys, values, tokens, positions, out, commits,
              finished) = jax.lax.while_loop(
                 cond, body, (jnp.asarray(0, jnp.int32), pools.keys,
                              pools.values, tokens, positions, out, commits,
-                             key, finished))
+                             finished))
             new_pools = PagedKVCache(keys=keys, values=values,
                                      block_size=pools.block_size,
                                      num_blocks=pools.num_blocks)
@@ -229,8 +239,13 @@ class ModelRunner:
     def decode_multi(self, params, tokens: np.ndarray,
                      block_tables: list[list[int]], positions: np.ndarray,
                      budgets: np.ndarray, eos_lists: list[tuple],
-                     temps: np.ndarray, k: int, seed: int = 0):
+                     temps: np.ndarray, k: int,
+                     seeds: Optional[np.ndarray] = None,
+                     counts: Optional[np.ndarray] = None):
         """Run up to ``k`` decode steps for N sequences in one device program.
+
+        ``seeds``/``counts`` drive per-row counter-based sampling keys
+        (fold_in(key(seed), n_committed)) matching the host sampler.
 
         Returns (committed [N, k] with -1 padding, pending_out [N],
         n_committed [N], finished [N])."""
@@ -246,10 +261,16 @@ class ModelRunner:
         bud = np.zeros((bucket,), np.int32)  # pad rows: budget 0 => finished
         eos = np.full((bucket, e), -1, np.int32)
         tmp = np.zeros((bucket,), np.float32)
+        sds = np.zeros((bucket,), np.uint32)
+        cnt = np.zeros((bucket,), np.int32)
         toks[:n] = tokens
         pos[:n] = positions
         bud[:n] = budgets
         tmp[:n] = temps
+        if seeds is not None:
+            sds[:n] = seeds
+        if counts is not None:
+            cnt[:n] = counts
         for i, table in enumerate(block_tables):
             bt[i, : len(table)] = table
             for j, t in enumerate(eos_lists[i]):
@@ -258,7 +279,7 @@ class ModelRunner:
             self.model.params if params is None else params, self.cache,
             jnp.asarray(toks), jnp.asarray(bt), jnp.asarray(pos),
             jnp.asarray(bud), jnp.asarray(eos), jnp.asarray(tmp),
-            jax.random.key(seed))
+            jnp.asarray(sds), jnp.asarray(cnt))
         return (np.asarray(out)[:n], np.asarray(pending)[:n],
                 np.asarray(commits)[:n], np.asarray(finished)[:n])
 

@@ -508,9 +508,12 @@ class Mask2FormerForUniversalSegmentation(Mask2FormerPreTrainedModel):
                                       True, kernel_init=normal_init(0.02), **kw)
 
     def _loss(self, params, mask_preds, class_preds, mask_labels, class_labels):
-        """Point-sampled matched loss (reference Mask2FormerLoss). Points are
-        sampled with a fixed JAX key — statistically equivalent to the torch
-        sampler, not bit-identical."""
+        """Point-sampled matched loss (reference Mask2FormerLoss). The
+        Hungarian matcher cost uses uniform points (as the reference does);
+        the matched mask/dice loss samples points by prediction uncertainty
+        (sample_points_using_uncertainty: oversample_ratio pool, keep the
+        importance_sample_ratio most-uncertain). JAX keys, so statistically
+        equivalent to the torch sampler, not bit-identical."""
         from scipy.optimize import linear_sum_assignment
 
         cfg = self.config
@@ -554,8 +557,14 @@ class Mask2FormerForUniversalSegmentation(Mask2FormerPreTrainedModel):
             preds, tgts = [], []
             for b, (src, tgt_i) in enumerate(indices):
                 lb = jnp.asarray(mask_labels[b], jnp.float32)
-                preds.append(_point_sample(masks_q[b][jnp.asarray(src)], pts))
-                tgts.append(_point_sample(lb[jnp.asarray(tgt_i)], pts))
+                pmasks = masks_q[b][jnp.asarray(src)]
+                key, sub = jax.random.split(key)
+                ppts = _sample_points_using_uncertainty(
+                    sub, jax.lax.stop_gradient(pmasks), npoints,
+                    cfg.oversample_ratio, cfg.importance_sample_ratio)
+                per_mask = jax.vmap(lambda m, p: _point_sample(m[None], p)[0])
+                preds.append(per_mask(pmasks, ppts))
+                tgts.append(per_mask(lb[jnp.asarray(tgt_i)], ppts))
             pm = jnp.concatenate(preds)
             tm = jnp.concatenate(tgts)
             ce = jnp.maximum(pm, 0) - pm * tm + jnp.log1p(jnp.exp(-jnp.abs(pm)))
@@ -592,6 +601,27 @@ class Mask2FormerForUniversalSegmentation(Mask2FormerPreTrainedModel):
             loss=loss, class_queries_logits=class_queries_logits,
             masks_queries_logits=masks_queries_logits,
             auxiliary_logits=aux or None)
+
+
+def _sample_points_using_uncertainty(key, logits, num_points, oversample_ratio,
+                                     importance_sample_ratio):
+    """Per-mask point coords [N, num_points, 2] (reference
+    modeling_mask2former.py sample_points_using_uncertainty): draw an
+    oversampled uniform pool, keep the importance_sample_ratio fraction with
+    highest uncertainty (-|logit| at the point), fill the rest uniformly."""
+    n = logits.shape[0]
+    num_sampled = int(num_points * oversample_ratio)
+    k1, k2 = jax.random.split(key)
+    pts = jax.random.uniform(k1, (n, num_sampled, 2))
+    vals = jax.vmap(lambda m, p: _point_sample(m[None], p)[0])(logits, pts)
+    num_uncertain = min(int(importance_sample_ratio * num_points), num_sampled)
+    num_random = num_points - num_uncertain
+    idx = jax.lax.top_k(-jnp.abs(vals), num_uncertain)[1]
+    chosen = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    if num_random > 0:
+        chosen = jnp.concatenate(
+            [chosen, jax.random.uniform(k2, (n, num_random, 2))], axis=1)
+    return chosen
 
 
 def _point_sample(masks, points):

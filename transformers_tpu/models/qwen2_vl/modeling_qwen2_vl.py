@@ -357,10 +357,12 @@ class Qwen2VLForConditionalGeneration(Qwen2VLPreTrainedModel, GenerationMixin):
     def _prepare_generation_positions(self, input_ids, attention_mask, **model_kwargs):
         grid = model_kwargs.get("image_grid_thw")
         vgrid = model_kwargs.get("video_grid_thw")
+        spg = model_kwargs.get("second_per_grid_ts")
         pos, deltas = get_rope_index(self.config, np.asarray(input_ids),
                                      None if grid is None else np.asarray(grid),
                                      None if vgrid is None else np.asarray(vgrid),
-                                     np.asarray(attention_mask))
+                                     np.asarray(attention_mask),
+                                     None if spg is None else np.asarray(spg))
         s = input_ids.shape[1]
         rope_last = (deltas[:, 0] + s - 1).astype(np.int32)
         return jnp.asarray(pos, jnp.int32), jnp.asarray(rope_last)
@@ -378,7 +380,10 @@ class Qwen2VLForConditionalGeneration(Qwen2VLPreTrainedModel, GenerationMixin):
             grid = None if image_grid_thw is None else np.asarray(image_grid_thw)
             vgrid = None if video_grid_thw is None else np.asarray(video_grid_thw)
             mask = None if attention_mask is None else np.asarray(attention_mask)
-            pos, _ = get_rope_index(self.config, np.asarray(input_ids), grid, vgrid, mask)
+            spg = kwargs.get("second_per_grid_ts")
+            spg = None if spg is None else np.asarray(spg)
+            pos, _ = get_rope_index(self.config, np.asarray(input_ids), grid,
+                                    vgrid, mask, spg)
             position_ids = jnp.asarray(pos)
         outputs = self.model.language_model(
             params["model"]["language_model"], None, attention_mask, position_ids,

@@ -103,15 +103,29 @@ class Qwen2VLVideoProcessor(BaseVideoProcessor):
         if video_metadata is not None and not isinstance(video_metadata, (list, tuple)):
             video_metadata = [video_metadata]
         factor = self.patch_size * self.merge_size
-        all_patches, grids = [], []
+        all_patches, grids, second_per_grid_ts = [], [], []
         for i, video in enumerate(videos):
             video = np.asarray(video)
             if video.shape[-1] in (1, 3, 4) and video.shape[1] not in (1, 3, 4):
                 video = video.transpose(0, 3, 1, 2)  # THWC -> TCHW
             meta = video_metadata[i] if video_metadata is not None else None
+            total = video.shape[0]
             if self.do_sample_frames or num_frames is not None or fps is not None:
                 video = self.sample_frames(video, metadata=meta,
                                            num_frames=num_frames, fps=fps)
+            # seconds covered by one temporal grid step = tps / sampled_fps
+            # (reference qwen2_5_vl processing_qwen2_5_vl.py:146 — consumed
+            # by get_rope_index's video temporal scaling; 1.0 when the frame
+            # rate is unknown, matching the reference's default fps handling)
+            if fps is not None:
+                sampled_fps = float(fps)
+            elif meta is not None and getattr(meta, "fps", None):
+                duration = (meta.total_num_frames or total) / meta.fps
+                sampled_fps = video.shape[0] / duration if duration else None
+            else:
+                sampled_fps = None
+            second_per_grid_ts.append(
+                self.temporal_patch_size / sampled_fps if sampled_fps else 1.0)
             arr = video.astype(np.float32)
             if self.do_rescale:
                 arr = arr * self.rescale_factor
@@ -133,7 +147,9 @@ class Qwen2VLVideoProcessor(BaseVideoProcessor):
         if return_tensors == "jax":
             pixel_values = jnp.asarray(pixel_values)
         return BatchFeature({"pixel_values_videos": pixel_values,
-                             "video_grid_thw": grid_thw})
+                             "video_grid_thw": grid_thw,
+                             "second_per_grid_ts": np.asarray(
+                                 second_per_grid_ts, np.float32)})
 
     def get_num_of_video_patches(self, num_frames: int, height: int, width: int,
                                  videos_kwargs=None) -> int:
