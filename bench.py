@@ -110,69 +110,115 @@ def build_model():
 def _formats_cache_path(batch):
     import os
 
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"decode_formats_b{batch}.json")
+    # tracked in git (not .jax_cache/): the known-good layout draw rides with
+    # the repo so the driver's fresh environment replays it deterministically
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"generate_formats_b{batch}.json")
 
 
-def decode_formats_pinned(model, batch):
-    """decode_param_formats with the result PINNED to disk: the AUTO-layout
-    probe is not bit-deterministic across runs, and a different layout pick
-    yields a different generate program — losing the known-good compile
-    cache entry and (measured 2026-08-20) sometimes tipping the borderline
-    bf16 program into compile-OOM. First run probes and records; later runs
-    replay the recorded layouts."""
+def _ser_layout(layout):
+    tiling = getattr(layout, "tiling", getattr(layout, "_tiling", None))
+    sub = getattr(layout, "sub_byte_element_size_in_bits",
+                  getattr(layout, "_sub_byte_element_size_in_bits", 0))
+    return {"m2m": list(layout.major_to_minor),
+            "tiling": None if tiling is None else [list(t) for t in tiling],
+            "sub": sub or 0}
+
+
+def _de_layout(d, dev):
     from jax.experimental.layout import Format, Layout
     from jax.sharding import SingleDeviceSharding
 
+    tiling = (None if d["tiling"] is None
+              else tuple(tuple(t) for t in d["tiling"]))
+    return Format(Layout(major_to_minor=tuple(d["m2m"]), tiling=tiling,
+                         sub_byte_element_size_in_bits=d["sub"]),
+                  SingleDeviceSharding(dev))
+
+
+def _load_pinned_formats(model, batch):
     path = _formats_cache_path(batch)
     spec = model.init_abstract()
     leaves, treedef = jax.tree_util.tree_flatten(spec)
-    def _ser(layout):
-        tiling = getattr(layout, "tiling",
-                         getattr(layout, "_tiling", None))
-        sub = getattr(layout, "sub_byte_element_size_in_bits",
-                      getattr(layout, "_sub_byte_element_size_in_bits", 0))
-        return {"m2m": list(layout.major_to_minor),
-                "tiling": None if tiling is None else [list(t) for t in tiling],
-                "sub": sub or 0}
-
-    def _de(d, dev):
-        tiling = (None if d["tiling"] is None
-                  else tuple(tuple(t) for t in d["tiling"]))
-        return Format(Layout(major_to_minor=tuple(d["m2m"]), tiling=tiling,
-                             sub_byte_element_size_in_bits=d["sub"]),
-                      SingleDeviceSharding(dev))
-
     try:
         with open(path, encoding="utf-8") as f:
             recorded = json.load(f)
         dev = jax.devices()[0]
-        fmts = [_de(d, dev) for d in recorded]
+        fmts = [_de_layout(d, dev) for d in recorded]
         assert len(fmts) == len(leaves)
         return jax.tree_util.tree_unflatten(treedef, fmts)
     except (OSError, ValueError, KeyError, AssertionError):
-        pass
-    formats = model.decode_param_formats(batch, PROMPT + GEN_LONG)
+        return None
+
+
+def _save_pinned_formats(formats, batch):
     flat = jax.tree_util.tree_flatten(
         formats, is_leaf=lambda x: hasattr(x, "layout"))[0]
     try:
-        with open(path, "w", encoding="utf-8") as f:
-            json.dump([_ser(fmt.layout) for fmt in flat], f)
+        with open(_formats_cache_path(batch), "w", encoding="utf-8") as f:
+            json.dump([_ser_layout(fmt.layout) for fmt in flat], f)
     except (OSError, TypeError):
         pass
-    return formats
 
 
-def zero_params(model, batch):
+def compile_generate_aot(model, batch, *, fresh_probe=False):
+    """AOT-compile the FULL generate program (prefill + while_loop decode)
+    and return ``(compiled_executable, param_formats)``.
+
+    Round-4 post-mortem (BENCH_r04.json tail): the one-step *decode* probe's
+    preferred layouts are not always the layouts the *generate* program's
+    layout assignment picks — the mismatch materializes as program-lifetime
+    ``copy`` HLO temps (twenty 32 MB bf16[4096,4096] copies ≈ 640 MB) that
+    tip the 14.96 GiB tree into compile-OOM. Probing the generate program
+    itself (``aot="auto"``) makes the at-rest layouts exactly what the
+    program consumes — entry copy-free by construction — and the winning
+    draw is pinned to a git-tracked JSON so the driver's fresh run replays
+    it instead of re-rolling (r4's retry replayed the same bad draw)."""
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, VOCAB, size=(batch, PROMPT)), jnp.int32)
+    pinned = None if fresh_probe else _load_pinned_formats(model, batch)
+    compiled, formats = model.generate(
+        model.init_abstract(), input_ids=ids, max_new_tokens=GEN_LONG,
+        do_sample=False, prompt_pad_multiple=PROMPT,
+        decode_pad_multiple=GEN_LONG, eos_token_id=-1,
+        aot=pinned if pinned is not None else "auto")
+    if pinned is None:
+        _save_pinned_formats(formats, batch)
+    return compiled, formats
+
+
+def zero_params_in_formats(model, formats):
     """Materialize the parameter pytree as bf16 zeros on device, directly in
-    the decode-preferred layouts (no f32 init temporaries and no layout
-    copies — the full tree is 14.96 GiB)."""
-    formats = decode_formats_pinned(model, batch)
+    the generate-program layouts (no f32 init temporaries and no layout
+    copies — the full tree is 14.96 GiB). The result is VERIFIED leaf by
+    leaf: the persistent compile cache has been observed returning a stale
+    zeros-program executable whose output layouts ignore ``out_shardings``
+    (cache key does not hash them), so any leaf whose layout disagrees is
+    repaired with an on-device ``device_put`` relayout copy (~32 MB peak per
+    leaf, params stay resident)."""
     spec = model.init_abstract()
     mk = jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), spec),
                  out_shardings=formats)
-    return mk()
+    params = mk()
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    flat_fmt = jax.tree_util.tree_flatten(
+        formats, is_leaf=lambda x: hasattr(x, "layout"))[0]
+    fixed = 0
+    out = []
+    for leaf, fmt in zip(flat, flat_fmt):
+        if leaf.format.layout != fmt.layout:
+            new = jax.device_put(leaf, fmt)
+            jax.block_until_ready(new)
+            leaf.delete()
+            leaf = new
+            fixed += 1
+        out.append(leaf)
+    if fixed:
+        import sys
+
+        print(f"zero_params_in_formats: relaid out {fixed} stale-layout leaves",
+              file=sys.stderr)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def int8_params(model):
@@ -194,6 +240,42 @@ def int8_params(model):
         lambda s: (jnp.ones if (s.dtype == jnp.float32 and len(s.shape) == 1)
                    else jnp.zeros)(s.shape, s.dtype), qspec))
     return mk()
+
+
+def measure_aot(compiled, params, batch):
+    """TPOT by two-point differencing against the ONE AOT generate
+    executable (``gen_tokens`` is a runtime while_loop bound); returns
+    (tokens/s, fraction of the bf16 HBM roofline)."""
+    from transformers_tpu.utils.generic import flatten_dict
+
+    param_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                      for v in flatten_dict(params).values())
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, VOCAB, size=(batch, PROMPT)), jnp.int32)
+    mask = jnp.ones((batch, PROMPT), jnp.int32)
+    key = jax.random.key(0)
+
+    def run(gen_tokens: int) -> None:
+        out = compiled(params, ids, mask, key,
+                       jnp.asarray(gen_tokens, jnp.int32))
+        np.asarray(jax.block_until_ready(out))
+
+    def timed(gen_tokens: int) -> float:
+        run(gen_tokens)  # warm
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(gen_tokens)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_short = timed(GEN_SHORT)
+    t_long = timed(GEN_LONG)
+    dt = (t_long - t_short) / (GEN_LONG - GEN_SHORT)
+    tok_per_sec = batch / dt
+    step_bytes = param_bytes + batch * AVG_CTX * KV_BYTES_PER_TOK
+    roofline_tok_per_sec = HBM_BW / step_bytes * batch
+    return tok_per_sec, tok_per_sec / roofline_tok_per_sec
 
 
 def measure(model, params, batch):
@@ -268,17 +350,21 @@ def main():
             del qparams
 
     # ---- leg 2: bf16 batch 8 (the headline; comparable to r2/r3 artifacts).
-    # The 8B bf16 generate program sits exactly at the HBM edge: params
-    # 14.96G + ~1.78G of layout-conversion temps when XLA's (nondeterministic)
-    # layout assignment lands badly. Measured 2026-08-20: the same program
-    # compiles fine on some attempts and statically OOMs on others, so a
-    # failed compile gets ONE retry (a fresh layout draw, ~10s to fail).
+    # The 8B bf16 generate program sits exactly at the HBM edge. The program
+    # is AOT-compiled with the params' entry layouts taken from the generate
+    # program's OWN layout assignment (see compile_generate_aot — r4's
+    # compile-OOM was 640 MB of layout-copy temps from a decode-probe/
+    # generate-program layout mismatch), and the winning draw rides in git
+    # (generate_formats_b8.json). A failed attempt re-probes FRESH (r4's
+    # retry replayed the same pinned bad draw and failed identically).
     bf16_tps = bf16_vs = None
     for attempt in range(2):
         params = None
         try:
-            params = zero_params(model, BATCH_BF16)
-            bf16_tps, bf16_vs = measure(model, params, BATCH_BF16)
+            compiled, formats = compile_generate_aot(
+                model, BATCH_BF16, fresh_probe=attempt > 0)
+            params = zero_params_in_formats(model, formats)
+            bf16_tps, bf16_vs = measure_aot(compiled, params, BATCH_BF16)
             legs["bf16_b8"] = {"tokens_per_sec": round(bf16_tps, 2),
                                "vs_roofline": round(bf16_vs, 4),
                                "batch": BATCH_BF16}

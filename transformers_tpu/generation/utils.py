@@ -110,10 +110,24 @@ class GenerationMixin:
         assistant_params=None,
         prompt_lookup_num_tokens: Optional[int] = None,
         num_assistant_tokens: int = 5,
+        aot=None,
         **kwargs,
     ):
         """Reference generation/utils.py:2250. Returns [B, S_bucket + max_new]
-        token ids (left-padded prompt + generated, pad after EOS)."""
+        token ids (left-padded prompt + generated, pad after EOS).
+
+        ``aot``: instead of executing, AOT-compile the full generate program
+        and return ``(compiled_executable, param_formats)``. With
+        ``aot="auto"`` the compiler chooses the parameter layouts it wants
+        (``Layout.AUTO``); with ``aot=<formats pytree>`` the entry layouts are
+        pinned to the given ``jax.experimental.layout.Format`` tree. Params
+        materialized in the returned formats make the program entry copy-free
+        by construction — at Llama-3-8B scale a layout mismatch costs ~32 MB
+        of program-lifetime HLO-temp copy per mismatched [4096,4096] weight,
+        enough to tip the 14.96 GiB tree into compile-OOM. ``params`` may be
+        a ``ShapeDtypeStruct`` pytree in this mode. The executable has the
+        same calling convention as the cached generate fn:
+        ``compiled(params, input_ids, attention_mask, key, max_new_rt)``."""
         params = params if params is not None else self.params
         if params is None:
             raise ValueError("No params: pass `params=` or load via from_pretrained().")
@@ -261,6 +275,21 @@ class GenerationMixin:
         extras = [prefill_kwargs[k] for k in sorted(prefill_kwargs)]
         if custom_pos is not None:
             extras += [custom_pos[0], custom_pos[1]]
+        if aot is not None:
+            from jax.experimental.layout import Format, Layout
+
+            spec = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+            if isinstance(aot, str) and aot == "auto":
+                in_fmt = jax.tree.map(lambda s: Format(Layout.AUTO), spec)
+            else:
+                in_fmt = aot
+            jitted = jax.jit(fn.__wrapped__,
+                             in_shardings=(in_fmt,) + (None,) * (4 + len(extras)))
+            compiled = jitted.lower(
+                spec, input_ids, attention_mask, prng_key,
+                jnp.asarray(max_new, jnp.int32), *extras).compile()
+            return compiled, compiled.input_formats[0][0]
         out = fn(params, input_ids, attention_mask, prng_key,
                  jnp.asarray(max_new, jnp.int32), *extras)
         if max_new_cap != max_new:

@@ -23,24 +23,36 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pixtral": ("pixtral", "PixtralProcessor"),
     "idefics3": ("idefics3", "Idefics3Processor"),
     "mllama": ("mllama", "MllamaProcessor"),
+    # dual encoders / retrieval
+    "align": ("align", "AlignProcessor"),
+    "altclip": ("altclip", "AltCLIPProcessor"),
+    "chinese_clip": ("chinese_clip", "ChineseCLIPProcessor"),
+    "xclip": ("x_clip", "XCLIPProcessor"),
+    "flava": ("flava", "FlavaProcessor"),
+    "bridgetower": ("bridgetower", "BridgeTowerProcessor"),
+    "vision-text-dual-encoder": ("vision_text_dual_encoder",
+                                 "VisionTextDualEncoderProcessor"),
+    # captioning / VQA
+    "git": ("git", "GitProcessor"),
+    "vilt": ("vilt", "ViltProcessor"),
+    # detection / segmentation
+    "owlvit": ("owlvit", "OwlViTProcessor"),
+    "owlv2": ("owlv2", "Owlv2Processor"),
+    "clipseg": ("clipseg", "CLIPSegProcessor"),
+    # OCR / document
+    "donut-swin": ("donut", "DonutProcessor"),
+    "nougat": ("nougat", "NougatProcessor"),
+    "trocr": ("trocr", "TrOCRProcessor"),
+    "mgp-str": ("mgp_str", "MgpstrProcessor"),
 }
 
-_CLASS_NAMES = {
-    "LlavaProcessor": ("llava", "LlavaProcessor"),
-    "CLIPProcessor": ("clip", "CLIPProcessor"),
-    "BlipProcessor": ("blip", "BlipProcessor"),
-    "SiglipProcessor": ("siglip", "SiglipProcessor"),
-    "WhisperProcessor": ("whisper", "WhisperProcessor"),
-    "Qwen2VLProcessor": ("qwen2_vl", "Qwen2VLProcessor"),
-    "Qwen2_5_VLProcessor": ("qwen2_vl", "Qwen2VLProcessor"),
-    "Gemma3Processor": ("gemma3", "Gemma3Processor"),
-    "Blip2Processor": ("blip_2", "Blip2Processor"),
-    "PaliGemmaProcessor": ("paligemma", "PaliGemmaProcessor"),
-    "LlavaNextProcessor": ("llava_next", "LlavaNextProcessor"),
-    "PixtralProcessor": ("pixtral", "PixtralProcessor"),
-    "Idefics3Processor": ("idefics3", "Idefics3Processor"),
-    "MllamaProcessor": ("mllama", "MllamaProcessor"),
+# processor_class name -> (module, class): derived — every registered class
+# resolves by its own name; extra aliases for reference names that map onto a
+# shared implementation here.
+_CLASS_NAMES: dict[str, tuple[str, str]] = {
+    mod_cls[1]: mod_cls for mod_cls in PROCESSOR_MAPPING_NAMES.values()
 }
+_CLASS_NAMES["Qwen2_5_VLProcessor"] = ("qwen2_vl", "Qwen2VLProcessor")
 
 
 class AutoProcessor:

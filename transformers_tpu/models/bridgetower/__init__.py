@@ -8,3 +8,5 @@ from .modeling_bridgetower import (
     BridgeTowerForImageAndTextRetrieval,
     BridgeTowerModel,
 )
+from .image_processing_bridgetower import BridgeTowerImageProcessor
+from .processing_bridgetower import BridgeTowerProcessor

@@ -4,3 +4,4 @@ from .configuration_clipseg import (
     CLIPSegVisionConfig,
 )
 from .modeling_clipseg import CLIPSegForImageSegmentation, CLIPSegModel
+from .processing_clipseg import CLIPSegProcessor

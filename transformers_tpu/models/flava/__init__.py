@@ -10,3 +10,4 @@ from .modeling_flava import (
     FlavaImageCodebook,
     FlavaModel,
 )
+from .processing_flava import FlavaProcessor

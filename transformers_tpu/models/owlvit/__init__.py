@@ -5,3 +5,4 @@ from .modeling_owlvit import (
     OwlViTModelStandalone,
 )
 from .image_processing_owlvit import OwlViTImageProcessor
+from .processing_owlvit import OwlViTProcessor

@@ -6,3 +6,4 @@ from .modeling_vilt import (
     ViltModelStandalone,
 )
 from .image_processing_vilt import ViltImageProcessor
+from .processing_vilt import ViltProcessor

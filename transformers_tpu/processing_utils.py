@@ -40,18 +40,27 @@ class ProcessorMixin:
     def from_pretrained(cls, pretrained_model_name_or_path, **kwargs) -> "ProcessorMixin":
         parts: dict[str, Any] = {}
         for name in cls.attributes:
-            if name == "tokenizer":
+            if name.endswith("tokenizer"):
+                # "tokenizer", "qformer_tokenizer", "char_tokenizer", ... —
+                # prefixed tokenizers load from a same-named subfolder when
+                # present (reference processing_utils.py sub-processor
+                # resolution), else from the repo root
                 from .tokenization import AutoTokenizer
 
-                parts[name] = AutoTokenizer.from_pretrained(pretrained_model_name_or_path)
+                path = pretrained_model_name_or_path
+                if name != "tokenizer":
+                    sub = os.path.join(str(path), name[: -len("_tokenizer")])
+                    if os.path.isdir(sub):
+                        path = sub
+                parts[name] = AutoTokenizer.from_pretrained(path)
             elif name == "image_processor":
                 from .models.auto.image_processing_auto import AutoImageProcessor
 
                 parts[name] = AutoImageProcessor.from_pretrained(pretrained_model_name_or_path)
             elif name == "feature_extractor":
-                from .models.whisper.feature_extraction_whisper import WhisperFeatureExtractor
+                from .feature_extraction_utils import AutoFeatureExtractor
 
-                parts[name] = WhisperFeatureExtractor.from_pretrained(pretrained_model_name_or_path)
+                parts[name] = AutoFeatureExtractor.from_pretrained(pretrained_model_name_or_path)
             elif name == "video_processor":
                 from .models.auto.video_processing_auto import AutoVideoProcessor
 
@@ -79,7 +88,10 @@ class ProcessorMixin:
         for name in self.attributes:
             sub = getattr(self, name, None)
             if sub is not None and hasattr(sub, "save_pretrained"):
-                sub.save_pretrained(save_directory)
+                target = save_directory
+                if name.endswith("_tokenizer"):  # prefixed tokenizers nest
+                    target = os.path.join(save_directory, name[: -len("_tokenizer")])
+                sub.save_pretrained(target)
         extra = {k: v for k, v in self.__dict__.items()
                  if k not in self.attributes and not k.startswith("_")
                  and isinstance(v, (int, float, str, bool, list, dict, type(None)))}
