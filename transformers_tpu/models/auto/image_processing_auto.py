@@ -115,6 +115,20 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "idefics3": ("idefics3", "Idefics3ImageProcessor"),
     "smolvlm": ("idefics3", "Idefics3ImageProcessor"),
     "mllama": ("mllama", "MllamaImageProcessor"),
+    # r5 processor sweep
+    "got_ocr2": ("got_ocr2", "GotOcr2ImageProcessor"),
+    "internvl": ("got_ocr2", "GotOcr2ImageProcessor"),
+    "aya_vision": ("got_ocr2", "GotOcr2ImageProcessor"),
+    "llama4": ("got_ocr2", "GotOcr2ImageProcessor"),
+    "idefics2": ("idefics2", "Idefics2ImageProcessor"),
+    "emu3": ("emu3", "Emu3ImageProcessor"),
+    "fuyu": ("fuyu", "FuyuImageProcessor"),
+    "bridgetower": ("bridgetower", "BridgeTowerImageProcessor"),
+    "flava": ("clip", "CLIPImageProcessor"),
+    "glm4v": ("qwen2_vl", "Qwen2VLImageProcessor"),
+    "deepseek_vl": ("clip", "CLIPImageProcessor"),
+    "gemma3n": ("siglip", "SiglipImageProcessor"),
+    "x_clip": ("clip", "CLIPImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class): derived from the

@@ -44,6 +44,28 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "nougat": ("nougat", "NougatProcessor"),
     "trocr": ("trocr", "TrOCRProcessor"),
     "mgp-str": ("mgp_str", "MgpstrProcessor"),
+    "got_ocr2": ("got_ocr2", "GotOcr2Processor"),
+    # VLM expansion tier
+    "chameleon": ("chameleon", "ChameleonProcessor"),
+    "deepseek_vl": ("deepseek_vl", "DeepseekVLProcessor"),
+    "deepseek_vl_hybrid": ("deepseek_vl", "DeepseekVLProcessor"),
+    "instructblip": ("instructblip", "InstructBlipProcessor"),
+    "kosmos-2": ("kosmos2", "Kosmos2Processor"),
+    "internvl": ("internvl", "InternVLProcessor"),
+    "aya_vision": ("aya_vision", "AyaVisionProcessor"),
+    "gemma3n": ("gemma3n", "Gemma3nProcessor"),
+    "glm4v": ("glm4v", "Glm4vProcessor"),
+    "qwen3_vl": ("qwen3_vl", "Qwen3VLProcessor"),
+    "qwen3_vl_moe": ("qwen3_vl", "Qwen3VLProcessor"),
+    "smolvlm": ("smolvlm", "SmolVLMProcessor"),
+    "idefics2": ("idefics2", "Idefics2Processor"),
+    "llava_onevision": ("llava_onevision", "LlavaOnevisionProcessor"),
+    "llava_next_video": ("llava_next_video", "LlavaNextVideoProcessor"),
+    "colpali": ("colpali", "ColPaliProcessor"),
+    "colqwen2": ("colqwen2", "ColQwen2Processor"),
+    "llama4": ("llama4", "Llama4Processor"),
+    "emu3": ("emu3", "Emu3Processor"),
+    "fuyu": ("fuyu", "FuyuProcessor"),
 }
 
 # processor_class name -> (module, class): derived — every registered class

@@ -20,13 +20,15 @@ VIDEO_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_5_vl": ("qwen2_vl", "Qwen2VLVideoProcessor"),
     "qwen3_vl": ("qwen2_vl", "Qwen2VLVideoProcessor"),
     "qwen3_vl_moe": ("qwen2_vl", "Qwen2VLVideoProcessor"),
+    "llava_onevision": ("llava_onevision", "LlavaOnevisionVideoProcessor"),
+    "llava_next_video": ("llava_next_video", "LlavaNextVideoVideoProcessor"),
 }
 
 _CLASS_NAMES: dict[str, tuple[str, str]] = {
-    "Qwen2VLVideoProcessor": ("qwen2_vl", "Qwen2VLVideoProcessor"),
-    # the reference's qwen2_5_vl ships the same pipeline under its own name
-    "Qwen2_5_VLVideoProcessor": ("qwen2_vl", "Qwen2VLVideoProcessor"),
+    mod_cls[1]: mod_cls for mod_cls in VIDEO_PROCESSOR_MAPPING_NAMES.values()
 }
+# the reference's qwen2_5_vl ships the same pipeline under its own name
+_CLASS_NAMES["Qwen2_5_VLVideoProcessor"] = ("qwen2_vl", "Qwen2VLVideoProcessor")
 
 
 def _resolve(entry):

@@ -5,3 +5,5 @@ from .modeling_emu3 import (
     Emu3Model,
     Emu3VQVAE,
 )
+from .image_processing_emu3 import Emu3ImageProcessor
+from .processing_emu3 import Emu3Processor

@@ -7,3 +7,4 @@ from .modeling_instructblip import (
     InstructBlipForConditionalGeneration,
     InstructBlipQFormerModel,
 )
+from .processing_instructblip import InstructBlipProcessor

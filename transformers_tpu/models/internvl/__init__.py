@@ -1,3 +1,4 @@
 from .configuration_internvl import InternVLConfig, InternVLVisionConfig
 from .modeling_internvl import (InternVLForConditionalGeneration, InternVLModel,
                                 InternVLVisionModel)
+from .processing_internvl import InternVLProcessor

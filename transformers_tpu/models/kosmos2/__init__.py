@@ -4,3 +4,4 @@ from .configuration_kosmos2 import (
     Kosmos2VisionConfig,
 )
 from .modeling_kosmos2 import Kosmos2ForConditionalGeneration
+from .processing_kosmos2 import Kosmos2Processor
