@@ -104,6 +104,85 @@ def window_function(window_length: int, name: str = "hann", periodic: bool = Tru
     return window.astype(np.float32)
 
 
+def kaldi_fbank(
+    waveform: np.ndarray,  # [T] float in [-1, 1]
+    mel_filters: np.ndarray,  # [n_freqs, n_mels] kaldi-scale triangles
+    window: np.ndarray,  # [frame_length] (povey, non-periodic)
+    *,
+    frame_length: int = 400,
+    hop_length: int = 160,
+    fft_length: int = 512,
+    preemphasis: float = 0.97,
+    remove_dc_offset: bool = True,
+    mel_floor: float = 1.192092955078125e-07,
+) -> np.ndarray:
+    """Kaldi-compliance log-mel fbank, numpy (reference audio_utils.py
+    ``spectrogram`` with the Speech2Text parameterization — the
+    torchaudio-free fallback path of
+    models/speech_to_text/feature_extraction_speech_to_text.py:120-137):
+    16-bit scaling, snip-edges framing (no centering), per-frame DC removal,
+    per-frame preemphasis, povey window, |rfft|^2, kaldi-mel triangles,
+    natural log with floor. Returns [n_frames, n_mels] float32."""
+    wav = np.asarray(waveform, np.float64) * (2 ** 15)
+    t = wav.shape[-1]
+    n_frames = 1 + (t - frame_length) // hop_length if t >= frame_length else 0
+    if n_frames <= 0:
+        return np.zeros((0, mel_filters.shape[1]), np.float32)
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(frame_length)[None, :])
+    frames = wav[idx]
+    if remove_dc_offset:
+        frames = frames - frames.mean(-1, keepdims=True)
+    if preemphasis:
+        # first sample scales by (1 - coeff), the rest are x[i] - c*x[i-1]
+        frames = np.concatenate(
+            [frames[:, :1] * (1.0 - preemphasis),
+             frames[:, 1:] - preemphasis * frames[:, :-1]], axis=1)
+    frames = frames * np.asarray(window, np.float64)
+    spec = np.fft.rfft(frames, n=fft_length, axis=-1)
+    power = np.abs(spec) ** 2
+    mel = np.maximum(power @ np.asarray(mel_filters, np.float64), mel_floor)
+    return np.log(mel).astype(np.float32)
+
+
+def chroma_filter_bank(
+    num_frequency_bins: int,
+    num_chroma: int,
+    sampling_rate: int,
+    tuning: float = 0.0,
+    power: float = 2.0,
+    weighting_parameters: tuple = (5.0, 2.0),
+    start_at_c_chroma: bool = True,
+) -> np.ndarray:
+    """Chroma filter bank [num_frequency_bins, num_chroma] (reference
+    audio_utils.py chroma_filter_bank == librosa.filters.chroma): wrap FFT
+    bins onto 12 pitch classes with gaussian bin spread and octave
+    weighting."""
+    frequencies = np.linspace(0, sampling_rate, num_frequency_bins,
+                              endpoint=False)[1:]
+    freq_bins = num_chroma * (np.log2(frequencies / (440.0 / 16)) - tuning / num_chroma)
+    freq_bins = np.concatenate(([freq_bins[0] - 1.5 * num_chroma], freq_bins))
+    bins_width = np.concatenate((np.maximum(freq_bins[1:] - freq_bins[:-1], 1.0), [1]))
+    chroma_filters = np.subtract.outer(freq_bins, np.arange(0, num_chroma, dtype="d")).T
+    num_chroma2 = np.round(float(num_chroma) / 2)
+    chroma_filters = np.remainder(chroma_filters + num_chroma2 + 10 * num_chroma,
+                                  num_chroma) - num_chroma2
+    chroma_filters = np.exp(-0.5 * (2 * chroma_filters / np.tile(bins_width, (num_chroma, 1))) ** 2)
+    if power is not None:
+        chroma_filters = chroma_filters / np.sum(
+            chroma_filters ** power, axis=0, keepdims=True) ** (1.0 / power)
+    if weighting_parameters:
+        center, half_width = weighting_parameters
+        chroma_filters *= np.tile(
+            np.exp(-0.5 * (((freq_bins / num_chroma - center) / half_width) ** 2)),
+            (num_chroma, 1))
+    if start_at_c_chroma:
+        chroma_filters = np.roll(chroma_filters, -3 * (num_chroma // 12), axis=0)
+    # drop aliasing columns: [num_chroma, 1 + num_frequency_bins // 2]
+    return np.ascontiguousarray(
+        chroma_filters[:, : int(1 + num_frequency_bins / 2)])
+
+
 def stft_magnitudes(
     waveform: jnp.ndarray,  # [..., T]
     *,
@@ -112,17 +191,19 @@ def stft_magnitudes(
     window: np.ndarray,
     center: bool = True,
     power: float = 2.0,
+    pad_mode: str = "reflect",
 ) -> jnp.ndarray:
-    """|STFT|^power as pure jnp ops: reflect-pad -> frame -> window -> rfft.
+    """|STFT|^power as pure jnp ops: pad -> frame -> window -> rfft.
 
-    Matches torch.stft(center=True, pad_mode="reflect") numerics
+    Matches torch.stft(center=True, pad_mode=...) numerics
     (reference models/whisper/feature_extraction_whisper.py:135-168).
     Returns [..., n_freqs, n_frames].
     """
     if center:
         pad = n_fft // 2
         pad_width = [(0, 0)] * (waveform.ndim - 1) + [(pad, pad)]
-        waveform = jnp.pad(waveform, pad_width, mode="reflect")
+        waveform = jnp.pad(waveform, pad_width,
+                           mode="constant" if pad_mode == "constant" else "reflect")
     t = waveform.shape[-1]
     n_frames = 1 + (t - n_fft) // hop_length
     idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :])

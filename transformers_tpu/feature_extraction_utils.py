@@ -103,7 +103,7 @@ class AutoFeatureExtractor:
         resolved = cached_file(str(pretrained_model_name_or_path), FEATURE_EXTRACTOR_NAME)
         with open(resolved, encoding="utf-8") as f:
             type_name = json.load(f).get("feature_extractor_type", "")
-        if "Whisper" in type_name:
+        if "Whisper" in type_name or type_name.startswith(("Qwen2Audio", "Voxtral")):
             from .models.whisper import WhisperFeatureExtractor
 
             return WhisperFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
@@ -111,7 +111,31 @@ class AutoFeatureExtractor:
             from .models.clap import ClapFeatureExtractor
 
             return ClapFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
-        if "Wav2Vec2" in type_name or "Seamless" in type_name:
+        if "Seamless" in type_name or "Wav2Vec2Bert" in type_name:
+            from .models.seamless_m4t import SeamlessM4TFeatureExtractor
+
+            return SeamlessM4TFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "Speech2Text" in type_name:
+            from .models.speech_to_text import Speech2TextFeatureExtractor
+
+            return Speech2TextFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "SpeechT5" in type_name:
+            from .models.speecht5 import SpeechT5FeatureExtractor
+
+            return SpeechT5FeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "Encodec" in type_name or "MusicgenMelody" not in type_name and "Musicgen" in type_name:
+            from .models.encodec import EncodecFeatureExtractor
+
+            return EncodecFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "MusicgenMelody" in type_name:
+            from .models.musicgen_melody import MusicgenMelodyFeatureExtractor
+
+            return MusicgenMelodyFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "Parakeet" in type_name:
+            from .models.parakeet import ParakeetFeatureExtractor
+
+            return ParakeetFeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)
+        if "Wav2Vec2" in type_name:
             from .models.wav2vec2 import Wav2Vec2FeatureExtractor
 
             return Wav2Vec2FeatureExtractor.from_pretrained(pretrained_model_name_or_path, **kwargs)

@@ -66,6 +66,20 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "llama4": ("llama4", "Llama4Processor"),
     "emu3": ("emu3", "Emu3Processor"),
     "fuyu": ("fuyu", "FuyuProcessor"),
+    # audio tier
+    "clap": ("clap", "ClapProcessor"),
+    "wav2vec2": ("wav2vec2", "Wav2Vec2Processor"),
+    "wav2vec2-bert": ("wav2vec2_bert", "Wav2Vec2BertProcessor"),
+    "speech_to_text": ("speech_to_text", "Speech2TextProcessor"),
+    "speecht5": ("speecht5", "SpeechT5Processor"),
+    "musicgen": ("musicgen", "MusicgenProcessor"),
+    "musicgen_melody": ("musicgen_melody", "MusicgenMelodyProcessor"),
+    "seamless_m4t": ("seamless_m4t", "SeamlessM4TProcessor"),
+    "qwen2_audio": ("qwen2_audio", "Qwen2AudioProcessor"),
+    "voxtral": ("voxtral", "VoxtralProcessor"),
+    "parakeet_ctc": ("parakeet", "ParakeetProcessor"),
+    "parakeet_rnnt": ("parakeet", "ParakeetProcessor"),
+    "parakeet_tdt": ("parakeet", "ParakeetProcessor"),
 }
 
 # processor_class name -> (module, class): derived — every registered class

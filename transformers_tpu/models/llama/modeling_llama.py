@@ -134,7 +134,18 @@ class LlamaAttention(Module):
         import os
 
         cls = type(self)
+        # Batch-size crossover (measured 2026-08-20, Llama-3-8B on v5e, TPOT
+        # two-point differencing): at B=8 the XLA decode path wins (0.951 vs
+        # 0.940 of the bf16 HBM roofline — the kernel's per-layer launch +
+        # DMA-wait overhead exceeds its fusion benefit at a small slab),
+        # while at B=16 the fused kernel wins decisively (int8 leg 0.973 vs
+        # 0.882 of its roofline). Route small batches to XLA; override with
+        # config.fused_decode_min_batch or TTPU_FORCE_FUSED_DECODE.
+        min_batch = getattr(self.config, "fused_decode_min_batch", 16)
+        if os.environ.get("TTPU_FORCE_FUSED_DECODE"):
+            min_batch = 0
         if (os.environ.get("TTPU_NO_FUSED_DECODE")
+                or q.shape[0] < min_batch
                 or cache is None
                 or not isinstance(cache, StaticKVCache)
                 or getattr(cache, "layout", "bshd") != "bhsd"

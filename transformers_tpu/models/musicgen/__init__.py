@@ -3,3 +3,4 @@ from .modeling_musicgen import (
     MusicgenForCausalLM,
     MusicgenForConditionalGeneration,
 )
+from .processing_musicgen import MusicgenProcessor

@@ -10,3 +10,5 @@ from .modeling_parakeet import (
     ParakeetForRNNT,
     ParakeetForTDT,
 )
+from .feature_extraction_parakeet import ParakeetFeatureExtractor
+from .processing_parakeet import ParakeetProcessor

@@ -3,3 +3,4 @@ from .modeling_qwen2_audio import (
     Qwen2AudioEncoder,
     Qwen2AudioForConditionalGeneration,
 )
+from .processing_qwen2_audio import Qwen2AudioProcessor

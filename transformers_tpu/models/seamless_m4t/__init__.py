@@ -6,3 +6,5 @@ from .modeling_seamless_m4t import (
     SeamlessM4TModel,
     SeamlessM4TTextToUnitForConditionalGeneration,
 )
+from .feature_extraction_seamless_m4t import SeamlessM4TFeatureExtractor
+from .processing_seamless_m4t import SeamlessM4TProcessor

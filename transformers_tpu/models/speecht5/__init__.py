@@ -5,3 +5,5 @@ from .modeling_speecht5 import (
     SpeechT5ForTextToSpeech,
     SpeechT5HifiGan,
 )
+from .feature_extraction_speecht5 import SpeechT5FeatureExtractor
+from .processing_speecht5 import SpeechT5Processor

@@ -6,3 +6,4 @@ from .modeling_wav2vec2 import (
     Wav2Vec2ModelStandalone,
 )
 from .feature_extraction_wav2vec2 import Wav2Vec2FeatureExtractor
+from .processing_wav2vec2 import Wav2Vec2Processor

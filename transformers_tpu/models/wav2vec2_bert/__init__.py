@@ -4,3 +4,4 @@ from .modeling_wav2vec2_bert import (
     Wav2Vec2BertModel,
     Wav2Vec2BertModelStandalone,
 )
+from .processing_wav2vec2_bert import Wav2Vec2BertProcessor
