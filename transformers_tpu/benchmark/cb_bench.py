@@ -40,9 +40,13 @@ def build_8b(batch_hint: int = 16):
         head_dim=128, max_position_embeddings=1024, tie_word_embeddings=False,
     )
     model = LlamaForCausalLM(config, dtype=jnp.bfloat16)
-    spec = model.init_abstract()
-    model.params = jax.jit(
-        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), spec))()
+    # Params at rest in the DECODE-preferred layouts: the multi-step decode
+    # program (decode_multi while_loop, M=8 dots) wants transposed q/o
+    # weights; default-layout params cost ~640 MB of program-lifetime
+    # layout-copy HLO temps — compile-OOM next to the 14.96 GiB tree
+    # (same failure mode as BENCH_r04's bf16 leg).
+    formats = model.decode_param_formats(batch_hint // 2, 256)
+    model.params = model.materialize_zero_params(formats)
     return model
 
 

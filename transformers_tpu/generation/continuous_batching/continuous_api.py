@@ -203,10 +203,14 @@ class ContinuousBatchingEngine:
 
         # ---- batched decode
         decode = [r for r in plan.decode if r.pending_token is not None]
-        # multi-step window: no pending admissions/prefill, and every row is
-        # greedy or pure-temperature (top-k/p needs the host sampler)
+        # multi-step window: no prefill scheduled THIS step (plan.prefill is
+        # None with a non-empty waiting queue means the scheduler is
+        # capacity-blocked — batch/block space frees only at a sync anyway,
+        # so waiting requests lose at most K steps of TTFT and the engine
+        # keeps the K-per-dispatch amortization under load), and every row
+        # is greedy or pure-temperature (top-k/p needs the host sampler)
         if (decode and self.steps_per_sync > 1 and plan.prefill is None
-                and not self.scheduler.waiting and not self.offloader.offloaded
+                and not self.offloader.offloaded
                 and all((not r.top_k or r.top_k <= 0)
                         and (not r.top_p or r.top_p >= 1.0) for r in decode)):
             self._decode_multi(decode, out_events)

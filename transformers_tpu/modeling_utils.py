@@ -157,6 +157,36 @@ class PreTrainedModel(Module):
         ).lower(spec, cache_spec, tok).compile()
         return compiled.input_formats[0][0]
 
+    def materialize_zero_params(self, formats):
+        """Zero parameters created directly in the given layout ``formats``
+        pytree (benchmark-scale trees: no f32 init temporaries, no
+        post-creation layout copies). Each leaf's layout is VERIFIED — the
+        persistent compile cache has been observed returning a stale
+        zeros-program executable whose output layouts ignore
+        ``out_shardings`` — and mismatches repaired with an on-device
+        ``device_put`` relayout (one leaf at a time above the param
+        footprint)."""
+        import jax.numpy as jnp
+
+        spec = self.init_abstract()
+        mk = jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), spec),
+                     out_shardings=formats)
+        params = mk()
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        flat_fmt = jax.tree_util.tree_flatten(
+            formats, is_leaf=lambda x: hasattr(x, "layout"))[0]
+        out, fixed = [], 0
+        for leaf, fmt in zip(flat, flat_fmt):
+            if leaf.format.layout != fmt.layout:
+                new = jax.device_put(leaf, fmt)
+                jax.block_until_ready(new)
+                leaf.delete()
+                leaf, fixed = new, fixed + 1
+            out.append(leaf)
+        if fixed:
+            logger.info(f"materialize_zero_params: relaid out {fixed} stale-layout leaves")
+        return jax.tree_util.tree_unflatten(treedef, out)
+
     def relayout_params_for_decode(self, params, batch_size: int, total_len: int):
         """Re-place ``params`` into decode-preferred layouts leaf by leaf
         (see ``decode_param_formats``). The input tree is consumed — leaves

@@ -129,6 +129,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_vl": ("clip", "CLIPImageProcessor"),
     "gemma3n": ("siglip", "SiglipImageProcessor"),
     "x_clip": ("clip", "CLIPImageProcessor"),
+    "pix2struct": ("pix2struct", "Pix2StructImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class): derived from the

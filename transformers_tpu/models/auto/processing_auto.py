@@ -80,6 +80,17 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "parakeet_ctc": ("parakeet", "ParakeetProcessor"),
     "parakeet_rnnt": ("parakeet", "ParakeetProcessor"),
     "parakeet_tdt": ("parakeet", "ParakeetProcessor"),
+    # layout / document / prompt tier
+    "layoutlmv3": ("layoutlmv3", "LayoutLMv3Processor"),
+    "layoutxlm": ("layoutxlm", "LayoutXLMProcessor"),
+    "bros": ("bros", "BrosProcessor"),
+    "udop": ("udop", "UdopProcessor"),
+    "markuplm": ("markuplm", "MarkupLMProcessor"),
+    "pix2struct": ("pix2struct", "Pix2StructProcessor"),
+    "sam": ("sam", "SamProcessor"),
+    "sam2": ("sam2", "Sam2Processor"),
+    "sam_hq": ("sam", "SamProcessor"),
+    "bark": ("bark", "BarkProcessor"),
 }
 
 # processor_class name -> (module, class): derived — every registered class

@@ -14,3 +14,4 @@ from .modeling_bark import (
     BarkModel,
     BarkSemanticModel,
 )
+from .processing_bark import BarkProcessor

@@ -5,3 +5,4 @@ from .modeling_bros import (
     BrosSpadeEEForTokenClassification,
     BrosSpadeELForTokenClassification,
 )
+from .processing_bros import BrosProcessor

@@ -5,3 +5,4 @@ from .modeling_layoutlmv3 import (
     LayoutLMv3ForTokenClassification,
     LayoutLMv3Model,
 )
+from .processing_layoutlmv3 import LayoutLMv3Processor, LayoutProcessorBase

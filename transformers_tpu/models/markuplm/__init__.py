@@ -6,3 +6,5 @@ from .modeling_markuplm import (
     MarkupLMModel,
     MarkupLMModelStandalone,
 )
+from .feature_extraction_markuplm import MarkupLMFeatureExtractor
+from .processing_markuplm import MarkupLMProcessor

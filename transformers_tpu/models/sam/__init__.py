@@ -6,3 +6,4 @@ from .configuration_sam import (
 )
 from .modeling_sam import SamModel, SamVisionModel
 from .image_processing_sam import SamImageProcessor
+from .processing_sam import SamProcessor

@@ -4,3 +4,4 @@ from .modeling_udop import (
     UdopForConditionalGeneration,
     UdopModel,
 )
+from .processing_udop import UdopProcessor
