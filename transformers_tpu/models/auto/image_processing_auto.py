@@ -130,6 +130,23 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3n": ("siglip", "SiglipImageProcessor"),
     "x_clip": ("clip", "CLIPImageProcessor"),
     "pix2struct": ("pix2struct", "Pix2StructImageProcessor"),
+    # detection/segmentation long tail (meta-test closure)
+    "conditional_detr": ("detr", "DetrImageProcessor"),
+    "dab-detr": ("detr", "DetrImageProcessor"),
+    "deformable_detr": ("detr", "DetrImageProcessor"),
+    "maskformer": ("detr", "DetrImageProcessor"),
+    "mask2former": ("detr", "DetrImageProcessor"),
+    "rt_detr": ("rt_detr", "RTDetrImageProcessor"),
+    "rt_detr_resnet": ("rt_detr", "RTDetrImageProcessor"),
+    "d_fine": ("rt_detr", "RTDetrImageProcessor"),
+    "vitmatte": ("vitmatte", "VitMatteImageProcessor"),
+    "seggpt": ("vit", "ViTImageProcessor"),
+    "vitdet": ("vit", "ViTImageProcessor"),
+    "perceiver": ("vit", "ViTImageProcessor"),
+    "zoedepth": ("dpt", "DPTImageProcessor"),
+    "dinov3_vit": ("bit", "BitImageProcessor"),
+    "dinov3_convnext": ("convnext", "ConvNextImageProcessor"),
+    "siglip2": ("siglip", "SiglipImageProcessor"),
 }
 
 # image_processor_type class-name -> (module, class): derived from the

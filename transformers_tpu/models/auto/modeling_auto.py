@@ -242,6 +242,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3_text": ("gemma3", "Gemma3TextModelStandalone"),
     "smollm3": ("smollm3", "SmolLM3ModelStandalone"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeModelStandalone"),
+    "laguna": ("laguna", "LagunaModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
     "glm4": ("glm4", "Glm4ModelStandalone"),
@@ -371,6 +372,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "gemma3n_text": ("gemma3n", "Gemma3nForCausalLM"),
     "smollm3": ("smollm3", "SmolLM3ForCausalLM"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeForCausalLM"),
+    "laguna": ("laguna", "LagunaForCausalLM"),
     "qwen3_next": ("qwen3_next", "Qwen3NextForCausalLM"),
     "moshi": ("moshi", "MoshiForCausalLM"),
     "glm": ("glm", "GlmForCausalLM"),

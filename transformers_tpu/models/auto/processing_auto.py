@@ -121,10 +121,38 @@ class AutoProcessor:
             from .configuration_auto import AutoConfig
 
             config = AutoConfig.from_pretrained(pretrained_model_name_or_path)
-            if config.model_type not in PROCESSOR_MAPPING_NAMES:
-                raise KeyError(f"No processor registered for model_type {config.model_type!r}")
-            module, cname = PROCESSOR_MAPPING_NAMES[config.model_type]
-            proc_cls = getattr(importlib.import_module(f"transformers_tpu.models.{module}"), cname)
+            if config.model_type in PROCESSOR_MAPPING_NAMES:
+                module, cname = PROCESSOR_MAPPING_NAMES[config.model_type]
+                proc_cls = getattr(importlib.import_module(f"transformers_tpu.models.{module}"), cname)
+            else:
+                # reference fallback chain (models/auto/processing_auto.py:
+                # 353-386): families without a composite processor resolve
+                # their single preprocessing class — image processor, then
+                # feature extractor, then tokenizer
+                from .image_processing_auto import (
+                    IMAGE_PROCESSOR_MAPPING_NAMES,
+                    AutoImageProcessor,
+                )
+
+                if config.model_type in IMAGE_PROCESSOR_MAPPING_NAMES:
+                    return AutoImageProcessor.from_pretrained(
+                        pretrained_model_name_or_path, **kwargs)
+                try:
+                    from ...feature_extraction_utils import AutoFeatureExtractor
+
+                    return AutoFeatureExtractor.from_pretrained(
+                        pretrained_model_name_or_path, **kwargs)
+                except Exception:  # noqa: BLE001 — no preprocessor config
+                    pass
+                try:
+                    from ...tokenization import AutoTokenizer
+
+                    return AutoTokenizer.from_pretrained(
+                        pretrained_model_name_or_path, **kwargs)
+                except Exception as e:  # noqa: BLE001
+                    raise KeyError(
+                        f"No processor registered for model_type {config.model_type!r}"
+                    ) from e
         return proc_cls.from_pretrained(pretrained_model_name_or_path, **kwargs)
 
     @staticmethod

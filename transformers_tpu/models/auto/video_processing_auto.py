@@ -22,6 +22,13 @@ VIDEO_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen3_vl_moe": ("qwen2_vl", "Qwen2VLVideoProcessor"),
     "llava_onevision": ("llava_onevision", "LlavaOnevisionVideoProcessor"),
     "llava_next_video": ("llava_next_video", "LlavaNextVideoVideoProcessor"),
+    "videomae": ("videomae", "VideoMAEVideoProcessor"),
+    "timesformer": ("videomae", "TimesformerVideoProcessor"),
+    "vivit": ("videomae", "VivitVideoProcessor"),
+    "vjepa2": ("vjepa2", "VJEPA2VideoProcessor"),
+    "internvl": ("internvl", "InternVLVideoProcessor"),
+    "smolvlm": ("smolvlm", "SmolVLMVideoProcessor"),
+    "glm4v": ("glm4v", "Glm4vVideoProcessor"),
 }
 
 _CLASS_NAMES: dict[str, tuple[str, str]] = {

@@ -5,3 +5,4 @@ from .modeling_videomae import (
     VideoMAEModelStandalone,
 )
 from .image_processing_videomae import VideoMAEImageProcessor, VivitImageProcessor
+from .video_processing_videomae import TimesformerVideoProcessor, VideoMAEVideoProcessor, VivitVideoProcessor
