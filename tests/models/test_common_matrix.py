@@ -215,6 +215,17 @@ def _register_patches():
         v_head_dim=8, moe_intermediate_size=32, n_routed_experts=4,
         n_shared_experts=1, num_experts_per_tok=2, first_k_dense_replace=1,
         num_key_value_heads=4, n_group=2, topk_group=1)
+    # v3.2 adds the DSA indexer; keep index_topk below the test seq len so
+    # the sparse path actually masks, and run the MoE from layer 1
+    P["deepseek_v32"] = dict(
+        **{**P["deepseek_v3"], "index_topk": 4, "index_head_dim": 16,
+           "index_n_heads": 2})
+    P["axk1"] = dict(**P["deepseek_v3"])
+    P["mistral4"] = dict(
+        kv_lora_rank=16, q_lora_rank=24, qk_nope_head_dim=8, qk_rope_head_dim=8,
+        v_head_dim=8, moe_intermediate_size=32, n_routed_experts=4,
+        num_experts_per_tok=2, n_group=2, topk_group=1,
+        original_max_position_embeddings=64)
     # jetmoe derives num_attention_heads = kv_heads * top_k and head_dim from
     # kv_channels; the default kv_channels=128 explodes against TINY's hidden
     P["jetmoe"] = dict(kv_channels=8, num_key_value_heads=2,

@@ -243,6 +243,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "smollm3": ("smollm3", "SmolLM3ModelStandalone"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeModelStandalone"),
     "laguna": ("laguna", "LagunaModelStandalone"),
+    "deepseek_v32": ("deepseek_v32", "DeepseekV32ModelStandalone"),
+    "mellum": ("mellum", "MellumModelStandalone"),
+    "mistral4": ("mistral4", "Mistral4ModelStandalone"),
+    "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
     "glm4": ("glm4", "Glm4ModelStandalone"),
@@ -373,6 +377,10 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "smollm3": ("smollm3", "SmolLM3ForCausalLM"),
     "qwen3_moe": ("qwen3_moe", "Qwen3MoeForCausalLM"),
     "laguna": ("laguna", "LagunaForCausalLM"),
+    "deepseek_v32": ("deepseek_v32", "DeepseekV32ForCausalLM"),
+    "mellum": ("mellum", "MellumForCausalLM"),
+    "mistral4": ("mistral4", "Mistral4ForCausalLM"),
+    "axk1": ("axk1", "AXK1ForCausalLM"),
     "qwen3_next": ("qwen3_next", "Qwen3NextForCausalLM"),
     "moshi": ("moshi", "MoshiForCausalLM"),
     "glm": ("glm", "GlmForCausalLM"),

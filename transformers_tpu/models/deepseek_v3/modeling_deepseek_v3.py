@@ -122,6 +122,10 @@ class DeepseekV3Attention(Module):
             k_rot = k_rot4[:, :, 0]
         return q_rot, k_rot
 
+    def scale_q(self, q, attn_args):
+        """Hook: post-rope query scaling (Mistral4 llama-4 attn temperature)."""
+        return q
+
     def expand_kv(self, params, kv_nope, k_rot):
         """Expand cached latents to per-head K/V (reference expand_kv :410).
         kv_nope [B, S, R] -> K [B, S, H, Dk], V [B, S, H, Dv]."""
@@ -151,6 +155,7 @@ class DeepseekV3Attention(Module):
 
         q_rot, k_rot = self.apply_mla_rope(q_rot, k_rot, cos, sin)
         q = jnp.concatenate([q_pass, q_rot], axis=-1)
+        q = self.scale_q(q, attn_args)
 
         if cache is not None:
             # cache the COMPRESSED latents as single-head k/v slots
@@ -272,12 +277,13 @@ class _DeepseekGate(Module):
 
 class DeepseekV3DecoderLayer(LlamaDecoderLayer):
     attention_cls = DeepseekV3Attention
+    moe_cls = None  # subclass hook (A.X-K1 post-MoE norm)
 
     def __init__(self, config, layer_idx, *, dtype, param_dtype):
         super().__init__(config, layer_idx, dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         if layer_idx >= config.first_k_dense_replace:
-            self.mlp = DeepseekV3MoE(config, **kw)
+            self.mlp = (self.moe_cls or DeepseekV3MoE)(config, **kw)
         else:
             self.mlp = DeepseekV3MLP(config, **kw)
 
