@@ -50,6 +50,13 @@ def detect_prequantized(config_qdict: Optional[dict]) -> Optional[str]:
         return "fp8" if method != "gptq" and method != "awq" else method
     if method == "compressed-tensors":
         return "compressed-tensors"
+    if method == "bitsandbytes":
+        return ("bitsandbytes_4bit" if config_qdict.get("load_in_4bit")
+                or config_qdict.get("_load_in_4bit") else "bitsandbytes_8bit")
+    if method == "hqq":
+        return "hqq"
+    if method == "bitnet":
+        return "bitnet"
     return None
 
 
@@ -164,12 +171,121 @@ def dequant_fp8(group: dict[str, np.ndarray], qcfg: dict) -> np.ndarray:
     return w * s.reshape(-1, 1)                                   # per-channel
 
 
+NF4_TABLE = np.asarray([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], np.float32)
+
+
+def dequant_bnb_4bit(group: dict[str, np.ndarray], qcfg: dict) -> np.ndarray:
+    """bitsandbytes 4-bit (nf4/fp4, reference quantizer_bnb_4bit.py:179 +
+    bnb.functional.dequantize_4bit): ``weight`` is the nibble-packed codes
+    [numel/2, 1] uint8 (first value in the HIGH nibble), ``quant_map`` the
+    16-entry code table, ``absmax`` the per-``blocksize`` scales — possibly
+    double-quantized (int8 codes dequantized through ``nested_quant_map`` x
+    ``nested_absmax`` + ``nested_offset``)."""
+    import json
+
+    state_key = next(k for k in group if k.startswith("quant_state"))
+    meta = json.loads(bytes(np.asarray(group[state_key]).tolist()))
+    shape = meta["shape"]
+    blocksize = int(meta.get("blocksize", 64))
+    packed = np.asarray(group["weight"]).reshape(-1)
+    codes = np.empty(packed.size * 2, np.uint8)
+    codes[0::2] = packed >> 4
+    codes[1::2] = packed & 0xF
+    qmap = np.asarray(group.get("quant_map", NF4_TABLE), np.float32)
+    vals = qmap[codes]
+    absmax = np.asarray(group["absmax"])
+    if "nested_absmax" in group:
+        # double quantization: absmax stored as int8 codes over a dynamic map
+        nmap = np.asarray(group["nested_quant_map"], np.float32)
+        nabs = np.asarray(group["nested_absmax"], np.float32)
+        nbs = int(meta.get("nested_blocksize", 256))
+        offset = float(meta.get("nested_offset", 0.0))
+        deq = nmap[np.asarray(absmax, np.uint8).astype(np.int64) & 0xFF]
+        blocks = np.repeat(nabs, nbs)[: deq.size]
+        absmax = deq * blocks + offset
+    absmax = np.asarray(absmax, np.float32)
+    n = int(np.prod(shape))
+    scales = np.repeat(absmax, blocksize)[:n]
+    return (vals[:n] * scales).reshape(shape).astype(np.float32)
+
+
+def dequant_bnb_8bit(group: dict[str, np.ndarray], qcfg: dict) -> np.ndarray:
+    """bitsandbytes LLM.int8: ``weight`` int8 [out, in] + per-row ``SCB``
+    absmax scales; w = int8 * SCB / 127 (reference integrations/
+    bitsandbytes.py:265)."""
+    w = np.asarray(group["weight"], np.float32)
+    scb = np.asarray(group["SCB"], np.float32)
+    return w * scb.reshape(-1, 1) * (1.0 / 127.0)
+
+
+def dequant_hqq(group: dict[str, np.ndarray], qcfg: dict) -> np.ndarray:
+    """HQQ (reference quantizer_hqq.py; hqq.core.quantize.Quantizer):
+    ``W_q`` nibble-packed (4-bit, high nibble first along axis 0) or raw
+    int8, with per-group ``scale``/``zero``; w = (q - zero) * scale over
+    group_size slices along ``axis``."""
+    import json
+
+    meta = group.get("meta")
+    if meta is not None and meta.dtype == np.uint8:
+        meta = json.loads(bytes(np.asarray(meta).tolist()))
+    elif not isinstance(meta, dict):
+        meta = {k: v for k, v in qcfg.items()}
+    wq = np.asarray(group["W_q"])
+    bits = int(meta.get("nbits", 4))
+    shape = meta.get("shape")
+    if bits == 4:
+        # hqq BitPack.pack_4bit_u8: the FIRST half of the rows rides the
+        # high nibble, the second half the low nibble (stacked, not
+        # interleaved)
+        q = np.concatenate([wq >> 4, wq & 0xF], axis=0).astype(np.uint8)
+    else:
+        q = wq.astype(np.int16) if wq.dtype == np.int8 else wq
+    scale = np.asarray(group["scale"], np.float32)
+    zero = np.asarray(group["zero"], np.float32)
+    axis = int(meta.get("axis", 0))
+    gs = meta.get("group_size")
+    q = q.astype(np.float32)
+    if gs:
+        gs = int(gs)
+        # grouped layout: [n_groups*group_size, cols] viewed as groups along
+        # axis 0 (hqq reshapes W to [-1, group_size] when axis=1)
+        if axis == 1:
+            flat = q.reshape(-1, gs)
+            out = (flat - zero.reshape(-1, 1)) * scale.reshape(-1, 1)
+            return out.reshape(shape).astype(np.float32)
+        flat = q.reshape(gs, -1)
+        out = (flat - zero.reshape(1, -1)) * scale.reshape(1, -1)
+        return out.reshape(shape).astype(np.float32)
+    return ((q - zero) * scale).reshape(shape).astype(np.float32)
+
+
+def dequant_bitnet(group: dict[str, np.ndarray], qcfg: dict) -> np.ndarray:
+    """BitNet b1.58 (reference integrations/bitnet.py unpack_weights):
+    ternary {-1, 0, +1} values stored +1 ({0,1,2}) four per uint8 along
+    dim 0, dequantized by the per-tensor ``weight_scale``."""
+    packed = np.asarray(group["weight"], np.uint8)
+    scale = float(np.asarray(group["weight_scale"]).reshape(()))
+    rows = packed.shape[0]
+    out = np.empty((rows * 4,) + packed.shape[1:], np.float32)
+    for i in range(4):
+        out[i * rows:(i + 1) * rows] = ((packed >> (2 * i)) & 0b11).astype(np.float32) - 1.0
+    return out / scale
+
+
 _GROUP_SUFFIXES = {
     "gptq": ("qweight", "qzeros", "scales", "g_idx"),
     "awq": ("qweight", "qzeros", "scales"),
     "compressed-tensors": ("weight_packed", "weight_scale", "weight_zero_point",
                            "weight_shape", "weight_global_scale"),
     "fp8": ("weight_scale", "weight_scale_inv"),
+    "bitsandbytes_8bit": ("SCB", "weight_format"),
+    "hqq": ("W_q", "scale", "zero", "meta"),
+    "bitnet": ("weight_scale",),
 }
 
 _DEQUANT = {
@@ -179,18 +295,51 @@ _DEQUANT = {
 }
 
 
+def _dequantize_bnb4(tensors, qdict):
+    """bnb 4-bit shards nest the aux tensors UNDER the weight key
+    (``...weight.absmax``, ``...weight.quant_state.bitsandbytes__nf4``)."""
+    out = {}
+    groups = {}
+    weight_keys = {k.rsplit(".quant_state", 1)[0] for k in tensors
+                   if ".quant_state." in k}
+    for key, val in tensors.items():
+        owner = next((w for w in weight_keys
+                      if key == w or key.startswith(w + ".")), None)
+        if owner is None:
+            out[key] = val
+        elif key == owner:
+            groups.setdefault(owner, {})["weight"] = val
+        else:
+            groups.setdefault(owner, {})[key[len(owner) + 1:]] = val
+    for owner, group in groups.items():
+        out[owner] = dequant_bnb_4bit(group, qdict)
+    return out
+
+
 def dequantize_state_dict(tensors: dict[str, np.ndarray], qdict: dict) -> dict[str, np.ndarray]:
     """Convert a pre-quantized checkpoint state dict into plain torch-layout
     float weights. Non-quantized tensors pass through unchanged."""
     method = detect_prequantized(qdict) or qdict.get("quant_method")
+    if method == "bitsandbytes_4bit":
+        return _dequantize_bnb4(tensors, qdict)
     suffixes = _GROUP_SUFFIXES[method]
     out: dict[str, np.ndarray] = {}
     groups: dict[str, dict[str, np.ndarray]] = {}
+    scb_owners = ({k.rpartition(".")[0] for k in tensors
+                   if k.endswith(".SCB")}
+                  if method == "bitsandbytes_8bit" else set())
+    scale_owners = ({k.rpartition(".")[0] for k in tensors
+                     if k.endswith(".weight_scale")}
+                    if method == "bitnet" else set())
     for key, val in tensors.items():
         prefix, _, leaf = key.rpartition(".")
         if leaf in suffixes:
             groups.setdefault(prefix, {})[leaf] = val
         elif method == "fp8" and leaf == "weight" and str(val.dtype).startswith("float8"):
+            groups.setdefault(prefix, {})["weight"] = val
+        elif leaf == "weight" and prefix in scb_owners:
+            groups.setdefault(prefix, {})["weight"] = val
+        elif leaf == "weight" and prefix in scale_owners and val.dtype == np.uint8:
             groups.setdefault(prefix, {})["weight"] = val
         else:
             out[key] = val
@@ -206,6 +355,12 @@ def dequantize_state_dict(tensors: dict[str, np.ndarray], qdict: dict) -> dict[s
     for prefix, group in groups.items():
         if method == "fp8":
             out[prefix + ".weight"] = dequant_fp8(group, qcfg)
+        elif method == "bitsandbytes_8bit" and "SCB" in group:
+            out[prefix + ".weight"] = dequant_bnb_8bit(group, qcfg)
+        elif method == "hqq" and "W_q" in group:
+            out[prefix + ".weight"] = dequant_hqq(group, qcfg)
+        elif method == "bitnet" and "weight_scale" in group:
+            out[prefix + ".weight"] = dequant_bitnet(group, qcfg)
         elif "qweight" in group or "weight_packed" in group:
             out[prefix + ".weight"] = _DEQUANT[method](group, qcfg)
         else:
