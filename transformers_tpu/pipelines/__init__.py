@@ -40,12 +40,17 @@ from .tasks import (
     MaskGenerationPipeline,
     TokenClassificationPipeline,
     ZeroShotImageClassificationPipeline,
+    AnyToAnyPipeline,
+    TableQuestionAnsweringPipeline,
 )
 
 logger = logging.get_logger(__name__)
 
 # task -> (pipeline class, auto-model attr, needs)
 SUPPORTED_TASKS = {
+    "table-question-answering": (TableQuestionAnsweringPipeline,
+                                 "AutoModelForTableQuestionAnswering", ("tokenizer",)),
+    "any-to-any": (AnyToAnyPipeline, "AutoModelForCausalLM", ("processor",)),
     "text-generation": (TextGenerationPipeline, "AutoModelForCausalLM", ("tokenizer",)),
     "text-classification": (TextClassificationPipeline, "AutoModelForSequenceClassification", ("tokenizer",)),
     "token-classification": (TokenClassificationPipeline, "AutoModelForTokenClassification", ("tokenizer",)),

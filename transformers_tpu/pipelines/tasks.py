@@ -971,3 +971,106 @@ class ZeroShotAudioClassificationPipeline(Pipeline):
         results = [{"score": float(s), "label": l}
                    for s, l in zip(probs, model_outputs["candidate_labels"])]
         return sorted(results, key=lambda r: -r["score"])
+
+
+class TableQuestionAnsweringPipeline(Pipeline):
+    """reference pipelines/table_question_answering.py: TAPAS cell selection
+    + aggregation. ``table`` is a dict of column -> list of cell strings (or
+    a pandas DataFrame); answers are the selected cells, prefixed with the
+    argmax aggregator when the head predicts one."""
+
+    AGGREGATORS = ["NONE", "SUM", "AVERAGE", "COUNT"]
+
+    def __call__(self, table=None, query=None, **kwargs):
+        if isinstance(table, dict) and "table" in table:
+            return super().__call__(table, **kwargs)
+        return super().__call__({"table": table, "query": query}, **kwargs)
+
+    def preprocess(self, inputs, **kwargs):
+        from ..models.tapas.tokenization_tapas import TapasTableEncoder
+
+        table = inputs["table"]
+        if hasattr(table, "to_dict"):  # pandas
+            table = {c: [str(v) for v in table[c].tolist()] for c in table.columns}
+        enc = TapasTableEncoder(self.tokenizer).encode(table, inputs["query"])
+        return {"encoding": enc, "table": table}
+
+    def _forward(self, model_inputs, **kwargs):
+        import jax.numpy as jnp
+
+        enc = model_inputs["encoding"]
+        out = self.model(self.model.params,
+                         input_ids=jnp.asarray(enc["input_ids"]),
+                         attention_mask=jnp.asarray(enc["attention_mask"]),
+                         token_type_ids=jnp.asarray(enc["token_type_ids"]))
+        return {"logits": np.asarray(out.logits),
+                "agg": (None if getattr(out, "logits_aggregation", None) is None
+                        else np.asarray(out.logits_aggregation)),
+                "encoding": enc, "table": model_inputs["table"]}
+
+    def postprocess(self, model_outputs, **kwargs):
+        enc = model_outputs["encoding"]
+        table = model_outputs["table"]
+        cols = list(table.keys())
+        logits = np.clip(model_outputs["logits"][0], -30.0, 30.0)
+        probs = 1.0 / (1.0 + np.exp(-logits))
+        tt = enc["token_type_ids"][0]
+        mask = enc["attention_mask"][0]
+        # mean prob per (row, col) cell over its subword tokens; > 0.5 selects
+        sums: dict = {}
+        counts: dict = {}
+        for i in range(len(mask)):
+            if not mask[i]:
+                continue
+            seg, col, row = int(tt[i][0]), int(tt[i][1]), int(tt[i][2])
+            if seg == 1 and col > 0 and row > 0:
+                key = (row, col)
+                sums[key] = sums.get(key, 0.0) + float(probs[i])
+                counts[key] = counts.get(key, 0) + 1
+        coords = sorted(k for k in sums if sums[k] / counts[k] > 0.5)
+        cells = [str(table[cols[c - 1]][r - 1]) for r, c in coords]
+        agg = "NONE"
+        if model_outputs["agg"] is not None:
+            agg = self.AGGREGATORS[int(model_outputs["agg"][0].argmax())]
+        answer = ", ".join(cells)
+        if agg != "NONE":
+            answer = f"{agg} > {answer}"
+        return {"answer": answer if cells else "",
+                "coordinates": [(r - 1, c - 1) for r, c in coords],
+                "cells": cells, "aggregator": agg}
+
+
+class AnyToAnyPipeline(Pipeline):
+    """reference pipelines/any_to_any.py: omni models — any mix of
+    text/images/audio/videos in, text (or image tokens) out, routed through
+    the family's AutoProcessor."""
+
+    def __call__(self, text=None, images=None, audio=None, videos=None, **kwargs):
+        if isinstance(text, dict):
+            return super().__call__(text, **kwargs)
+        return super().__call__({"text": text, "images": images,
+                                 "audio": audio, "videos": videos}, **kwargs)
+
+    def preprocess(self, inputs, **kwargs):
+        feed = {k: v for k, v in inputs.items() if v is not None}
+        return dict(self.processor(return_tensors="jax", **feed))
+
+    def _forward(self, model_inputs, generation_mode="text", **generate_kwargs):
+        generate_kwargs.setdefault("max_new_tokens", 32)
+        ids = model_inputs.pop("input_ids")
+        model_inputs.pop("attention_mask", None)
+        extras = {k: v for k, v in model_inputs.items()
+                  if k in getattr(self.model, "_prefill_input_names", ())}
+        out = self.model.generate(self.model.params, input_ids=ids,
+                                  **extras, **generate_kwargs)
+        return {"sequences": np.asarray(out), "prompt_len": ids.shape[1],
+                "generation_mode": generation_mode}
+
+    def postprocess(self, model_outputs, **kwargs):
+        seq = model_outputs["sequences"][0]
+        gen = [int(t) for t in seq[model_outputs["prompt_len"]:]]
+        if model_outputs.get("generation_mode") == "image" and hasattr(
+                self.model, "decode_image_tokens"):
+            return [{"generated_tokens": gen}]
+        return [{"generated_text": self.processor.tokenizer.decode(
+            gen, skip_special_tokens=True)}]
