@@ -221,6 +221,11 @@ def _register_patches():
         **{**P["deepseek_v3"], "index_topk": 4, "index_head_dim": 16,
            "index_n_heads": 2})
     P["axk1"] = dict(**P["deepseek_v3"])
+    # SR operates at patch_size 1 (seq == pixels); TINY's patch 8 breaks the
+    # constant-resolution RSTB reshape
+    P["swin2sr"] = dict(image_size=16, patch_size=1, embed_dim=16,
+                        depths=[2, 2], num_heads=[2, 2], window_size=4,
+                        upscale=2)
     P["mistral4"] = dict(
         kv_lora_rank=16, q_lora_rank=24, qk_nope_head_dim=8, qk_rope_head_dim=8,
         v_head_dim=8, moe_intermediate_size=32, n_routed_experts=4,

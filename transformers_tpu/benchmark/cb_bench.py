@@ -49,13 +49,20 @@ def build_8b(batch_hint: int = 16):
         head_dim=128, max_position_embeddings=1024, tie_word_embeddings=False,
     )
     model = LlamaForCausalLM(config, dtype=jnp.bfloat16)
-    # Params at rest in the DECODE-preferred layouts: the multi-step decode
-    # program (decode_multi while_loop, M=8 dots) wants transposed q/o
-    # weights; default-layout params cost ~640 MB of program-lifetime
-    # layout-copy HLO temps — compile-OOM next to the 14.96 GiB tree
-    # (same failure mode as BENCH_r04's bf16 leg).
-    formats = model.decode_param_formats(batch_hint // 2, 256)
-    model.params = model.materialize_zero_params(formats)
+    # SERVING config: int8 weight-only params (the bench headline's own
+    # serving configuration). The bf16 14.96 GiB tree cannot host BOTH the
+    # chunked-prefill and the multi-step decode programs — whichever
+    # compiles second wants transposed copies of the q/o weights (~640 MB of
+    # program-lifetime HLO temps) and statically OOMs (r4 bf16 leg failure
+    # mode; observed here as a remote-compile spin). The 8.05 GB int8 tree
+    # leaves headroom for every layout draw, and CB throughput is compared
+    # against the int8 static-batch rate at the same geometry.
+    import sys
+
+    sys.path.insert(0, os.path.dirname(_cache_dir))
+    import bench as _bench
+
+    model.params = _bench.int8_params(model)
     return model
 
 
@@ -117,7 +124,7 @@ def main(n_requests: int = 16, max_new: int = 64):
     dispatch = (time.perf_counter() - t0) / reps
 
     print(json.dumps({
-        "metric": "llama3_8b_bf16_cb_tokens_per_sec",
+        "metric": "llama3_8b_int8_cb_tokens_per_sec",
         "value": round(generated / wall, 2),
         "unit": "tokens/s",
         "n_requests": n_requests,

@@ -97,25 +97,38 @@ GENERATE_CONFIG_NAME = "generate_export_config.json"
 
 def export_generate(model, params=None, *, batch_size: int = 1,
                     prompt_bucket: int = 64, max_new: int = 32,
-                    eos_token_id=None, pad_token_id: int = 0):
-    """Export greedy generate as ONE program. The returned Exported takes
+                    eos_token_id=None, pad_token_id: int = 0,
+                    do_sample: bool = False, temperature: float = 1.0,
+                    top_k: Optional[int] = None):
+    """Export generate as ONE program. The returned Exported takes
     ``(params_pytree, prompt_ids [B, bucket], prompt_mask [B, bucket],
     key, max_new_rt scalar)`` and returns ids [B, bucket + max_new] —
     weights ride as arguments so the artifact stays small and the packaged
-    safetensors can be swapped (fine-tunes reuse the program)."""
+    safetensors can be swapped (fine-tunes reuse the program). With
+    ``do_sample`` the prng key input drives in-program categorical sampling
+    (temperature / top-k folded in as logits processors)."""
     from jax import export as jax_export
 
-    from ..generation.logits_process import LogitsProcessorList
+    from ..generation.logits_process import (
+        LogitsProcessorList,
+        TemperatureLogitsWarper,
+        TopKLogitsWarper,
+    )
 
     params = params if params is not None else model.params
     eos = eos_token_id if eos_token_id is not None else getattr(
         model.config, "eos_token_id", None)
     eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else (
         (int(eos),) if eos is not None else ())
+    procs = []
+    if do_sample and temperature not in (None, 1.0):
+        procs.append(TemperatureLogitsWarper(float(temperature)))
+    if do_sample and top_k:
+        procs.append(TopKLogitsWarper(int(top_k)))
     fn = model._build_generate_fn(
         bucket=prompt_bucket, total_len=prompt_bucket + max_new,
-        max_new=max_new, do_sample=False, eos_ids=eos_ids,
-        pad_id=int(pad_token_id), processors=LogitsProcessorList([]),
+        max_new=max_new, do_sample=do_sample, eos_ids=eos_ids,
+        pad_id=int(pad_token_id), processors=LogitsProcessorList(procs),
         cache_dtype=model.dtype)
     params_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
@@ -128,37 +141,75 @@ def export_generate(model, params=None, *, batch_size: int = 1,
 
 def save_generate_artifact(model, save_directory: str, params=None, *,
                            batch_size: int = 1, prompt_bucket: int = 64,
-                           max_new: int = 32, eos_token_id=None,
-                           pad_token_id: int = 0) -> str:
-    """Serialize the generate program + weights + manifest. The artifact is
-    runnable WITHOUT this package: ``jax.export.deserialize`` the program,
-    rebuild the params pytree from the flat dot-keyed safetensors, call."""
+                           prompt_buckets=None, max_new: int = 32,
+                           eos_token_id=None, pad_token_id: int = 0,
+                           samplers=("greedy",), temperature: float = 1.0,
+                           top_k: Optional[int] = None,
+                           quantize: Optional[str] = None) -> str:
+    """Serialize generate program(s) + weights + manifest. The artifact is
+    runnable WITHOUT this package: ``jax.export.deserialize`` a program,
+    rebuild the params pytree from the flat dot-keyed safetensors, call
+    (see examples/run_exported_generate.py, a pure-JAX consumer).
+
+    v2 surface (r4 verdict task 7):
+    - ``prompt_buckets``: several prompt lengths exported into ONE artifact
+      (``generate_b{bucket}_{sampler}.stablehlo`` each) with a program table
+      in the manifest — the consumer picks the smallest bucket that fits.
+    - ``samplers``: any of "greedy" / "sample"; the sampled program draws
+      from the prng-key input in-program (temperature/top_k baked in).
+    - ``quantize="int8"``: weights stored AND consumed int8 weight-only —
+      the program is exported over the quantized tree (codes + scales), so
+      the artifact is ~half the bytes and runs the quantized_dot path.
+    """
     from safetensors.numpy import save_file
 
     from ..utils.generic import flatten_dict
 
     os.makedirs(save_directory, exist_ok=True)
     params = params if params is not None else model.params
-    exported = export_generate(
-        model, params, batch_size=batch_size, prompt_bucket=prompt_bucket,
-        max_new=max_new, eos_token_id=eos_token_id, pad_token_id=pad_token_id)
-    path = os.path.join(save_directory, GENERATE_EXPORT_NAME)
-    with open(path, "wb") as f:
-        f.write(exported.serialize())
+    if quantize == "int8":
+        from ..quantizers import Int8WeightOnlyConfig, quantize_params
+
+        # quantize_params rewrites the tree IN PLACE — rebuild the dict
+        # spine first so the caller's (often model.params) tree is untouched
+        params = quantize_params(model, jax.tree.map(lambda x: x, params),
+                                 Int8WeightOnlyConfig())
+    elif quantize:
+        raise ValueError(f"Unsupported quantize={quantize!r} (int8 only)")
+    buckets = list(prompt_buckets or [prompt_bucket])
+    programs = {}
+    for bucket in buckets:
+        for sampler in samplers:
+            exported = export_generate(
+                model, params, batch_size=batch_size, prompt_bucket=bucket,
+                max_new=max_new, eos_token_id=eos_token_id,
+                pad_token_id=pad_token_id, do_sample=sampler == "sample",
+                temperature=temperature, top_k=top_k)
+            name = (GENERATE_EXPORT_NAME if len(buckets) == 1
+                    and samplers == ("greedy",)
+                    else f"generate_b{bucket}_{sampler}.stablehlo")
+            with open(os.path.join(save_directory, name), "wb") as f:
+                f.write(exported.serialize())
+            programs[name] = {"prompt_bucket": bucket, "sampler": sampler}
     # weights in OUR runtime layouts, flat dot-keys (no torch-layout save
-    # transforms — this file feeds the exported program, not the hub)
+    # transforms — this file feeds the exported programs, not the hub)
     flat = {k: np.asarray(jax.device_get(v))
             for k, v in flatten_dict(params).items()}
     save_file(flat, os.path.join(save_directory, GENERATE_WEIGHTS_NAME))
     eos = eos_token_id if eos_token_id is not None else getattr(
         model.config, "eos_token_id", None)
+    first = next(iter(programs))
     manifest = {
         "format": "stablehlo-jax-export-generate",
         "batch_size": batch_size,
-        "prompt_bucket": prompt_bucket,
+        "prompt_bucket": programs[first]["prompt_bucket"],
         "max_new": max_new,
         "pad_token_id": int(pad_token_id),
         "eos_token_id": eos,
+        "quantize": quantize,
+        "temperature": temperature,
+        "top_k": top_k,
+        "programs": programs,
         "model_type": getattr(model.config, "model_type", None),
         "architecture": type(model).__name__,
         "calling_convention": ["params_nested_dict", "prompt_ids[B,bucket] i32",
@@ -168,5 +219,5 @@ def save_generate_artifact(model, save_directory: str, params=None, *,
     with open(os.path.join(save_directory, GENERATE_CONFIG_NAME), "w",
               encoding="utf-8") as f:
         json.dump(manifest, f, indent=2)
-    logger.info(f"Exported generate program to {path}")
-    return path
+    logger.info(f"Exported {len(programs)} generate program(s) to {save_directory}")
+    return os.path.join(save_directory, first)

@@ -109,6 +109,16 @@ class ImageClassifierOutput(ModelOutput):
 
 
 @dataclass
+class ImageSuperResolutionOutput(ModelOutput):
+    """reference modeling_outputs.py ImageSuperResolutionOutput."""
+
+    loss: Optional[jnp.ndarray] = None
+    reconstruction: Optional[jnp.ndarray] = None
+    hidden_states: Optional[tuple] = None
+    attentions: Optional[tuple] = None
+
+
+@dataclass
 class Seq2SeqModelOutput(ModelOutput):
     last_hidden_state: Optional[Array] = None
     past_key_values: Optional[Any] = None

@@ -246,6 +246,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "deepseek_v32": ("deepseek_v32", "DeepseekV32ModelStandalone"),
     "mellum": ("mellum", "MellumModelStandalone"),
     "mistral4": ("mistral4", "Mistral4ModelStandalone"),
+    "swin2sr": ("swin2sr", "Swin2SRForImageSuperResolution"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),

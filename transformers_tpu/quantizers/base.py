@@ -78,6 +78,8 @@ def quantize_params(model, params: dict, config: QuantizationConfig) -> dict:
     flat = flatten_dict(params)
     n = 0
     for key, value in list(flat.items()):
+        if key + "_scale" in flat:
+            continue  # already quantized (re-quantizing int8 codes = garbage)
         if not quantizer.should_quantize(key, value):
             continue
         q, scale = quantizer.quantize_tensor(key, value)
