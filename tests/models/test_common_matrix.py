@@ -223,6 +223,13 @@ def _register_patches():
     P["axk1"] = dict(**P["deepseek_v3"])
     # SR operates at patch_size 1 (seq == pixels); TINY's patch 8 breaks the
     # constant-resolution RSTB reshape
+    P["t5gemma"] = dict(
+        vocab_size=99,
+        encoder=dict(vocab_size=99, hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=8,
+                     layer_types=["full_attention", "sliding_attention"],
+                     sliding_window=8, query_pre_attn_scalar=8))
     P["swin2sr"] = dict(image_size=16, patch_size=1, embed_dim=16,
                         depths=[2, 2], num_heads=[2, 2], window_size=4,
                         upscale=2)

@@ -247,6 +247,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mellum": ("mellum", "MellumModelStandalone"),
     "mistral4": ("mistral4", "Mistral4ModelStandalone"),
     "swin2sr": ("swin2sr", "Swin2SRForImageSuperResolution"),
+    "t5gemma": ("t5gemma", "T5GemmaForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
@@ -618,6 +619,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "longt5": ("longt5", "LongT5ForConditionalGeneration"),
     "bigbird_pegasus": ("bigbird_pegasus", "BigBirdPegasusForConditionalGeneration"),
     "t5": ("t5", "T5ForConditionalGeneration"),
+    "t5gemma": ("t5gemma", "T5GemmaForConditionalGeneration"),
     "mt5": ("mt5", "MT5ForConditionalGeneration"),
     "umt5": ("umt5", "UMT5ForConditionalGeneration"),
     "switch_transformers": ("switch_transformers", "SwitchTransformersForConditionalGeneration"),
