@@ -248,6 +248,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mistral4": ("mistral4", "Mistral4ModelStandalone"),
     "swin2sr": ("swin2sr", "Swin2SRForImageSuperResolution"),
     "t5gemma": ("t5gemma", "T5GemmaForConditionalGeneration"),
+    "video_llava": ("video_llava", "VideoLlavaForConditionalGeneration"),
+    "instructblipvideo": ("instructblipvideo", "InstructBlipVideoForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
