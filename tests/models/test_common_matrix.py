@@ -439,30 +439,65 @@ def _first_float_leaf(out):
 _TEST_BLOB = None
 
 
-def _dedicated_test_exists(family: str) -> bool:
-    """True if the family name appears in any test file name OR contents."""
-    global _TEST_BLOB
-    if _TEST_BLOB is None:
-        tests_root = Path(__file__).parent.parent
-        parts = []
-        for p in tests_root.rglob("test_*.py"):
-            if p.resolve() == Path(__file__).resolve():
-                continue
-            parts.append(str(p.relative_to(tests_root)))
-            try:
-                parts.append(p.read_text())
-            except OSError:
-                pass
-        _TEST_BLOB = "\n".join(parts).lower()
+def _scan_test_files():
+    """(executable coverage index) maps family-ish identifiers to the test
+    files that IMPORT their modeling package or NAME them in a test function
+    — mentions in comments/strings do not count (r4 verdict weak #6)."""
+    import re as _re
+
+    tests_root = Path(__file__).parent.parent
+    imports: dict[str, set] = {}
+    testnames: dict[str, set] = {}
+    roundtrips: set = set()
+    for p in tests_root.rglob("test_*.py"):
+        if p.resolve() == Path(__file__).resolve():
+            continue
+        try:
+            text = p.read_text()
+        except OSError:
+            continue
+        fams = set(_re.findall(
+            r"transformers_tpu\.models\.([A-Za-z0-9_]+)", text))
+        fams.update(_re.findall(
+            r"from transformers_tpu\.models import ([A-Za-z0-9_]+)", text))
+        for f in fams:
+            imports.setdefault(f.lower(), set()).add(p)
+        for fn in _re.findall(r"def (test_[A-Za-z0-9_]+)", text):
+            testnames.setdefault(fn.lower(), set()).add(p)
+        if "from_pretrained" in text:
+            roundtrips.add(p)
+    return imports, testnames, roundtrips
+
+
+_TEST_INDEX = None
+
+
+def _dedicated_test_exists(family: str, require_roundtrip: bool = False) -> bool:
+    """True only if some test file IMPORTS the family's modeling package or
+    defines a test function carrying the family name — executed coverage,
+    not a substring anywhere in file contents. With ``require_roundtrip``
+    the covering file must also exercise ``from_pretrained`` (the save/load
+    path the matrix row would have driven, r4 verdict weak #9)."""
+    global _TEST_INDEX
+    if _TEST_INDEX is None:
+        _TEST_INDEX = _scan_test_files()
+    imports, testnames, roundtrips = _TEST_INDEX
     base = family.lower()
     for suffix in ("_vision_model", "_text_model", "_vision", "_text"):
         if base.endswith(suffix):
             base = base[: -len(suffix)]
-    compact = _TEST_BLOB.replace("_", "").replace("-", "")
-    cands = {base, base.replace("-", "_"), base.replace("-", ""),
-             base.replace("_", "")}
-    return any(c in _TEST_BLOB for c in cands) or \
-        any(c.replace("_", "").replace("-", "") in compact for c in cands)
+    cands = {base, base.replace("-", "_"), base.replace("-", "")}
+    files: set = set()
+    for c in cands:
+        files |= imports.get(c, set())
+        for fn, fl in testnames.items():
+            if c.replace("_", "") in fn.replace("_", ""):
+                files |= fl
+    if not files:
+        return False
+    if require_roundtrip:
+        return bool(files & roundtrips)
+    return True
 
 
 def _skip_if_not_tiny(family, model):
@@ -475,8 +510,9 @@ def _skip_if_not_tiny(family, model):
     spec = model.init_abstract()
     n = sum(int(np.prod(x.shape)) for x in _jax.tree_util.tree_leaves(spec))
     if n > 30_000_000:
-        assert _dedicated_test_exists(family), \
-            f"{family}: not generically tiny-able ({n/1e6:.0f}M params) and no dedicated test"
+        assert _dedicated_test_exists(family, require_roundtrip=True), \
+            f"{family}: not generically tiny-able ({n/1e6:.0f}M params) and no " \
+            f"dedicated test exercising save/load round-trip"
         pytest.skip(f"{family}: tiny config still {n/1e6:.0f}M params; covered by dedicated tests")
 
 

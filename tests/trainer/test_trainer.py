@@ -156,3 +156,49 @@ def test_jit_checkpoint_on_preemption(tmp_path):
     # stopped early and wrote a checkpoint at the preemption step
     assert trainer.state.global_step == 2
     assert (Path(tmp_path) / "checkpoint-2").exists()
+
+
+def test_distributed_eval_matches_single_device(tmp_path):
+    """dp x fsdp eval (r4 verdict task 8): evaluate() under a 2x2x2 mesh
+    gathers per-shard metrics into the same numbers a replicated eval
+    produces, and compute_metrics sees the FULL gathered logits/labels."""
+    model = tiny_model()
+    seen = {}
+
+    def compute_metrics(pack):
+        logits, labels = pack
+        seen["n"] = logits.shape[0]
+        return {"mean_logit": float(np.mean(logits))}
+
+    def make(parallelism):
+        args = TrainingArguments(
+            output_dir=str(tmp_path / ("mesh" if parallelism else "rep")),
+            per_device_eval_batch_size=1, max_steps=1, save_strategy="no",
+            logging_steps=1, parallelism_config=parallelism)
+        return Trainer(model, args, train_dataset=lm_dataset(8),
+                       eval_dataset=lm_dataset(16, seed=5),
+                       compute_metrics=compute_metrics)
+
+    base = make(None).evaluate()
+    assert seen["n"] == 16
+    sharded = make(ParallelismConfig(dp_size=2, fsdp_size=2, tp_size=2)).evaluate()
+    assert seen["n"] == 16  # gather-object semantics: all rows surface
+    np.testing.assert_allclose(sharded["eval_loss"], base["eval_loss"], atol=1e-4)
+    np.testing.assert_allclose(sharded["eval_mean_logit"], base["eval_mean_logit"],
+                               atol=1e-4)
+
+
+def test_training_args_surface_completion():
+    import dataclasses
+
+    from transformers_tpu.training_args import TrainingArguments
+
+    assert len(dataclasses.fields(TrainingArguments)) >= 120
+    # rejected torch-runtime knob
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TrainingArguments(deepspeed="ds.json")
+    # torch-style fsdp flag hints the mesh axis
+    a = TrainingArguments(fsdp="full_shard")
+    assert a.parallelism_config is not None and a.parallelism_config.fsdp_size > 1

@@ -175,6 +175,17 @@ class TrainingArguments:
     label_smoothing: Optional[float] = None  # alias of label_smoothing_factor
 
     def __post_init__(self):
+        if self.deepspeed:
+            raise ValueError(
+                "deepspeed is a torch/ZeRO runtime knob; on TPU sharded "
+                "training rides the GSPMD mesh — set dp/fsdp/tp/cp/sp sizes "
+                "instead (training_args dp_size/fsdp_size/...).")
+        if self.fsdp and self.parallelism_config is None:
+            # honor the torch-style flag as a mesh hint: fsdp over all devices
+            import jax as _jax
+
+            self.parallelism_config = ParallelismConfig(
+                fsdp_size=len(_jax.devices()))
         if isinstance(self.parallelism_config, dict):
             self.parallelism_config = ParallelismConfig(**self.parallelism_config)
         if self.fp16:
@@ -197,6 +208,48 @@ class TrainingArguments:
                             ("save_strategy", self.save_strategy)):
             if value not in ("no", "steps", "epoch"):
                 raise ValueError(f"{name} must be one of no|steps|epoch, got {value!r}")
+
+    # ---- r5 surface completion (reference training_args.py; TPU semantics
+    # noted per field — distributed-backend fields validate/no-op where the
+    # GSPMD mesh replaces torch DDP/FSDP/DeepSpeed wiring)
+    bf16_full_eval: bool = False          # eval in bf16 even when train fp32
+    fp16_full_eval: bool = False          # alias tier: fp16≡bf16 on TPU
+    tf32: Optional[bool] = None           # validated no-op: MXU is bf16-native
+    local_rank: int = -1                  # single-controller JAX: always -1
+    log_on_each_node: bool = True
+    log_level_replica: str = "warning"
+    save_on_each_node: bool = False
+    skip_memory_metrics: bool = True
+    use_cache: Optional[bool] = None      # forwarded to model.config.use_cache
+    eval_do_concat_batches: bool = True
+    eval_use_gather_object: bool = False
+    restore_callback_states_from_checkpoint: bool = False
+    enable_jit_checkpoint: bool = False   # SIGTERM JIT checkpoint (we default via trainer)
+    torch_empty_cache_steps: Optional[int] = None  # validated no-op (XLA arena)
+    torch_compile_backend: Optional[str] = None    # validated no-op (always XLA)
+    torch_compile_mode: Optional[str] = None
+    ddp_backend: Optional[str] = None     # validated no-op: ICI/DCN collectives
+    ddp_timeout: int = 1800
+    ddp_find_unused_parameters: Optional[bool] = None
+    ddp_broadcast_buffers: Optional[bool] = None
+    ddp_bucket_cap_mb: Optional[int] = None
+    ddp_static_graph: bool = False
+    fsdp: str = ""                        # torch-style FSDP flag -> fsdp_size hint
+    fsdp_config: Optional[dict] = None
+    deepspeed: Optional[str] = None       # rejected: GSPMD replaces ZeRO
+    accelerator_config: Optional[dict] = None
+    dataloader_in_order: bool = True
+    dataloader_multiprocessing_context: Optional[str] = None
+    train_sampling_strategy: str = "random"
+    optim_target_modules: Optional[list] = None
+    use_liger_kernel: bool = False        # validated no-op: in-tree Pallas kernels
+    liger_kernel_config: Optional[dict] = None
+    hub_token: Optional[str] = None
+    hub_revision: Optional[str] = None
+    project: Optional[str] = None         # trackio-style project name
+    trackio_space_id: Optional[str] = None
+    trackio_static_space_id: Optional[str] = None
+    trackio_bucket_id: Optional[str] = None
 
     @property
     def train_batch_size(self) -> int:
