@@ -66,7 +66,18 @@ def load_image(image) -> np.ndarray:
             return arr.transpose(2, 0, 1)
     except ImportError:
         pass
+    if isinstance(image, (bytes, bytearray)):
+        from .image_codecs import decode_image
+
+        return np.asarray(decode_image(bytes(image))).transpose(2, 0, 1)
     if isinstance(image, str):
+        from .image_codecs import decode_image_file, native_codecs_available
+
+        if native_codecs_available():
+            try:
+                return decode_image_file(image).transpose(2, 0, 1)
+            except Exception:  # noqa: BLE001 — exotic containers -> PIL
+                pass
         from PIL import Image
 
         with Image.open(image) as im:

@@ -40,6 +40,12 @@ def _build_library() -> Optional[str]:
     if os.path.exists(out):
         return out
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", out, *sources]
+    # host image codecs (imgcodec.cpp): link the system libjpeg/libpng when
+    # present; the source self-disables via __has_include otherwise
+    for hdr, lib in (("/usr/include/jpeglib.h", "-ljpeg"),
+                     ("/usr/include/png.h", "-lpng")):
+        if os.path.exists(hdr):
+            cmd.append(lib)
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
     except (OSError, subprocess.SubprocessError) as exc:
@@ -66,6 +72,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ttpu_bpe_encode.restype = ctypes.c_int32
     lib.ttpu_bpe_encode.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
                                     ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    for name in ("ttpu_decode_jpeg", "ttpu_decode_png"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [u8p, ctypes.c_int64, u8p, i32p, i32p]
+    lib.ttpu_img_has_jpeg.restype = ctypes.c_int32
+    lib.ttpu_img_has_png.restype = ctypes.c_int32
     _LIB = lib
     return _LIB
 
