@@ -249,6 +249,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "swin2sr": ("swin2sr", "Swin2SRForImageSuperResolution"),
     "t5gemma": ("t5gemma", "T5GemmaForConditionalGeneration"),
     "video_llava": ("video_llava", "VideoLlavaForConditionalGeneration"),
+    "sam_hq": ("sam_hq", "SamHQModel"),
     "instructblipvideo": ("instructblipvideo", "InstructBlipVideoForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
