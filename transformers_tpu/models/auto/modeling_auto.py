@@ -250,6 +250,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "t5gemma": ("t5gemma", "T5GemmaForConditionalGeneration"),
     "video_llava": ("video_llava", "VideoLlavaForConditionalGeneration"),
     "sam_hq": ("sam_hq", "SamHQModel"),
+    "grounding-dino": ("grounding_dino", "GroundingDinoForObjectDetection"),
     "instructblipvideo": ("instructblipvideo", "InstructBlipVideoForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),

@@ -181,11 +181,15 @@ class BertModel(Module):
 
     def __call__(self, params, input_ids=None, attention_mask=None, token_type_ids=None,
                  position_ids=None, inputs_embeds=None, output_hidden_states=False,
-                 output_attentions=False) -> BaseModelOutputWithPooling:
+                 output_attentions=False, attention_bias=None) -> BaseModelOutputWithPooling:
         hidden = self.embeddings(params["embeddings"], input_ids, token_type_ids, position_ids, inputs_embeds)
         b, s, _ = hidden.shape
         kv_valid = attention_mask if attention_mask is not None else jnp.ones((b, s), jnp.int32)
         attn_args = {"kv_valid": kv_valid, "is_causal": False}
+        if attention_bias is not None:
+            # full [B, 1, S, S] additive mask (Grounding-DINO's per-phrase
+            # block attention over the caption)
+            attn_args = {"bias": attention_bias, "is_causal": False}
         probs_sink = [] if output_attentions else None
         if output_attentions:
             attn_args["probs_sink"] = probs_sink
