@@ -99,7 +99,7 @@ PATCHES: dict[str, dict] = {
 
 # Families whose first output leaf legitimately carries -inf entries
 # (contrastive text logits padded to max_text_len, as in the reference).
-INF_PAD_LOGITS = {"grounding-dino"}
+INF_PAD_LOGITS = {"grounding-dino", "mm-grounding-dino"}
 
 # Families that can't be driven generically; each must have dedicated tests
 # (enforced at skip time via _dedicated_test_exists).
@@ -280,6 +280,7 @@ def _register_patches():
         encoder_ffn_dim=64, decoder_ffn_dim=64, num_feature_levels=4,
         encoder_n_points=2, decoder_n_points=2, num_queries=12,
         max_text_len=16)
+    P["mm-grounding-dino"] = dict(P["grounding-dino"])
     # composite families: real tiny sub-configs (the bare constructor leaves
     # encoder/decoder as None, which cannot build a model)
     tiny_bert = dict(model_type="bert", vocab_size=99, hidden_size=32,

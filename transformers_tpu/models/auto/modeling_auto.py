@@ -251,6 +251,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "video_llava": ("video_llava", "VideoLlavaForConditionalGeneration"),
     "sam_hq": ("sam_hq", "SamHQModel"),
     "grounding-dino": ("grounding_dino", "GroundingDinoForObjectDetection"),
+    "mm-grounding-dino": ("mm_grounding_dino", "MMGroundingDinoForObjectDetection"),
     "instructblipvideo": ("instructblipvideo", "InstructBlipVideoForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
@@ -558,6 +559,8 @@ MODEL_FOR_IMAGE_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 }
 MODEL_FOR_ZERO_SHOT_OBJECT_DETECTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "owlvit": ("owlvit", "OwlViTForObjectDetection"),
+    "grounding-dino": ("grounding_dino", "GroundingDinoForObjectDetection"),
+    "mm-grounding-dino": ("mm_grounding_dino", "MMGroundingDinoForObjectDetection"),
     "owlv2": ("owlv2", "Owlv2ForObjectDetection"),
 }
 MODEL_FOR_VIDEO_CLASSIFICATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {

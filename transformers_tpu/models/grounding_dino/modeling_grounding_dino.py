@@ -331,9 +331,16 @@ class GroundingDinoDecoderLayer(Module):
         return self.final_layer_norm(params["final_layer_norm"], residual + h)
 
 
-def contrastive_logits(queries, text_hidden, text_token_mask, max_text_len):
-    """reference GroundingDinoContrastiveEmbedding:1305."""
+def contrastive_logits(queries, text_hidden, text_token_mask, max_text_len,
+                       scaled=False, bias=None):
+    """reference GroundingDinoContrastiveEmbedding:1305 (plain dot product);
+    with ``scaled``/``bias`` the MM-Grounding-DINO variant (1/sqrt(d) scaling
+    + learned scalar bias, mm_grounding_dino/modular_mm_grounding_dino.py:168)."""
     out = queries @ jnp.swapaxes(text_hidden, -1, -2)
+    if scaled:
+        out = out / math.sqrt(queries.shape[-1])
+    if bias is not None:
+        out = out + bias
     out = jnp.where(text_token_mask[:, None, :].astype(bool), out, -jnp.inf)
     pad = jnp.full((*out.shape[:-1], max_text_len - out.shape[-1]), -jnp.inf,
                    out.dtype)
@@ -507,8 +514,8 @@ class GroundingDinoModel(Module):
         # ---- two-stage proposal selection (reference :2185-2215)
         object_query, output_proposals = self.gen_encoder_output_proposals(
             params, vision, mask_flatten, spatial_shapes)
-        enc_outputs_class = contrastive_logits(object_query, text,
-                                               text_token_mask, cfg.max_text_len)
+        enc_outputs_class = self._enc_contrastive(params, object_query, text,
+                                                  text_token_mask)
         delta = self.encoder_output_bbox_embed(
             params["encoder_output_bbox_embed"], object_query)
         enc_outputs_coord_logits = delta + output_proposals
@@ -523,8 +530,8 @@ class GroundingDinoModel(Module):
         target = jnp.broadcast_to(
             params["query_position_embeddings"]["weight"][None].astype(vision.dtype),
             (b, cfg.num_queries, cfg.d_model))
-        encoder_logits = contrastive_logits(target, text, text_token_mask,
-                                            cfg.max_text_len)
+        encoder_logits = self._enc_contrastive(params, target, text,
+                                               text_token_mask)
         encoder_pred_boxes = reference
 
         # ---- decoder with iterative box refinement
@@ -561,6 +568,12 @@ class GroundingDinoModel(Module):
     # bound by the detection head (tied per-layer bbox MLPs)
     def _bbox_embed(self, idx, hidden):
         raise RuntimeError("bbox_embed is bound by GroundingDinoForObjectDetection")
+
+    def _enc_contrastive(self, params, queries, text, text_token_mask):
+        """Encoder-stage class logits; MM-Grounding-DINO overrides with the
+        scaled + biased contrastive head."""
+        return contrastive_logits(queries, text, text_token_mask,
+                                  self.config.max_text_len)
 
 
 class GroundingDinoForObjectDetection(GroundingDinoPreTrainedModel):
@@ -599,6 +612,12 @@ class GroundingDinoForObjectDetection(GroundingDinoPreTrainedModel):
 
         self.model._bbox_embed = bound_bbox
 
+    def _cls_contrastive(self, params, level, hidden, text, text_token_mask):
+        """Per-decoder-level class logits (reference :2560); MM overrides
+        with the scaled + per-level-bias contrastive head."""
+        return contrastive_logits(hidden, text, text_token_mask,
+                                  self.config.max_text_len)
+
     def __call__(self, params, pixel_values=None, input_ids=None,
                  token_type_ids=None, attention_mask=None, pixel_mask=None,
                  labels=None, **kwargs):
@@ -606,19 +625,21 @@ class GroundingDinoForObjectDetection(GroundingDinoPreTrainedModel):
         out = self.model(params["model"], pixel_values, input_ids,
                          token_type_ids, attention_mask, pixel_mask)
         cfg = self.config
-        logits = contrastive_logits(out["last_hidden_state"],
-                                    out["text_hidden"],
-                                    out["text_token_mask"], cfg.max_text_len)
+        n_levels = out["intermediate"].shape[1]
+        logits = self._cls_contrastive(params, n_levels - 1,
+                                       out["last_hidden_state"],
+                                       out["text_hidden"],
+                                       out["text_token_mask"])
         pred_boxes = out["intermediate_refs"][:, -1]
         loss = None
         if labels is not None:
             from ...loss.object_detection import deformable_detr_loss
 
             outputs_class = jnp.stack([
-                contrastive_logits(out["intermediate"][:, i],
-                                   out["text_hidden"], out["text_token_mask"],
-                                   cfg.max_text_len)
-                for i in range(out["intermediate"].shape[1])], 1)
+                self._cls_contrastive(params, i, out["intermediate"][:, i],
+                                      out["text_hidden"],
+                                      out["text_token_mask"])
+                for i in range(n_levels)], 1)
             finite_class = jnp.where(jnp.isfinite(outputs_class),
                                      outputs_class, -1e4)
             loss, _, _ = deformable_detr_loss(
