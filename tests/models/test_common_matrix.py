@@ -281,6 +281,20 @@ def _register_patches():
         encoder_n_points=2, decoder_n_points=2, num_queries=12,
         max_text_len=16)
     P["mm-grounding-dino"] = dict(P["grounding-dino"])
+    # florence2: tiny DaViT (two stages) + tiny BART; projection_dim must
+    # equal the text d_model
+    P["florence2"] = dict(
+        vision_config=dict(depths=[1, 1], patch_size=[3, 3],
+                           patch_stride=[2, 2], patch_padding=[1, 1],
+                           patch_prenorm=[False, True], embed_dim=[16, 32],
+                           num_heads=[2, 4], num_groups=[2, 4], window_size=4,
+                           projection_dim=32, drop_path_rate=0.0),
+        text_config=dict(model_type="bart", vocab_size=99, d_model=32,
+                         encoder_layers=2, decoder_layers=2,
+                         encoder_attention_heads=4, decoder_attention_heads=4,
+                         encoder_ffn_dim=64, decoder_ffn_dim=64,
+                         max_position_embeddings=128),
+        image_token_id=98)
     # composite families: real tiny sub-configs (the bare constructor leaves
     # encoder/decoder as None, which cannot build a model)
     tiny_bert = dict(model_type="bert", vocab_size=99, hidden_size=32,

@@ -253,6 +253,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "grounding-dino": ("grounding_dino", "GroundingDinoForObjectDetection"),
     "mm-grounding-dino": ("mm_grounding_dino", "MMGroundingDinoForObjectDetection"),
     "instructblipvideo": ("instructblipvideo", "InstructBlipVideoForConditionalGeneration"),
+    "florence2": ("florence2", "Florence2ForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
@@ -669,6 +670,7 @@ MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "pix2struct": ("pix2struct", "Pix2StructForConditionalGeneration"),
 }
 MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "florence2": ("florence2", "Florence2ForConditionalGeneration"),
     "got_ocr2": ("got_ocr2", "GotOcr2ForConditionalGeneration"),
     "deepseek_vl": ("deepseek_vl", "DeepseekVLForConditionalGeneration"),
     "vjepa2": ("vjepa2", "VJEPA2Model"),
