@@ -104,6 +104,7 @@ INF_PAD_LOGITS = {"grounding-dino", "mm-grounding-dino"}
 # Families that can't be driven generically; each must have dedicated tests
 # (enforced at skip time via _dedicated_test_exists).
 SKIP: dict[str, str] = {
+    "idefics": "5D multi-image pixel input; dedicated parity tests",
     "encodec": "codec waveform IO; dedicated parity tests",
     "dac": "codec waveform IO; dedicated parity tests",
     "xcodec": "codec waveform IO; dedicated parity tests",

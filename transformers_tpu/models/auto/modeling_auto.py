@@ -254,6 +254,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mm-grounding-dino": ("mm_grounding_dino", "MMGroundingDinoForObjectDetection"),
     "instructblipvideo": ("instructblipvideo", "InstructBlipVideoForConditionalGeneration"),
     "florence2": ("florence2", "Florence2ForConditionalGeneration"),
+    "idefics": ("idefics", "IdeficsForVisionText2Text"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
@@ -656,6 +657,7 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "speecht5": ("speecht5", "SpeechT5ForSpeechToText"),
 }
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "idefics": ("idefics", "IdeficsForVisionText2Text"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
     "chameleon": ("chameleon", "ChameleonForConditionalGeneration"),
