@@ -119,6 +119,7 @@ SKIP: dict[str, str] = {
     "musicgen": "composite text+audio decoder; dedicated parity tests",
     "vision-encoder-decoder": "composite; dedicated parity tests",
     "kosmos-2": "grounded VLM composite; dedicated parity tests",
+    "kosmos-2.5": "document OCR composite; dedicated parity tests",
     "superglue": "image-pair matching IO; dedicated parity tests",
     "levit": "staged conv geometry; dedicated parity tests",
     "mobilevit": "staged conv geometry; dedicated parity tests",
@@ -542,7 +543,8 @@ def _dedicated_test_exists(family: str, require_roundtrip: bool = False) -> bool
         if base.endswith(suffix):
             base = base[: -len(suffix)]
             break
-    cands = {base, base.replace("-", "_"), base.replace("-", "")}
+    cands = {base, base.replace("-", "_"), base.replace("-", ""),
+             base.replace("-", "_").replace(".", "_")}
     files: set = set()
     for c in cands:
         files |= imports.get(c, set())

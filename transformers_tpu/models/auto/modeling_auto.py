@@ -255,6 +255,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "instructblipvideo": ("instructblipvideo", "InstructBlipVideoForConditionalGeneration"),
     "florence2": ("florence2", "Florence2ForConditionalGeneration"),
     "idefics": ("idefics", "IdeficsForVisionText2Text"),
+    "kosmos-2.5": ("kosmos2_5", "Kosmos2_5ForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
@@ -657,6 +658,7 @@ MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "speecht5": ("speecht5", "SpeechT5ForSpeechToText"),
 }
 MODEL_FOR_VISION_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "kosmos-2.5": ("kosmos2_5", "Kosmos2_5ForConditionalGeneration"),
     "idefics": ("idefics", "IdeficsForVisionText2Text"),
     "llava": ("llava", "LlavaForConditionalGeneration"),
     "llama4": ("llama4", "Llama4ForConditionalGeneration"),
