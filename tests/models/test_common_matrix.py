@@ -283,6 +283,19 @@ def _register_patches():
         encoder_n_points=2, decoder_n_points=2, num_queries=12,
         max_text_len=16)
     P["mm-grounding-dino"] = dict(P["grounding-dino"])
+    P["granite_speech"] = dict(
+        text_config=dict(model_type="granite", vocab_size=99, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2),
+        encoder_config=dict(input_dim=20, num_layers=2, hidden_dim=32,
+                            feedforward_mult=2, num_heads=4, output_dim=10,
+                            context_size=12, max_pos_emb=32,
+                            conv_kernel_size=5),
+        projector_config=dict(model_type="blip_2_qformer", hidden_size=32,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              intermediate_size=64, encoder_hidden_size=32,
+                              cross_attention_frequency=1),
+        audio_token_index=98)
     # florence2: tiny DaViT (two stages) + tiny BART; projection_dim must
     # equal the text d_model
     P["florence2"] = dict(

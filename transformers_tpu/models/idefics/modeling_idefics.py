@@ -443,7 +443,6 @@ class IdeficsPreTrainedModel(PreTrainedModel):
 
 
 class IdeficsForVisionText2Text(IdeficsPreTrainedModel, GenerationMixin):
-    _tied_weights_keys = ("lm_head.weight",)
     _prefill_input_names = ("pixel_values", "image_attention_mask")
 
     def __init__(self, config: IdeficsConfig, *, dtype=jnp.float32,
@@ -471,7 +470,18 @@ class IdeficsForVisionText2Text(IdeficsPreTrainedModel, GenerationMixin):
         hidden = out.last_hidden_state
         if logits_to_keep:
             hidden = hidden[:, -logits_to_keep:, :]
-        logits = self.lm_head(params["lm_head"], hidden)
+        if self.config.tie_word_embeddings:
+            # tied checkpoints strip lm_head: attend against the (decoupled)
+            # embedding tables instead
+            ep = params["model"]["embed_tokens"]
+            logits = jnp.dot(hidden, ep["weight"].astype(hidden.dtype).T)
+            if self.config.additional_vocab_size > 0:
+                extra = jnp.dot(
+                    hidden,
+                    ep["additional_embedding"]["weight"].astype(hidden.dtype).T)
+                logits = jnp.concatenate([logits, extra], -1)
+        else:
+            logits = self.lm_head(params["lm_head"], hidden)
         loss = None
         if labels is not None:
             from ...loss import for_causal_lm_loss
