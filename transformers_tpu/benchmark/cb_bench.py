@@ -67,7 +67,9 @@ def build_8b(batch_hint: int = 16):
 
 
 def main(n_requests: int = 16, max_new: int = 64):
+    print("building 8B int8 param tree...", file=sys.stderr, flush=True)
     model = build_8b()
+    print("params ready; constructing engine", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     prompts = [list(map(int, rng.integers(1, VOCAB, size=PROMPT)))
                for _ in range(n_requests)]
@@ -105,8 +107,11 @@ def main(n_requests: int = 16, max_new: int = 64):
     # program the timed run replays: prefill, single-step decode during
     # admission, and the multi-step window.
     engine = make_engine()
+    print("warmup 1/2 (prefill + decode programs)...", file=sys.stderr, flush=True)
     run(engine, prompts[:8], 4)
+    print("warmup 2/2 (multi-step window program)...", file=sys.stderr, flush=True)
     run(engine, prompts[:8], 17)
+    print("timed run...", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     outs = run(engine, prompts, max_new)

@@ -257,6 +257,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "idefics": ("idefics", "IdeficsForVisionText2Text"),
     "kosmos-2.5": ("kosmos2_5", "Kosmos2_5ForConditionalGeneration"),
     "granite_speech": ("granite_speech", "GraniteSpeechForConditionalGeneration"),
+    "csm": ("csm", "CsmForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
