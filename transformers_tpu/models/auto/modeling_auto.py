@@ -258,6 +258,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "kosmos-2.5": ("kosmos2_5", "Kosmos2_5ForConditionalGeneration"),
     "granite_speech": ("granite_speech", "GraniteSpeechForConditionalGeneration"),
     "csm": ("csm", "CsmForConditionalGeneration"),
+    "dia": ("dia", "DiaForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
