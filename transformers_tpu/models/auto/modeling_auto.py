@@ -259,6 +259,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granite_speech": ("granite_speech", "GraniteSpeechForConditionalGeneration"),
     "csm": ("csm", "CsmForConditionalGeneration"),
     "dia": ("dia", "DiaForConditionalGeneration"),
+    "kyutai_speech_to_text": ("kyutai_speech_to_text", "KyutaiSpeechToTextForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
