@@ -309,6 +309,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sam_vision_model": ("sam", "SamVisionModel"),
 }
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "glm_moe_dsa": ("glm_moe_dsa", "GlmMoeDsaForCausalLM"),
     "llama": ("llama", "LlamaForCausalLM"),
     "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
