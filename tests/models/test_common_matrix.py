@@ -286,6 +286,11 @@ def _register_patches():
         encoder_n_points=2, decoder_n_points=2, num_queries=12,
         max_text_len=16)
     P["mm-grounding-dino"] = dict(P["grounding-dino"])
+    P["longcat_flash"] = dict(
+        num_layers=2, ffn_hidden_size=64, q_lora_rank=24, kv_lora_rank=16,
+        qk_nope_head_dim=8, qk_rope_head_dim=8, v_head_dim=8, head_dim=8,
+        moe_topk=2, n_routed_experts=4, zero_expert_num=2,
+        expert_ffn_hidden_size=32)
     P["granite_speech"] = dict(
         text_config=dict(model_type="granite", vocab_size=99, hidden_size=32,
                          intermediate_size=64, num_hidden_layers=2,
