@@ -122,6 +122,8 @@ SKIP: dict[str, str] = {
     "kosmos-2.5": "document OCR composite; dedicated parity tests",
     "csm": "two-level codebook TTS; dedicated parity tests",
     "dia": "multi-channel codebook TTS; dedicated parity tests",
+    "qwen2_5_omni": "omni composite; dedicated parity tests",
+    "qwen2_5_omni_thinker": "omni composite; dedicated parity tests",
     "kyutai_speech_to_text": "3D text+codebook frames; dedicated parity tests",
     "superglue": "image-pair matching IO; dedicated parity tests",
     "levit": "staged conv geometry; dedicated parity tests",

@@ -259,6 +259,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "granite_speech": ("granite_speech", "GraniteSpeechForConditionalGeneration"),
     "csm": ("csm", "CsmForConditionalGeneration"),
     "dia": ("dia", "DiaForConditionalGeneration"),
+    "qwen2_5_omni": ("qwen2_5_omni", "Qwen2_5OmniForConditionalGeneration"),
+    "qwen2_5_omni_thinker": ("qwen2_5_omni", "Qwen2_5OmniThinkerForConditionalGeneration"),
     "kyutai_speech_to_text": ("kyutai_speech_to_text", "KyutaiSpeechToTextForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
