@@ -562,7 +562,8 @@ def _dedicated_test_exists(family: str, require_roundtrip: bool = False) -> bool
     imports, testnames, roundtrips = _TEST_INDEX
     base = family.lower()
     for suffix in ("_vision_model", "_text_model", "_vision", "_text",
-                   "_backbone", "_encoder", "_ctc", "_rnnt", "_tdt"):
+                   "_backbone", "_encoder", "_ctc", "_rnnt", "_tdt",
+                   "_thinker"):
         if base.endswith(suffix):
             base = base[: -len(suffix)]
             break
