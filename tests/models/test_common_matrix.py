@@ -131,6 +131,7 @@ SKIP: dict[str, str] = {
     "mobilenet_v2": "staged conv geometry; dedicated parity tests",
     "regnet": "staged conv geometry; dedicated parity tests",
     "depth_anything": "DPT composite backbone; dedicated parity tests",
+    "prompt_depth_anything": "DPT composite backbone; dedicated parity tests",
     "dpt": "hybrid backbone geometry; dedicated parity tests",
     "siglip2_vision_model": "NaFlex variable-res input; dedicated parity tests",
     "autoformer": "decomposition seq2seq needs future features; dedicated tests",

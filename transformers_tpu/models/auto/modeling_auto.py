@@ -187,6 +187,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "upernet": ("upernet", "UperNetForSemanticSegmentation"),
     "seggpt": ("seggpt", "SegGptForImageSegmentation"),
     "zoedepth": ("zoedepth", "ZoeDepthForDepthEstimation"),
+    "prompt_depth_anything": ("prompt_depth_anything", "PromptDepthAnythingForDepthEstimation"),
     "flava": ("flava", "FlavaModel"),
     "dinov3_vit": ("dinov3_vit", "DINOv3ViTModel"),
     "mgp-str": ("mgp_str", "MgpstrForSceneTextRecognition"),
@@ -593,6 +594,7 @@ MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "dpt": ("dpt", "DPTForDepthEstimation"),
     "depth_anything": ("depth_anything", "DepthAnythingForDepthEstimation"),
     "zoedepth": ("zoedepth", "ZoeDepthForDepthEstimation"),
+    "prompt_depth_anything": ("prompt_depth_anything", "PromptDepthAnythingForDepthEstimation"),
 }
 MODEL_FOR_SEMANTIC_SEGMENTATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mobilevit": ("mobilevit", "MobileViTForSemanticSegmentation"),
