@@ -114,6 +114,7 @@ SKIP: dict[str, str] = {
     "parakeet_tdt": "transducer IO; dedicated parity tests",
     "deepseek_vl": "composite VLM; dedicated parity tests",
     "mimi": "codec waveform IO; dedicated parity tests",
+    "univnet": "noise+mel vocoder IO; dedicated parity tests",
     "speecht5": "multi-entry seq2seq speech; dedicated parity tests",
     "speech_to_text": "fbank seq2seq; dedicated parity tests",
     "musicgen": "composite text+audio decoder; dedicated parity tests",

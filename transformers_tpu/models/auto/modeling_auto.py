@@ -314,6 +314,7 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
 MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm_moe_dsa": ("glm_moe_dsa", "GlmMoeDsaForCausalLM"),
     "longcat_flash": ("longcat_flash", "LongcatFlashForCausalLM"),
+    "univnet": ("univnet", "UnivNetModel"),
     "llama": ("llama", "LlamaForCausalLM"),
     "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
