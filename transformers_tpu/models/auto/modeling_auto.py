@@ -315,6 +315,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "glm_moe_dsa": ("glm_moe_dsa", "GlmMoeDsaForCausalLM"),
     "longcat_flash": ("longcat_flash", "LongcatFlashForCausalLM"),
     "univnet": ("univnet", "UnivNetModel"),
+    "pop2piano": ("pop2piano", "Pop2PianoForConditionalGeneration"),
     "llama": ("llama", "LlamaForCausalLM"),
     "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
