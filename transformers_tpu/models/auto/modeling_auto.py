@@ -316,6 +316,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "longcat_flash": ("longcat_flash", "LongcatFlashForCausalLM"),
     "univnet": ("univnet", "UnivNetModel"),
     "pop2piano": ("pop2piano", "Pop2PianoForConditionalGeneration"),
+    "rag": ("rag", "RagTokenForGeneration"),
     "llama": ("llama", "LlamaForCausalLM"),
     "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
