@@ -117,6 +117,7 @@ SKIP: dict[str, str] = {
     "univnet": "noise+mel vocoder IO; dedicated parity tests",
     "pop2piano": "mel inputs_embeds seq2seq; dedicated parity tests",
     "rag": "retrieval composite; dedicated parity tests",
+    "tvp": "text+video dual IO; dedicated parity tests",
     "speecht5": "multi-entry seq2seq speech; dedicated parity tests",
     "speech_to_text": "fbank seq2seq; dedicated parity tests",
     "musicgen": "composite text+audio decoder; dedicated parity tests",

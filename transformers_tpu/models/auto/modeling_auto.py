@@ -317,6 +317,7 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "univnet": ("univnet", "UnivNetModel"),
     "pop2piano": ("pop2piano", "Pop2PianoForConditionalGeneration"),
     "rag": ("rag", "RagTokenForGeneration"),
+    "tvp": ("tvp", "TvpForVideoGrounding"),
     "llama": ("llama", "LlamaForCausalLM"),
     "jetmoe": ("jetmoe", "JetMoeForCausalLM"),
     "mistral": ("mistral", "MistralForCausalLM"),
