@@ -91,6 +91,8 @@ PATCHES: dict[str, dict] = {
                      num_buckets=4, num_hashes=1, hash_seed=3),
     # bbox sinusoid dims need hidden_size//4 divisible by 2*dim_bbox
     "bros": dict(hidden_size=64),
+    "hy_v3": dict(num_experts=4, num_experts_per_tok=2,
+                  moe_intermediate_size=16, head_dim=8),
     # image_size[0] is the DOUBLED height (prompt stacked over input)
     "seggpt": dict(image_size=[32, 16], patch_size=8, pretrain_image_size=16,
                    mlp_dim=64, decoder_hidden_size=8, merge_index=0,
@@ -237,6 +239,10 @@ def _register_patches():
         **{**P["deepseek_v3"], "index_topk": 4, "index_head_dim": 16,
            "index_n_heads": 2})
     P["axk1"] = dict(**P["deepseek_v3"])
+    # A.X-K2-Light: non-grouped routing (n_group None->1), fused q+gate proj
+    P["axk2"] = dict(
+        **{**P["deepseek_v32"], "n_group": None, "topk_group": None,
+           "gated_norm_rank": 4})
     # SR operates at patch_size 1 (seq == pixels); TINY's patch 8 breaks the
     # constant-resolution RSTB reshape
     P["t5gemma"] = dict(

@@ -264,6 +264,10 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_5_omni_thinker": ("qwen2_5_omni", "Qwen2_5OmniThinkerForConditionalGeneration"),
     "kyutai_speech_to_text": ("kyutai_speech_to_text", "KyutaiSpeechToTextForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
+    "axk2": ("axk2", "AXK2ModelStandalone"),
+    "hy_v3": ("hy_v3", "HYV3ModelStandalone"),
+    "qwen3_5": ("qwen3_5", "Qwen3_5ModelStandalone"),
+    "qwen3_5_moe": ("qwen3_5_moe", "Qwen3_5MoeModelStandalone"),
     "qwen3_next": ("qwen3_next", "Qwen3NextModelStandalone"),
     "glm": ("glm", "GlmModelStandalone"),
     "glm4": ("glm4", "Glm4ModelStandalone"),
@@ -404,6 +408,10 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mellum": ("mellum", "MellumForCausalLM"),
     "mistral4": ("mistral4", "Mistral4ForCausalLM"),
     "axk1": ("axk1", "AXK1ForCausalLM"),
+    "axk2": ("axk2", "AXK2ForCausalLM"),
+    "hy_v3": ("hy_v3", "HYV3ForCausalLM"),
+    "qwen3_5": ("qwen3_5", "Qwen3_5ForCausalLM"),
+    "qwen3_5_moe": ("qwen3_5_moe", "Qwen3_5MoeForCausalLM"),
     "qwen3_next": ("qwen3_next", "Qwen3NextForCausalLM"),
     "moshi": ("moshi", "MoshiForCausalLM"),
     "glm": ("glm", "GlmForCausalLM"),

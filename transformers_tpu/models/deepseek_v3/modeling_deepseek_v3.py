@@ -223,16 +223,20 @@ class DeepseekV3MoE(Module):
             config, config.moe_intermediate_size * config.n_shared_experts, **kw)
         self.act_fn = get_activation(config.hidden_act)
 
+    def route(self, params, scores):
+        """Routing hook over sigmoid scores [T, E] → (topk_w, topk_idx)."""
+        return deepseek_route(
+            scores, params["gate"]["e_score_correction_bias"].astype(jnp.float32),
+            n_group=self.config.n_group, topk_group=self.config.topk_group,
+            top_k=self.top_k, norm_topk_prob=self.config.norm_topk_prob,
+            routed_scaling_factor=self.config.routed_scaling_factor)
+
     def __call__(self, params, hidden):
         b, s, h = hidden.shape
         x = hidden.reshape(-1, h)
         scores = jax.nn.sigmoid(
             jnp.dot(x.astype(jnp.float32), params["gate"]["weight"].astype(jnp.float32)))
-        topk_w, topk_idx = deepseek_route(
-            scores, params["gate"]["e_score_correction_bias"].astype(jnp.float32),
-            n_group=self.config.n_group, topk_group=self.config.topk_group,
-            top_k=self.top_k, norm_topk_prob=self.config.norm_topk_prob,
-            routed_scaling_factor=self.config.routed_scaling_factor)
+        topk_w, topk_idx = self.route(params, scores)
         w_gate = jnp.stack([params["experts"][str(e)]["gate_proj"]["weight"]
                             for e in range(self.num_experts)])
         w_up = jnp.stack([params["experts"][str(e)]["up_proj"]["weight"]

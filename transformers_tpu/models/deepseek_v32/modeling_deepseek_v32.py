@@ -87,13 +87,19 @@ class DeepseekV32Attention(DeepseekV3Attention):
                                           param_dtype=param_dtype)
         self.index_topk = config.index_topk
 
-    def __call__(self, params, hidden, cos, sin, attn_args,
-                 cache: Optional[StaticKVCache], cache_position):
+    def project_q(self, params, hidden):
+        """Query path hook → (q [B,S,H,qk_head_dim], q_resid, output_gate|None).
+        A.X-K2 overrides with its fused q+gate projection."""
         b, s, _ = hidden.shape
         q_resid = self.q_a_layernorm(
             params["q_a_layernorm"], self.q_a_proj(params["q_a_proj"], hidden))
         q = self.q_b_proj(params["q_b_proj"], q_resid)
-        q = q.reshape(b, s, self.num_heads, self.qk_head_dim)
+        return q.reshape(b, s, self.num_heads, self.qk_head_dim), q_resid, None
+
+    def __call__(self, params, hidden, cos, sin, attn_args,
+                 cache: Optional[StaticKVCache], cache_position):
+        b, s, _ = hidden.shape
+        q, q_resid, out_gate = self.project_q(params, hidden)
         q_pass = q[..., : self.qk_nope_head_dim]
         q_rot = q[..., self.qk_nope_head_dim:]
 
@@ -146,6 +152,11 @@ class DeepseekV32Attention(DeepseekV3Attention):
         attn_fn = get_attention_fn("eager")
         out = attn_fn(q, k, v, bias, scale=self.scale, **args)
         out = out.reshape(b, s, self.num_heads * self.v_head_dim)
+        if out_gate is not None:
+            # A.X-K2: input-dependent sigmoid gate in fp32 (reference
+            # modular_axk2.py:330)
+            out = (out.astype(jnp.float32)
+                   * jax.nn.sigmoid(out_gate.astype(jnp.float32))).astype(self.dtype)
         return self.o_proj(params["o_proj"], out), cache
 
 

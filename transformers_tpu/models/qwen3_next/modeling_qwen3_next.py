@@ -137,15 +137,23 @@ class Qwen3NextGatedDeltaNet(Module):
             feature_group_count=self.conv_dim)
         return jnp.swapaxes(y, 1, 2)
 
-    def __call__(self, params, hidden, cache: Optional[HybridCache], attention_mask=None):
+    def project_in(self, params, hidden):
+        """Input projections → ([B,S,conv_dim] mixed qkv, z, b, a). Hook for
+        variants with differently-factored projections (Qwen3.5 splits
+        qkv/z/b/a into four Linears, reference qwen3_5/modular_qwen3_5.py:207)."""
         b, s, _ = hidden.shape
-        if attention_mask is not None:
-            hidden = hidden * attention_mask[..., None].astype(hidden.dtype)
         q, k, v, z, b_, a_ = self._split_qkvz_ba(
             self.in_proj_qkvz(params["in_proj_qkvz"], hidden),
             self.in_proj_ba(params["in_proj_ba"], hidden))
         mixed = jnp.concatenate([q.reshape(b, s, -1), k.reshape(b, s, -1),
                                  v.reshape(b, s, -1)], axis=-1)  # [B,S,conv_dim]
+        return mixed, z, b_, a_
+
+    def __call__(self, params, hidden, cache: Optional[HybridCache], attention_mask=None):
+        b, s, _ = hidden.shape
+        if attention_mask is not None:
+            hidden = hidden * attention_mask[..., None].astype(hidden.dtype)
+        mixed, z, b_, a_ = self.project_in(params, hidden)
 
         has_state = cache is not None and cache.initialized
         decode = has_state and s == 1
@@ -292,14 +300,17 @@ class Qwen3NextDecoderLayer(Module):
     """Reference :800 — linear_attention or full_attention token mixer +
     (sparse or dense) MLP under zero-centered pre-norms."""
 
+    deltanet_cls = Qwen3NextGatedDeltaNet
+    attention_cls = Qwen3NextAttention
+
     def __init__(self, config, layer_idx, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         kw = dict(dtype=dtype, param_dtype=param_dtype)
         self.block_type = config.layer_types[layer_idx]
         if self.block_type == "linear_attention":
-            self.linear_attn = Qwen3NextGatedDeltaNet(config, layer_idx, **kw)
+            self.linear_attn = self.deltanet_cls(config, layer_idx, **kw)
         else:
-            self.self_attn = Qwen3NextAttention(config, layer_idx, **kw)
+            self.self_attn = self.attention_cls(config, layer_idx, **kw)
         sparse = (layer_idx not in config.mlp_only_layers) and (
             config.num_experts > 0 and (layer_idx + 1) % config.decoder_sparse_step == 0)
         if sparse:
