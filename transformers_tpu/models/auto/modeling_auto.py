@@ -264,6 +264,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_5_omni_thinker": ("qwen2_5_omni", "Qwen2_5OmniThinkerForConditionalGeneration"),
     "kyutai_speech_to_text": ("kyutai_speech_to_text", "KyutaiSpeechToTextForConditionalGeneration"),
     "axk1": ("axk1", "AXK1ModelStandalone"),
+    "afmoe": ("afmoe", "AfmoeModelStandalone"),
+    "olmo_hybrid": ("olmo_hybrid", "OlmoHybridModelStandalone"),
     "axk2": ("axk2", "AXK2ModelStandalone"),
     "hy_v3": ("hy_v3", "HYV3ModelStandalone"),
     "qwen3_5": ("qwen3_5", "Qwen3_5ModelStandalone"),
@@ -408,6 +410,8 @@ MODEL_FOR_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "mellum": ("mellum", "MellumForCausalLM"),
     "mistral4": ("mistral4", "Mistral4ForCausalLM"),
     "axk1": ("axk1", "AXK1ForCausalLM"),
+    "afmoe": ("afmoe", "AfmoeForCausalLM"),
+    "olmo_hybrid": ("olmo_hybrid", "OlmoHybridForCausalLM"),
     "axk2": ("axk2", "AXK2ForCausalLM"),
     "hy_v3": ("hy_v3", "HYV3ForCausalLM"),
     "qwen3_5": ("qwen3_5", "Qwen3_5ForCausalLM"),

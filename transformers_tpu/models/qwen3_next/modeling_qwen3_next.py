@@ -79,6 +79,9 @@ class Qwen3NextGatedDeltaNet(Module):
     """Reference :510. Projections → depthwise causal conv over [q|k|v] →
     gated delta rule → z-gated RMSNorm → out_proj."""
 
+    # OLMo-Hybrid allow_neg_eigval: beta in [0, 2]
+    beta_scale = 1.0
+
     def __init__(self, config: Qwen3NextConfig, layer_idx, *, dtype, param_dtype):
         super().__init__(dtype=dtype, param_dtype=param_dtype)
         self.layer_idx = layer_idx
@@ -182,7 +185,7 @@ class Qwen3NextGatedDeltaNet(Module):
         k = k.reshape(b, -1, self.num_k_heads, self.head_k_dim)
         v = v.reshape(b, -1, self.num_v_heads, self.head_v_dim)
 
-        beta = jax.nn.sigmoid(b_.astype(jnp.float32))
+        beta = jax.nn.sigmoid(b_.astype(jnp.float32)) * self.beta_scale
         g = (-jnp.exp(params["A_log"].astype(jnp.float32))[None, None]
              * jax.nn.softplus(a_.astype(jnp.float32)
                                + params["dt_bias"].astype(jnp.float32)[None, None]))
