@@ -93,6 +93,12 @@ PATCHES: dict[str, dict] = {
     "bros": dict(hidden_size=64),
     "hy_v3": dict(num_experts=4, num_experts_per_tok=2,
                   moe_intermediate_size=16, head_dim=8),
+    # 2.5 runs patched forecasting: context must be patch-divisible and tiny
+    "timesfm_2_5": dict(context_length=64, horizon_length=16,
+                        output_quantile_len=32, patch_length=16,
+                        hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=8),
     # image_size[0] is the DOUBLED height (prompt stacked over input)
     "seggpt": dict(image_size=[32, 16], patch_size=8, pretrain_image_size=16,
                    mlp_dim=64, decoder_hidden_size=8, merge_index=0,

@@ -603,6 +603,7 @@ MODEL_FOR_TIME_SERIES_PREDICTION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "informer": ("informer", "InformerForPrediction"),
     "autoformer": ("autoformer", "AutoformerForPrediction"),
     "timesfm": ("timesfm", "TimesFmModelForPrediction"),
+    "timesfm_2_5": ("timesfm2_5", "TimesFm2_5ModelForPrediction"),
     "patchtsmixer": ("patchtsmixer", "PatchTSMixerForPrediction"),
 }
 MODEL_FOR_DEPTH_ESTIMATION_MAPPING_NAMES: dict[str, tuple[str, str]] = {
