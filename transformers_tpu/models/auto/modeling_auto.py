@@ -741,6 +741,7 @@ MODEL_FOR_IMAGE_TEXT_TO_TEXT_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "colpali": ("colpali", "ColPaliForRetrieval"),
     "colqwen2": ("colqwen2", "ColQwen2ForRetrieval"),
     "gemma3": ("gemma3", "Gemma3ForConditionalGeneration"),
+    "shieldgemma2": ("shieldgemma2", "ShieldGemma2ForImageClassification"),
 }
 MODEL_FOR_VISUAL_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "blip": ("blip", "BlipForQuestionAnswering"),
