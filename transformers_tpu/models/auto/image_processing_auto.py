@@ -107,6 +107,7 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sam2": ("sam", "SamImageProcessor"),
     "sam_hq": ("sam", "SamImageProcessor"),
     "gemma3": ("gemma3", "Gemma3ImageProcessor"),
+    "shieldgemma2": ("gemma3", "Gemma3ImageProcessor"),
     "llava_next": ("llava_next", "LlavaNextImageProcessor"),
     "llava_next_video": ("llava_next", "LlavaNextImageProcessor"),
     "llava_onevision": ("llava_next", "LlavaNextImageProcessor"),

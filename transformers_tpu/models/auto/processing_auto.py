@@ -17,6 +17,7 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_vl": ("qwen2_vl", "Qwen2VLProcessor"),
     "qwen2_5_vl": ("qwen2_vl", "Qwen2VLProcessor"),
     "gemma3": ("gemma3", "Gemma3Processor"),
+    "shieldgemma2": ("shieldgemma2", "ShieldGemma2Processor"),
     "blip-2": ("blip_2", "Blip2Processor"),
     "paligemma": ("paligemma", "PaliGemmaProcessor"),
     "llava_next": ("llava_next", "LlavaNextProcessor"),
