@@ -266,6 +266,8 @@ MODEL_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "axk1": ("axk1", "AXK1ModelStandalone"),
     "afmoe": ("afmoe", "AfmoeModelStandalone"),
     "olmo_hybrid": ("olmo_hybrid", "OlmoHybridModelStandalone"),
+    "jina_embeddings_v3": ("jina_embeddings_v3", "JinaEmbeddingsV3ModelStandalone"),
+    "nomic_bert": ("nomic_bert", "NomicBertModelStandalone"),
     "axk2": ("axk2", "AXK2ModelStandalone"),
     "hy_v3": ("hy_v3", "HYV3ModelStandalone"),
     "qwen3_5": ("qwen3_5", "Qwen3_5ModelStandalone"),
@@ -517,6 +519,8 @@ MODEL_FOR_QUESTION_ANSWERING_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "lilt": ("lilt", "LiltForQuestionAnswering"),
 }
 MODEL_FOR_MASKED_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "jina_embeddings_v3": ("jina_embeddings_v3", "JinaEmbeddingsV3ForMaskedLM"),
+    "nomic_bert": ("nomic_bert", "NomicBertForMaskedLM"),
     "perceiver": ("perceiver", "PerceiverForMaskedLM"),
     "eurobert": ("eurobert", "EuroBertForMaskedLM"),
     "xlm": ("xlm", "XLMWithLMHeadModel"),
