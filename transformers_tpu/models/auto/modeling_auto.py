@@ -683,6 +683,7 @@ MODEL_FOR_SEQ_TO_SEQ_CAUSAL_LM_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "led": ("led", "LEDForConditionalGeneration"),
 }
 MODEL_FOR_SPEECH_SEQ_2_SEQ_MAPPING_NAMES: dict[str, tuple[str, str]] = {
+    "moonshine_streaming": ("moonshine_streaming", "MoonshineStreamingForConditionalGeneration"),
     "moonshine": ("moonshine", "MoonshineForConditionalGeneration"),
     "whisper": ("whisper", "WhisperForConditionalGeneration"),
     "speech_to_text": ("speech_to_text", "Speech2TextForConditionalGeneration"),
