@@ -108,6 +108,12 @@ IMAGE_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "sam_hq": ("sam", "SamImageProcessor"),
     "gemma3": ("gemma3", "Gemma3ImageProcessor"),
     "shieldgemma2": ("gemma3", "Gemma3ImageProcessor"),
+    "swin2sr": ("swin2sr", "Swin2SRImageProcessor"),
+    "idefics": ("idefics", "IdeficsImageProcessor"),
+    "grounding-dino": ("grounding_dino", "GroundingDinoImageProcessor"),
+    "mm-grounding-dino": ("grounding_dino", "GroundingDinoImageProcessor"),
+    "kosmos-2.5": ("kosmos2_5", "Kosmos2_5ImageProcessor"),
+    "video_llava": ("clip", "CLIPImageProcessor"),
     "llava_next": ("llava_next", "LlavaNextImageProcessor"),
     "llava_next_video": ("llava_next", "LlavaNextImageProcessor"),
     "llava_onevision": ("llava_next", "LlavaNextImageProcessor"),

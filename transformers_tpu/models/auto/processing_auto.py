@@ -18,6 +18,11 @@ PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen2_5_vl": ("qwen2_vl", "Qwen2VLProcessor"),
     "gemma3": ("gemma3", "Gemma3Processor"),
     "shieldgemma2": ("shieldgemma2", "ShieldGemma2Processor"),
+    "grounding-dino": ("grounding_dino", "GroundingDinoProcessor"),
+    "mm-grounding-dino": ("grounding_dino", "GroundingDinoProcessor"),
+    "kosmos-2.5": ("kosmos2_5", "Kosmos2_5Processor"),
+    "video_llava": ("video_llava", "VideoLlavaProcessor"),
+    "qwen2_5_omni": ("qwen2_5_omni", "Qwen2_5OmniProcessor"),
     "blip-2": ("blip_2", "Blip2Processor"),
     "paligemma": ("paligemma", "PaliGemmaProcessor"),
     "llava_next": ("llava_next", "LlavaNextProcessor"),

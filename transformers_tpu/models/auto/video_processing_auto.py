@@ -22,6 +22,7 @@ VIDEO_PROCESSOR_MAPPING_NAMES: dict[str, tuple[str, str]] = {
     "qwen3_vl_moe": ("qwen2_vl", "Qwen2VLVideoProcessor"),
     "llava_onevision": ("llava_onevision", "LlavaOnevisionVideoProcessor"),
     "llava_next_video": ("llava_next_video", "LlavaNextVideoVideoProcessor"),
+    "video_llava": ("video_llava", "VideoLlavaVideoProcessor"),
     "videomae": ("videomae", "VideoMAEVideoProcessor"),
     "timesformer": ("videomae", "TimesformerVideoProcessor"),
     "vivit": ("videomae", "VivitVideoProcessor"),
