@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -238,6 +240,7 @@ class LlamaAttention(Module):
             out = attn_fn(q, k, v, scale=self.scale, **kwargs)
         elif (getattr(cache, "layout", "bshd") == "paged" and s == 1
               and self.head_dim % 128 == 0
+              and not os.environ.get("TTPU_NO_PAGED_KERNEL")
               and kwargs.get("logit_cap") is None and kwargs.get("sinks") is None
               and kwargs.get("probs_sink") is None):
             # continuous-batching decode: block-table kernel, no gather
